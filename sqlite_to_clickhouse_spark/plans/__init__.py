@@ -1,0 +1,14 @@
+"""Plan assembly: importing this package loads every operator module so
+their ``@register`` side effects populate the registry (SURVEY.md §2b is
+the checklist; each module below covers one family)."""
+
+from __future__ import annotations
+
+import importlib
+
+_OPERATOR_MODULES = [
+    "sqlite_to_clickhouse_spark.operators.relational",
+]
+
+for _mod in _OPERATOR_MODULES:
+    importlib.import_module(_mod)

@@ -1,0 +1,78 @@
+"""Differential-comparison helpers mirroring the driver's t2 check:
+row count + column names + order-insensitive values (with float tolerance
+locally; the driver hashes, which is why queries round their floats)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from typing import Any
+
+
+def _norm_cell(v: Any) -> Any:
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm_cell(x)) for k, x in v.items()))
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    return v
+
+
+def _sort_key(row: tuple) -> tuple:
+    return tuple((x is None, str(type(x)), str(x)) for x in row)
+
+
+def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
+    if isinstance(a, float) and isinstance(b, (float, int)):
+        return math.isclose(a, float(b), rel_tol=rel, abs_tol=abs_)
+    if isinstance(b, float) and isinstance(a, (float, int)):
+        return math.isclose(float(a), b, rel_tol=rel, abs_tol=abs_)
+    if isinstance(a, tuple) and isinstance(b, tuple):
+        return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
+    return a == b
+
+
+def assert_df_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?") -> None:
+    """Compare a Spark DataFrame against DuckDB oracle SQL the way the
+    driver does: count, sorted column names, order-insensitive values."""
+    duck_rel = duck_con.execute(oracle)
+    duck_cols = [d[0] for d in duck_rel.description]
+    duck_rows = duck_rel.fetchall()
+
+    spark_cols = spark_df.columns
+    spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"[{name}] column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
+    )
+    assert len(spark_rows) == len(duck_rows), (
+        f"[{name}] row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+
+    # Reorder duck columns to spark order, normalize, sort rows.
+    idx = [duck_cols.index(c) for c in spark_cols]
+    duck_rows_o = [tuple(r[i] for i in idx) for r in duck_rows]
+
+    s_norm = sorted((tuple(_norm_cell(c) for c in r) for r in spark_rows), key=_sort_key)
+    d_norm = sorted((tuple(_norm_cell(c) for c in r) for r in duck_rows_o), key=_sort_key)
+
+    mismatches = []
+    for i, (sr, dr) in enumerate(zip(s_norm, d_norm)):
+        if not all(_cells_equal(a, b) for a, b in zip(sr, dr)):
+            mismatches.append((i, sr, dr))
+            if len(mismatches) >= 5:
+                break
+    assert not mismatches, f"[{name}] value mismatches (spark vs duck): {mismatches}"
