@@ -28,6 +28,17 @@ HEADLINE = [
     "pricing_summary",
     "filter_predicate",
     "project_computed",
+    "agg_groupby_hash",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_asof",
+    "window_rank",
+    "dedup_replacing",
+    "topk_per_group",
+    "text_tfidf",
+    "dedup_exact",
+    "dedup_fuzzy_minhash",
+    "sim_topk_cosine",
 ]
 
 

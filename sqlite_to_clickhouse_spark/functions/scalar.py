@@ -1,0 +1,252 @@
+"""Scalar function families (SURVEY.md §2b: fn_*).
+
+One registered query per family, each exercising the family's breadth on a
+fixture table. All are built-in `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, never Python. The date-parse entries reproduce the
+reference's R7/R8 semantics (/root/reference/main.py:18-37): fractional
+seconds stripped, unparseable → NULL.
+
+Oracle dialect notes (Spark vs DuckDB differences handled here):
+- substring/instr are 1-based in both; split-part is 1-based in both.
+- Spark `dayofweek` is 1=Sunday; DuckDB `dayofweek` is 0=Sunday → oracle
+  uses `dayofweek(x) + 1`.
+- Spark `pmod` ≥ 0; DuckDB `%` keeps sign → oracle spells out
+  `((a % b) + b) % b`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name)                                   AS name_upper,
+           LOWER(c_mktsegment)                             AS seg_lower,
+           LENGTH(c_name)                                  AS name_len,
+           SUBSTRING(c_name, 1, 8)                         AS name_prefix,
+           CONCAT(c_name, ':', c_mktsegment)               AS name_seg,
+           TRIM(CONCAT(' ', c_name, ' '))                  AS name_trim,
+           REPLACE(c_name, '#', '-')                       AS name_repl,
+           (c_name LIKE '%1%')                             AS has_one,
+           REGEXP_EXTRACT(c_name, '([0-9]+)', 1)           AS name_digits,
+           SPLIT_PART(c_name, '#', 1)                      AS name_head,
+           LPAD(CAST(c_custkey AS VARCHAR), 8, '0')        AS key_padded
+    FROM customer
+    """,
+    tags=("function", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, length, substring, concat, trim, replace,
+    LIKE, regexp_extract, split, pad."""
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("name_seg"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias("name_trim"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("name_repl"),
+        F.col("c_name").like("%1%").alias("has_one"),
+        F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(1)).alias("name_head"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE)                        AS od,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS od_month,
+           EXTRACT(year FROM o_orderdate)                   AS y,
+           EXTRACT(month FROM o_orderdate)                  AS m,
+           DAYOFWEEK(o_orderdate) + 1                       AS dow,
+           DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           CAST(o_orderdate + INTERVAL 90 DAY AS TIMESTAMP) AS due_ts,
+           STRFTIME(o_orderdate, '%Y-%m-%d')                AS od_str
+    FROM orders
+    """,
+    tags=("function", "date"),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family incl. the reference's to_date semantics (R8)."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.date_trunc("month", "o_orderdate").alias("od_month"),
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofweek("o_orderdate").cast("long").alias("dow"),
+        F.datediff(F.lit("2000-01-01").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("long")
+        .alias("days_to_y2k"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_ts"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("od_str"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 1)                        AS price_r1,
+           FLOOR(l_extendedprice)                           AS price_floor,
+           CEIL(l_extendedprice)                            AS price_ceil,
+           ABS(l_discount - 0.05)                           AS disc_dev,
+           ROUND(POW(l_quantity, 2), 4)                     AS qty_sq,
+           ROUND(SQRT(l_quantity), 6)                       AS qty_sqrt,
+           ROUND(LN(l_extendedprice), 6)                    AS price_ln,
+           ROUND(LOG10(l_extendedprice), 6)                 AS price_log10,
+           ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7       AS key_pmod7,
+           SIGN(l_discount - 0.05)                          AS disc_sign,
+           GREATEST(l_tax, l_discount)                      AS max_rate,
+           LEAST(l_tax, l_discount)                         AS min_rate
+    FROM lineitem
+    """,
+    tags=("function", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: rounding, roots, logs, pmod, sign, greatest/least."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 1).alias("price_r1"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("double").alias("price_ceil"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.pow("l_quantity", F.lit(2)), 4).alias("qty_sq"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.log10("l_extendedprice"), 6).alias("price_log10"),
+        F.pmod(F.col("l_orderkey"), F.lit(7)).cast("long").alias("key_pmod7"),
+        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.greatest("l_tax", "l_discount").alias("max_rate"),
+        F.least("l_tax", "l_discount").alias("min_rate"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 300000 THEN 'high'
+                WHEN o_totalprice >= 100000 THEN 'mid'
+                ELSE 'low' END                               AS price_band,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open')      AS status_alias,
+           CASE WHEN o_orderpriority LIKE '1%' THEN 1 ELSE 0 END AS is_urgent,
+           IFNULL(NULLIF(o_orderpriority, o_orderpriority), 'none') AS always_none
+    FROM orders
+    """,
+    tags=("function", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif — the reference's null-defaulting
+    semantics (R6, main.py:87,93,95) generalized."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300_000, "high")
+        .when(F.col("o_totalprice") >= 100_000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("open")).alias(
+            "status_alias"
+        ),
+        F.when(F.col("o_orderpriority").like("1%"), 1).otherwise(0).cast("long").alias("is_urgent"),
+        F.ifnull(F.nullif("o_orderpriority", "o_orderpriority"), F.lit("none")).alias(
+            "always_none"
+        ),
+    )
+
+
+@register(
+    "fn_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT)  AS k_num,
+           json_extract_string(props, '$.k')           AS k_str,
+           (json_extract(props, '$.missing') IS NULL)  AS missing_is_null
+    FROM events
+    """,
+    tags=("function", "json"),
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props (schema-on-read)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_num"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.missing").isNull().alias("missing_is_null"),
+    )
+
+
+@register(
+    "fn_array",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)                                          AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6)                  AS first_val,
+           ROUND(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                                'sum'), 4)                         AS vec_sum,
+           ROUND(list_aggregate(list_transform(embedding,
+                                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                                'sum'), 4)                         AS sq_norm,
+           len(list_filter(embedding, x -> x > 0))                 AS n_positive
+    FROM embeddings
+    """,
+    tags=("function", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over the embedding vector column.
+
+    `aggregate`/`transform`/`filter` run as Catalyst lambda expressions —
+    JVM-side, no UDF — which is the scale path for vector math on
+    array<float> columns.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_val"),
+        F.round(F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x), 4).alias("vec_sum"),
+        F.round(
+            F.aggregate(emb_d, F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter("embedding", lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           1                                        AS n_keys,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    """,
+    tags=("function", "map"),
+)
+def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType: parse props JSON into map<string,long>, probe keys/values."""
+    ev = table(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )

@@ -1,0 +1,234 @@
+"""Aggregation operators (SURVEY.md §2b: aggregation).
+
+The reference's only aggregate is a running row counter
+(/root/reference/main.py:171-177, R12); everything else here is declared
+ClickHouse-class surface. All aggregates are built-in Catalyst operators —
+partial (map-side) + final aggregation is automatic, so the shuffle moves
+pre-combined state, not rows. That property is what makes a groupBy over a
+100 TB fact table feasible: shuffle volume is O(groups × partitions), not
+O(rows).
+
+Float determinism: IEEE sums depend on addition order, which differs
+between engines and between Spark runs (partition order). Every double
+aggregate is rounded on BOTH sides (Spark + DuckDB oracle) to a precision
+coarse enough that order effects vanish at the tested scales.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+
+@register(
+    "agg_global",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2)      AS sum_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price,
+           COUNT(l_shipdate)              AS n_shipdates
+    FROM lineitem
+    """,
+    tags=("aggregate",),
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyless aggregate: SUM/AVG/MIN/MAX/COUNT collapse to one row.
+
+    Physically: per-partition partials → single-partition final merge.
+    Only the partial states cross the wire (a few hundred bytes each),
+    so this scales to any input size.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+        F.count("l_shipdate").alias("n_shipdates"),
+    )
+
+
+@register(
+    "agg_groupby_hash",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total,
+           ROUND(AVG(o_totalprice), 4) AS avg_total
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+    tags=("aggregate",),
+)
+def agg_groupby_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key hash aggregate with map-side partial combine."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_total"),
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_suppkey)  AS n_supps,
+           COUNT(*)                   AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT …): Catalyst expands to a two-stage dedup+count plan.
+
+    At scale the expand+regroup keeps distinct-tracking distributed (no
+    driver-side set); multiple distinct columns cost one Expand each.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches differ across engines — rows-only check;
+    # tests/test_aggregates.py bounds the estimate against the exact count.
+    tags=("aggregate", "approx"),
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog count-distinct: constant memory per group at any scale.
+
+    The 100 TB path: exact COUNT(DISTINCT) shuffles every distinct value;
+    HLL shuffles a fixed-size sketch per partition. rsd=0.02 ⇒ ~2% error.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus)    AS g_status,
+           GROUPING(o_orderpriority)  AS g_priority,
+           COUNT(*)                   AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals: (status,priority) → (status) → grand total.
+
+    Catalyst implements rollup as one Expand (3 replicas per row) + one
+    hash aggregate — one shuffle, not three queries.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_priority",
+        "n_orders", "sum_total",
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-set groupings (4 grouping sets for 2 keys) in one pass."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("long").alias("g_flag"),
+        F.grouping("l_linestatus").cast("long").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "sum_qty"
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS sum_total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("aggregate",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets via SQL (the DataFrame API has no direct
+    grouping-sets builder; Spark SQL is a first-class entry point, §3.2)."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS sum_total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "agg_filtered",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_quantity > 25)             AS n_big,
+           ROUND(COALESCE(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 0), 2)
+                                                               AS sum_discounted,
+           ROUND(SUM(CASE WHEN l_tax > 0.04 THEN l_extendedprice ELSE 0 END), 2)
+                                                               AS sum_taxed
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregates: FILTER(WHERE) ≡ sum(when(cond, x))."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice"))), F.lit(0.0)), 2
+        ).alias("sum_discounted"),
+        F.round(
+            F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)), 2
+        ).alias("sum_taxed"),
+    )

@@ -1,0 +1,285 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2b:
+dedup_* family; the reference's only dedup is ReplacingMergeTree
+last-write-wins, /root/reference/main.py:65,178 — see windows.dedup_replacing
+for that analog; this module is the content-dedup family an LLM corpus
+needs).
+
+Scale design:
+- `dedup_exact` is a hash shuffle on a 256-bit digest — O(n), the digest
+  is the shuffle key so byte-identical docs co-locate regardless of size.
+- `dedup_fuzzy_minhash` is real LSH: signatures are computed with array
+  lambdas (no shuffle), candidate generation shuffles only (band_id,
+  band_key) buckets, and the exact-Jaccard verification runs on candidate
+  pairs, never all pairs. All-pairs O(n²) appears ONLY in the DuckDB
+  oracle (which must enumerate ground truth at toy scale).
+- Hash = md5 everywhere: bit-identical in Spark and DuckDB, which is what
+  lets the LSH pipeline be differentially tested end-to-end. At production
+  scale you would swap xxhash64 for md5 (same plan shape, ~5× faster).
+
+MinHash/LSH parameters: 16 hash functions, 8 bands × 2 rows, Jaccard
+threshold 0.95. P(pair with J≥0.95 missed by LSH) = (1 - J²)⁸ ≤ 1e-8 —
+below any realistic chance of disturbing the differential check, while
+moderate-similarity pairs are pruned before verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+N_HASHES = 16
+N_BANDS = 8
+ROWS_PER_BAND = 2
+JACCARD_T = 0.95
+SIMHASH_BITS = 24
+
+
+def _tokens(col):
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, sha256(text) AS content_hash
+    FROM documents
+    WHERE doc_id IN (
+      SELECT MIN(doc_id) FROM documents GROUP BY sha256(text)
+    )
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content digest: keep the lowest doc_id per sha256.
+
+    One shuffle on the digest; the window rank never materializes groups
+    (per-partition sort scan). Deterministic keeper (min doc_id) rather
+    than dropDuplicates' arbitrary-first — required for the differential
+    check and for reproducible pipelines under retries.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_hash"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "content_hash")
+    )
+
+
+_JACCARD_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 6) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+          / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= {JACCARD_T}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard near-dup pairs within each language shard.
+
+    Spark side uses the inverted-index formulation — explode tokens, join
+    postings on (lang, token) to count intersections, derive the union
+    from per-doc set sizes — which is O(sum of posting-list² per token),
+    not O(n²) over documents, and is the standard scalable exact-Jaccard
+    plan. The oracle enumerates pairs directly (fine at toy scale).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(_tokens(F.col("text"))).alias("tk"),
+    )
+    sizes = toks.select("doc_id", "lang", F.size("tk").cast("long").alias("sz"))
+    postings = toks.select("doc_id", "lang", F.explode("tk").alias("token"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sig(tokens_col):
+    """MinHash signature: per seed s, min over tokens of md5(s:token).
+
+    Pure array lambdas — computed inline during the scan, no shuffle, no
+    UDF. String-min over md5 hex digests is a valid uniform min-hash."""
+    seeds = F.array(*[F.lit(str(s)) for s in range(N_HASHES)])
+    return F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(tokens_col, lambda t: F.md5(F.concat(s, F.lit(":"), t)))
+        ),
+    )
+
+
+def _minhash_oracle() -> str:
+    band_pairs = ", ".join(
+        f"md5(sig[{2 * i + 1}] || '|' || sig[{2 * i + 2}])" for i in range(N_BANDS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+      FROM documents
+    ),
+    sigs AS (
+      SELECT doc_id, tk,
+             list_transform(range({N_HASHES}),
+               s -> list_aggregate(
+                      list_transform(tk, t -> md5(CAST(s AS VARCHAR) || ':' || t)),
+                      'min')) AS sig
+      FROM toks
+    ),
+    bands AS (
+      SELECT doc_id, tk, unnest(list_zip([{band_pairs}], range({N_BANDS}))) AS bk
+      FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.tk AS tk_a, b.tk AS tk_b
+      FROM bands a JOIN bands b
+        ON a.bk = b.bk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(tk_a, tk_b)) AS DOUBLE)
+                 / (len(tk_a) + len(tk_b) - len(list_intersect(tk_a, tk_b))), 6) AS jaccard
+    FROM cand
+    WHERE CAST(len(list_intersect(tk_a, tk_b)) AS DOUBLE)
+          / (len(tk_a) + len(tk_b) - len(list_intersect(tk_a, tk_b))) >= {JACCARD_T}
+    """
+
+
+@register("dedup_fuzzy_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
+
+    Pipeline (shingle → minhash → band → bucket-join → verify):
+    1. distinct tokens per doc (the 1-gram shingle set);
+    2. 16 md5 min-hashes per doc — array lambdas inline in the scan;
+    3. 8 band keys (2 sig rows each) per doc, exploded;
+    4. self-join on (band_id, band_key) → candidate pairs (this is the
+       ONLY shuffle, and it moves one 32-byte key per doc per band);
+    5. exact token-set Jaccard on candidates only, threshold 0.95.
+
+    The oracle runs the SAME md5-minhash construction in DuckDB, so the
+    candidate sets match bit-for-bit and the whole LSH path — not just
+    the final Jaccard — is differentially tested.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
+    )
+    sigs = toks.withColumn("sig", _minhash_sig(F.col("tk")))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.md5(
+                    F.concat(
+                        F.element_at("sig", 2 * i + 1),
+                        F.lit("|"),
+                        F.element_at("sig", 2 * i + 2),
+                    )
+                ).alias("band_key"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select("doc_id", "tk", F.explode(band_keys).alias("bk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.tk").alias("tk_a"),
+            F.col("b.tk").alias("tk_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    jac = n_inter / (F.size("tk_a") + F.size("tk_b") - n_inter)
+    return cand.filter(jac >= JACCARD_T).select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _simhash_expr(tokens_col):
+    """SimHash over SIMHASH_BITS bits of the 60-bit md5-derived token hash:
+    bit b of the fingerprint is the sign of sum over tokens of ±1 by that
+    token's hash bit. Entirely JVM-side expression tree."""
+    tok_hash = lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")  # noqa: E731
+
+    def _vote_merge(mask: int):
+        # Bound via factory: PySpark introspects lambda arity, so default
+        # args would be mistaken for extra lambda variables.
+        return lambda acc, t: acc + F.when(
+            tok_hash(t).bitwiseAND(F.lit(mask)) != 0, 1
+        ).otherwise(-1)
+
+    fp = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        vote = F.aggregate(tokens_col, F.lit(0).cast("long"), _vote_merge(1 << b))
+        fp = fp + F.when(vote > 0, F.lit(1 << b)).otherwise(0)
+    return fp
+
+
+def _simhash_oracle() -> str:
+    h = "CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)"
+    votes = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(tk, t -> "
+        f"CASE WHEN ({h} & {1 << b}) <> 0 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+      FROM documents
+    )
+    SELECT doc_id, CAST({votes} AS BIGINT) AS simhash FROM toks
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (24-bit, md5-derived, engine-
+    portable). Near-dup docs land at small Hamming distance; downstream
+    grouping by fingerprint (or by fingerprint bands) finds clusters with
+    one shuffle. Fingerprint computation itself is shuffle-free."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.array_distinct(_tokens(F.col("text")))
+    return d.select("doc_id", _simhash_expr(toks).cast("long").alias("simhash"))

@@ -1,0 +1,301 @@
+"""Join operators (SURVEY.md §2b: joins).
+
+The reference (/root/reference/main.py) issues no joins at all — grep-verified
+in SURVEY.md §2a — so this family is part of the declared ClickHouse-class
+capability surface. Every join here is declarative so Catalyst picks the
+physical strategy (broadcast-hash for dims under the threshold, sort-merge /
+shuffled-hash otherwise, AQE skew-split at runtime).
+
+Scale notes (100 TB): the fact side (lineitem/orders/events) never
+broadcasts; dimension tables (region/nation/customer/supplier/part) always
+should — `broadcast()` hints where the stats aren't obvious. The as-of join
+deliberately avoids the O(matches) join-then-reduce shape: it is a single
+shuffle on the key with a window scan (sort-merge as-of), which survives an
+arbitrarily large right side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+
+@register(
+    "join_inner_hash",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderdate, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    tags=("join",),
+)
+def join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join orders⨝customer; planner picks broadcast/SMJ."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT n.n_name, r.r_name, count(*) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name, r.r_name
+    """,
+    tags=("join",),
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the small dims: no shuffle of the fact side.
+
+    At 100 TB the only sane plan for fact⨝dim is broadcast-hash; the hint
+    makes it deterministic rather than stats-dependent.
+    """
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_left",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 400000
+    """,
+    tags=("join",),
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a join-side predicate (null-extended non-matches)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(
+        o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 400000), "left"
+    ).select("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_right",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus, c.c_name
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    RIGHT JOIN orders o ON c.c_custkey = o.o_custkey
+    """,
+    tags=("join",),
+)
+def join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: all orders survive, customer side null-extended."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "right").select(
+        "o_orderkey", "o_orderstatus", "c_name"
+    )
+
+
+@register(
+    "join_full",
+    oracle="""
+    SELECT a.n_nationkey AS left_key, b.n_nationkey AS right_key,
+           a.n_name AS left_name, b.n_name AS right_name
+    FROM (SELECT * FROM nation WHERE n_regionkey IN (0, 1)) a
+    FULL JOIN (SELECT * FROM nation WHERE n_regionkey IN (1, 2)) b
+      ON a.n_nationkey = b.n_nationkey
+    """,
+    tags=("join",),
+)
+def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with nulls on both non-matching sides."""
+    n = table(spark, sf_dir, "nation")
+    a = n.filter(F.col("n_regionkey").isin(0, 1)).alias("a")
+    b = n.filter(F.col("n_regionkey").isin(1, 2)).alias("b")
+    return a.join(b, F.col("a.n_nationkey") == F.col("b.n_nationkey"), "full").select(
+        F.col("a.n_nationkey").alias("left_key"),
+        F.col("b.n_nationkey").alias("right_key"),
+        F.col("a.n_name").alias("left_name"),
+        F.col("b.n_name").alias("right_name"),
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS: customers with at least one finished order (no duplication)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority LIKE '1%')
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS: customers with no urgent (priority 1) order."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderpriority").like("1%"))
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross_theta",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a, nation b
+    WHERE a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+    tags=("join",),
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi part (region) + strict inequality (unordered pairs).
+
+    The inequality keeps each pair once; Catalyst plans the equi conjunct
+    as the hash key and the `<` as a post-filter, so this is NOT a full
+    cross product even though it is written as one.
+    """
+    n = table(spark, sf_dir, "nation")
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey")),
+        )
+        .select(F.col("a.n_name").alias("nation_a"), F.col("b.n_name").alias("nation_b"))
+    )
+
+
+@register(
+    "join_range",
+    oracle="""
+    SELECT o.o_orderkey, t.tier_name
+    FROM orders o
+    JOIN (VALUES ('low', 0.0, 100000.0),
+                 ('mid', 100000.0, 300000.0),
+                 ('high', 300000.0, 1000000000.0)) AS t(tier_name, lo, hi)
+      ON o.o_totalprice >= t.lo AND o.o_totalprice < t.hi
+    """,
+    tags=("join",),
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range (band) join: fact value into broadcast interval table.
+
+    No equi key exists, so the only scalable plan is broadcast-nested-loop
+    with the tiny side broadcast — exactly what the hint forces. At 100 TB
+    the fact side streams through executors once; the 3-row tier table is
+    on every executor.
+    """
+    o = table(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100_000.0), ("mid", 100_000.0, 300_000.0), ("high", 300_000.0, 1_000_000_000.0)],
+        "tier_name string, lo double, hi double",
+    )
+    return o.join(
+        F.broadcast(tiers),
+        (o.o_totalprice >= tiers.lo) & (o.o_totalprice < tiers.hi),
+    ).select("o_orderkey", "tier_name")
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH r AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           r.o_orderkey AS asof_orderkey, r.o_totalprice AS asof_totalprice
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order at-or-before its time.
+
+    Implemented as the scalable sort-merge as-of: union left+right on
+    (key, time), one window scan per key carrying the last-seen right row
+    forward (`last(..., ignorenulls=True)`), then keep left rows. This is
+    ONE shuffle on the key and O(n log n) — never the join-then-reduce
+    shape, whose intermediate is O(matches) and explodes when many right
+    rows precede each left row (here: every order precedes every 2024
+    event, so the naive join would be |events|×|orders per user|).
+
+    Right side is pre-reduced to one row per (key, time) so ties are
+    deterministic (max o_orderkey wins), matching the oracle's rn=1 CTE.
+    """
+    ev = table(spark, sf_dir, "events")
+    o = table(spark, sf_dir, "orders")
+
+    # Deterministic tie-break: one order per (custkey, orderdate).
+    w_tie = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
+    right = (
+        o.withColumn("rn", F.row_number().over(w_tie))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("t"),
+            F.struct("o_orderkey", "o_totalprice").alias("payload"),
+            F.lit(0).alias("is_left"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    left = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("payload"),
+        F.lit(1).alias("is_left"),
+        "event_id",
+    )
+    # At equal t the right row sorts first (is_left asc), making `>=`
+    # inclusive. The frame is a running scan, so state is O(1) per row.
+    w_scan = (
+        Window.partitionBy("k")
+        .orderBy("t", "is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = right.unionByName(left).withColumn(
+        "last_right", F.last("payload", ignorenulls=True).over(w_scan)
+    )
+    return merged.filter(F.col("is_left") == 1).select(
+        F.col("event_id"),
+        F.col("k").alias("user_id"),
+        F.col("t").alias("ts"),
+        F.col("last_right.o_orderkey").alias("asof_orderkey"),
+        F.col("last_right.o_totalprice").alias("asof_totalprice"),
+    )

@@ -1,0 +1,204 @@
+"""Similarity search over embedding vectors (SURVEY.md §2b: sim_* family).
+
+The embedding column is `array<float>`; all math is done after widening to
+double with Catalyst higher-order lambdas (`zip_with`/`aggregate`) — JVM
+expression codegen, no UDF, no Python. Dot products fold left-to-right, so
+results are bit-identical to the DuckDB oracle's equivalent fold — that is
+what makes brute-force cosine differentially testable.
+
+Scale paths:
+- `sim_topk_cosine` broadcasts the (small) probe set against the full
+  vector table: one pass, per-partition top-k via window rank. The big
+  side is never shuffled except for the final k rows per probe.
+- `sim_ann_ivf` is the 100 TB path: a deterministic centroid set
+  partitions vectors into buckets (IVF coarse quantizer); probes search
+  only their nprobe nearest buckets. The bucket assignment is a broadcast
+  join + argmax — the full table is read once and shuffled only by the
+  final per-probe top-k (k rows per partition). Recall vs brute force is
+  asserted in tests/test_llm_ops.py.
+- `dedup_embedding_cosine` finds near-duplicate vector pairs above a
+  cosine threshold — brute force within the oracle-checked query; the
+  LSH-bucketed variant for scale is the IVF bucket join (pairs within a
+  bucket only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+N_PROBES = 5      # probe vectors: vec_id < 5
+TOP_K = 5
+NPROBE = 2        # IVF buckets searched per probe
+COSINE_T = 0.4    # near-dup threshold (data max pair cosine ≈ 0.51)
+CENTROID_EVERY = 100  # deterministic centroid choice: vec_id % 100 == 0
+
+
+def _dbl(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sqnorm(a: Column) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def _cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (F.sqrt(_sqnorm(a)) * F.sqrt(_sqnorm(b)))
+
+
+# DuckDB spellings of the same left-to-right folds (bit-identical results).
+_DOT_SQL = (
+    "list_aggregate(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+    " x -> x[1] * x[2]), 'sum')"
+)
+_SQNORM_SQL = (
+    "list_aggregate(list_transform(CAST({a} AS DOUBLE[]), x -> x * x), 'sum')"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return (
+        f"{_DOT_SQL.format(a=a, b=b)} / "
+        f"(SQRT({_SQNORM_SQL.format(a=a)}) * SQRT({_SQNORM_SQL.format(a=b)}))"
+    )
+
+
+@register(
+    "sim_topk_cosine",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             {_cos_sql('p.embedding', 'c.embedding')} AS cos
+      FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    )
+    SELECT probe_id, vec_id, ROUND(cos, 6) AS cosine
+    FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cos DESC, vec_id) AS rn
+          FROM pairs)
+    WHERE rn <= {TOP_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine neighbors for each probe vector.
+
+    The probe set broadcasts; the vector table streams through once. The
+    window top-k shuffles only (probe × candidate-partials), i.e. k rows
+    per partition per probe — the correct baseline ANN evaluates against.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    cos = _cosine(_dbl(F.col("p_emb")), _dbl(F.col("embedding")))
+    pairs = (
+        e.crossJoin(F.broadcast(probes))
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_T}
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
+
+    Written as a range self-join; at fixture scale Catalyst plans a
+    broadcast nested loop. The guard below keeps the O(n²) expression
+    honest: beyond ~100k vectors the right plan is bucketed LSH/IVF
+    (sim_ann_ivf's assignment) — this operator asserts rather than
+    silently running a quadratic join at corpus scale.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    n = e.count()
+    if n > 100_000:
+        raise ValueError(
+            f"dedup_embedding_cosine is the exact O(n²) variant; {n} vectors "
+            "exceeds the guard — use the IVF/LSH bucketed path (sim_ann_ivf)."
+        )
+    a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    cos = _cosine(_dbl(F.col("emb_a")), _dbl(F.col("emb_b")))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= COSINE_T)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_ann_ivf",
+    oracle=None,  # IVF result depends on bucket routing — recall vs brute
+    # force asserted in tests/test_llm_ops.py::test_ivf_recall.
+    tags=("llm", "similarity", "approx"),
+)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate nearest neighbor: coarse-quantize vectors to
+    deterministic centroids, search only each probe's nprobe buckets.
+
+    Plan shape at 100 TB: centroids broadcast twice (assignment +
+    probe routing); the vector table is scanned once, shuffled only by
+    the final top-k window on (probe_id). The candidate set per probe is
+    |bucket| × nprobe instead of n.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_vc = _cosine(_dbl(F.col("embedding")), _dbl(F.col("c_emb")))
+    # Assign every vector to its nearest centroid (argmax cosine).
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", cos_vc.alias("a_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+    # Route each probe to its nprobe nearest centroid buckets.
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    cos_pc = _cosine(_dbl(F.col("p_emb")), _dbl(F.col("c_emb")))
+    w_route = Window.partitionBy("probe_id").orderBy(F.desc("p_cos"), F.asc("cent_id"))
+    routed = (
+        probes.crossJoin(F.broadcast(cent))
+        .select("probe_id", "p_emb", "cent_id", cos_pc.alias("p_cos"))
+        .withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= NPROBE)
+        .select("probe_id", "p_emb", F.col("cent_id").alias("bucket"))
+    )
+    # Search only within routed buckets.
+    cos_pv = _cosine(_dbl(F.col("p_emb")), _dbl(F.col("embedding")))
+    w_topk = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        routed.join(assigned, "bucket")
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos_pv.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= TOP_K)
+        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"))
+    )

@@ -1,0 +1,288 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2b:
+LLM-data-pipeline ops — text family).
+
+Everything here is whole-stage-codegen'd Column expressions (split/
+higher-order array lambdas/regexp) — no Python UDFs — so per-document cost
+is JVM-vectorized and the only shuffles are the explicit groupBys. Token
+explosion (`explode`) multiplies rows ~100×; every pipeline below filters
+or aggregates immediately after the explode so the shuffled volume is
+token *counts*, never raw token rows, which is what keeps these viable on
+a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+# Stopword list used by quality scoring + language-ID marker scoring.
+_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+# Marker tokens per language for the n-gram/stopword language-ID heuristic.
+# Real corpora would use char n-gram profiles; the fixture vocabulary is a
+# closed set, so the heuristic degenerates gracefully (ties broken by the
+# fixed language order below).
+_LANG_MARKERS = {
+    "en": ("the", "a", "fast", "small"),
+    "de": ("der", "und", "die", "nicht"),
+    "es": ("el", "la", "que", "de"),
+    "fr": ("le", "la", "et", "les"),
+    "zh": ("de", "le", "shi", "bu"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr", "zh")
+
+
+def _tokens(col):
+    """Whitespace tokens with empties dropped — identical semantics to the
+    oracle's string_split + list_filter."""
+    return F.filter(F.split(col, " "), lambda t: t != "")
+
+
+@register(
+    "text_tokens",
+    oracle="""
+    SELECT doc_id, lang,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))  AS n_tokens,
+           len(list_distinct(list_filter(string_split(text, ' '), t -> t <> '')))
+                                                                    AS n_distinct,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                                                                    AS n_bpe_ish,
+           length(text)                                             AS n_chars_measured
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization + token/char counting (whitespace and a BPE-ish regex).
+
+    The regex tokenizer approximates BPE pre-tokenization (letter runs,
+    digit runs, single punctuation) — the standard cheap token-count proxy
+    when the real tokenizer is too expensive to run over a full corpus.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), F.lit(0)))
+        .cast("long")
+        .alias("n_bpe_ish"),
+        F.length("text").cast("long").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "text_term_freq",
+    oracle="""
+    SELECT token, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+          FROM documents)
+    GROUP BY token
+    """,
+    tags=("llm", "text"),
+)
+def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term + document frequency: explode → immediate aggregate.
+
+    The map-side partial combine collapses each partition's token stream
+    to its distinct tokens before the shuffle, so wire volume is
+    O(vocab × partitions) regardless of corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, df.df,
+           ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 6) AS tfidf
+    FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    """,
+    tags=("llm", "text"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact TF-IDF per (doc, token): two aggregates + one broadcast join.
+
+    The df table is vocabulary-sized (tiny), so it broadcasts; the doc
+    count is a scalar cross join. Nothing here is the MLlib HashingTF
+    path — exact counts, fully oracle-checkable.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register(
+    "text_lang_filter",
+    oracle="""
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           SUM(n_chars) AS total_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def text_lang_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language slice + per-source stats (documents.lang/source)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("lang") == "en")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _langid_oracle() -> str:
+    score = {
+        lang: f"len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''), "
+        f"t -> t IN ({', '.join(repr(m) for m in markers)})))"
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best = " ".join(
+        f"WHEN {score[lang]} >= GREATEST({', '.join(score[o] for o in _LANG_ORDER)}) THEN '{lang}'"
+        for lang in _LANG_ORDER
+    )
+    cols = ", ".join(f"{score[lang]} AS score_{lang}" for lang in _LANG_ORDER)
+    return f"SELECT doc_id, lang AS labeled_lang, {cols}, CASE {best} END AS predicted_lang FROM documents"
+
+
+@register("text_langid", oracle=_langid_oracle(), tags=("llm", "text"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic: per-language marker hit counts,
+    argmax with a fixed priority order for ties.
+
+    Pure array lambdas — the per-doc cost is a few comparisons per token,
+    no shuffle at all (embarrassingly parallel over the corpus).
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    def _marker_pred(markers):
+        # Factory binding (PySpark reads lambda arity, so no default args).
+        return lambda t: t.isin(*markers)
+
+    scores = {
+        lang: F.size(F.filter(toks, _marker_pred(markers))).cast("long")
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    expr = None
+    all_scores = list(scores[lang] for lang in _LANG_ORDER)
+    for lang in _LANG_ORDER:
+        cond = scores[lang] >= F.greatest(*all_scores)
+        expr = F.when(cond, lang) if expr is None else expr.when(cond, lang)
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lang].alias(f"score_{lang}") for lang in _LANG_ORDER],
+        expr.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                              AS n_chars_measured,
+           len(list_filter(string_split(text, ' '), t -> t <> ''))   AS n_tokens,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6)
+                                                                     AS avg_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                            t -> t IN ({', '.join(repr(s) for s in _STOPWORDS)}))) AS DOUBLE)
+                 / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6)
+                                                                     AS stopword_ratio,
+           ROUND(CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+                 / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1), 6)
+                                                                     AS distinct_ratio
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals: length, avg token length, stopword ratio,
+    lexical diversity — the standard cheap filters before LLM training."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars_measured"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tok, 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tok, 6
+        ).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias("distinct_ratio"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           list_aggregate(list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                                         t -> md5(t)), 'min') AS min_token_hash,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS fingerprint60
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content hash, winnowing-style minimum
+    token hash, and a 60-bit numeric fingerprint.
+
+    md5 is used (not xxhash) because it is bit-identical across engines —
+    the property the differential oracle needs; at scale you'd swap in
+    xxhash64 for speed without changing the plan shape.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("content_md5"),
+        F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_hash"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("fingerprint60"),
+    )

@@ -1,0 +1,158 @@
+"""Window-function operators (SURVEY.md §2b: window functions).
+
+Includes `dedup_replacing` — the engine analog of the reference's
+ReplacingMergeTree + OPTIMIZE semantics (/root/reference/main.py:65-71,178):
+keep the latest row per sort key. The reference delegates that merge to
+ClickHouse; here it is a window rank + filter, which shuffles each key's
+rows to one partition exactly once.
+
+Determinism: every window ORDER BY ends in a unique column (event_id,
+o_orderkey, …) so rank/lag results are stable across engines and runs —
+a requirement for the driver's value-hash comparison, and good hygiene
+anyway (ties = nondeterministic results under retries at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+
+@register(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number/rank/dense_rank per customer, ordered by price."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER w                    AS prev_value,
+           LEAD(value) OVER w                    AS next_value,
+           ROUND(value - COALESCE(LAG(value) OVER w, 0), 2) AS delta
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window",),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset access along each user's event timeline."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.round(F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2).alias("delta"),
+    )
+
+
+@register(
+    "window_running",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_sum,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+             AS moving_avg3
+    FROM events
+    """,
+    tags=("window",),
+)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + 3-row moving average (ROWS frames)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum("value").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2).alias("running_sum"),
+        F.round(F.avg("value").over(w.rowsBetween(-2, 0)), 4).alias("moving_avg3"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                          RANGE BETWEEN 50000 PRECEDING AND 50000 FOLLOWING)
+             AS n_similar_price
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: peers within ±50k of each order's price.
+
+    RANGE frames are tie-safe (value-based), so no unique tiebreaker is
+    needed for determinism here — equal prices share identical frames.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice").rangeBetween(-50_000, 50_000)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_similar_price"),
+    )
+
+
+@register(
+    "dedup_replacing",
+    oracle="""
+    SELECT user_id, event_type, event_id, ts, value
+    FROM (SELECT user_id, event_type, event_id, ts, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    tags=("window", "dedup"),
+)
+def dedup_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReplacingMergeTree semantics (reference main.py:65-71,178): latest
+    row per sort key, version = event time (tie-broken by event_id).
+
+    The reference achieves this with an engine-side OPTIMIZE merge; here
+    one hash shuffle on the key + per-partition sort does it. At 100 TB
+    the shuffle is unavoidable (dedup is a global property) but it is the
+    ONLY shuffle, and AQE coalesces the output partitions.
+    """
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )

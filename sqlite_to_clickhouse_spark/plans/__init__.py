@@ -8,6 +8,14 @@ import importlib
 
 _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.relational",
+    "sqlite_to_clickhouse_spark.operators.joins",
+    "sqlite_to_clickhouse_spark.operators.aggregates",
+    "sqlite_to_clickhouse_spark.operators.windows",
+    "sqlite_to_clickhouse_spark.operators.sortset",
+    "sqlite_to_clickhouse_spark.functions.scalar",
+    "sqlite_to_clickhouse_spark.operators.text",
+    "sqlite_to_clickhouse_spark.operators.dedup",
+    "sqlite_to_clickhouse_spark.operators.similarity",
 ]
 
 for _mod in _OPERATOR_MODULES:

@@ -1,0 +1,67 @@
+"""Semantics tests for the LLM-pipeline operators beyond the differential
+oracle: ANN recall, LSH candidate soundness, fingerprint stability."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def test_ivf_recall(spark, sf_dir):
+    """IVF top-k must recover a solid fraction of the exact top-k, and
+    every IVF result must carry the true (exact) cosine for its pair."""
+    exact = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in _Q["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in _Q["sim_ann_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert approx, "IVF returned nothing"
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall:.2f} too low"
+    for k in hits:
+        assert abs(exact[k] - approx[k]) < 1e-9  # same pair ⇒ same cosine
+
+
+def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
+    """LSH output must contain every within-lang pair the exact Jaccard
+    op finds (the exact op is lang-restricted; LSH is corpus-wide)."""
+    exact_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _Q["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    lsh_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in _Q["dedup_fuzzy_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert exact_pairs <= lsh_pairs
+
+
+def test_dedup_exact_keeps_one_per_hash(spark, sf_dir):
+    df = _Q["dedup_exact"].fn(spark, sf_dir)
+    n = df.count()
+    n_hashes = df.select("content_hash").distinct().count()
+    assert n == n_hashes
+
+
+def test_simhash_close_for_near_dupes(spark, sf_dir):
+    """Near-identical docs (Jaccard ≥ 0.95) should collide on most simhash
+    bits; verify mean Hamming distance over those pairs is small."""
+    pairs = _Q["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    sim = _Q["dedup_simhash"].fn(spark, sf_dir)
+    if pairs.count() == 0:
+        return
+    a = sim.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = sim.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    joined = pairs.join(a, "doc_a").join(b, "doc_b")
+    ham = joined.select(
+        F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("d")
+    )
+    mean_d = ham.agg(F.avg("d")).collect()[0][0]
+    assert mean_d <= 6, f"mean Hamming distance {mean_d} too high for near-dupes"
