@@ -16,10 +16,14 @@ Scale design:
   lets the LSH pipeline be differentially tested end-to-end. At production
   scale you would swap xxhash64 for md5 (same plan shape, ~5× faster).
 
-MinHash/LSH parameters: 16 hash functions, 8 bands × 2 rows, Jaccard
-threshold 0.95. P(pair with J≥0.95 missed by LSH) = (1 - J²)⁸ ≤ 1e-8 —
-below any realistic chance of disturbing the differential check, while
-moderate-similarity pairs are pruned before verification.
+MinHash/LSH parameters: 48 hash functions, 6 bands × 8 rows, Jaccard
+threshold 0.95. Band-collision probability is J⁸, so a J=0.95 pair is
+caught with P = 1-(1-0.95⁸)⁶ ≈ 0.9985 while a J=0.7 pair collides with
+P ≈ 0.30 and a J=0.5 pair with P ≈ 0.02. The steep r=8 curve matters
+because realistic corpora (and the synthetic fixture) contain mountains
+of moderate-similarity pairs: with the naive 2-rows-per-band scheme the
+fixture produced 11.3M candidates from 5 000 docs (90 % of all pairs),
+i.e. LSH degenerated to the O(n²) plan it exists to avoid.
 """
 
 from __future__ import annotations
@@ -30,9 +34,9 @@ from pyspark.sql import functions as F
 from sqlite_to_clickhouse_spark.io import table
 from sqlite_to_clickhouse_spark.registry import register
 
-N_HASHES = 16
-N_BANDS = 8
-ROWS_PER_BAND = 2
+N_HASHES = 48
+N_BANDS = 6
+ROWS_PER_BAND = 8
 JACCARD_T = 0.95
 SIMHASH_BITS = 24
 
@@ -143,7 +147,12 @@ def _minhash_sig(tokens_col):
 
 def _minhash_oracle() -> str:
     band_pairs = ", ".join(
-        f"md5(sig[{2 * i + 1}] || '|' || sig[{2 * i + 2}])" for i in range(N_BANDS)
+        "md5("
+        + " || '|' || ".join(
+            f"sig[{i * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
+        )
+        + ")"
+        for i in range(N_BANDS)
     )
     return f"""
     WITH toks AS (
@@ -184,11 +193,18 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pipeline (shingle → minhash → band → bucket-join → verify):
     1. distinct tokens per doc (the 1-gram shingle set);
-    2. 16 md5 min-hashes per doc — array lambdas inline in the scan;
-    3. 8 band keys (2 sig rows each) per doc, exploded;
-    4. self-join on (band_id, band_key) → candidate pairs (this is the
-       ONLY shuffle, and it moves one 32-byte key per doc per band);
-    5. exact token-set Jaccard on candidates only, threshold 0.95.
+    2. 48 md5 min-hashes per doc — array lambdas inline in the scan;
+    3. 6 band keys (8 sig rows each) per doc, exploded;
+    4. self-join on (band_id, band_key) carrying ONLY (doc_id, bk) —
+       32 bytes per doc per band through the shuffle — then distinct
+       (doc_a, doc_b). Token arrays are deliberately NOT carried here:
+       a pair can collide in up to 6 bands, so rows entering the
+       distinct are multiplied, and hauling two token arrays per raw
+       collision is what turns LSH into a multi-GB shuffle.
+    5. join the slim verified-candidate list back to the token table
+       (tiny vs. the pair list — the planner broadcasts it at bench
+       scale, and at cluster scale it degrades to a clean shuffle join
+       on doc_id) and compute exact token-set Jaccard, threshold 0.95.
 
     The oracle runs the SAME md5-minhash construction in DuckDB, so the
     candidate sets match bit-for-bit and the whole LSH path — not just
@@ -204,17 +220,19 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(
                 F.lit(i).alias("band_id"),
                 F.md5(
-                    F.concat(
-                        F.element_at("sig", 2 * i + 1),
-                        F.lit("|"),
-                        F.element_at("sig", 2 * i + 2),
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at("sig", i * ROWS_PER_BAND + r + 1)
+                            for r in range(ROWS_PER_BAND)
+                        ],
                     )
                 ).alias("band_key"),
             )
             for i in range(N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", "tk", F.explode(band_keys).alias("bk"))
+    bands = sigs.select("doc_id", F.explode(band_keys).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -224,14 +242,18 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.tk").alias("tk_a"),
-            F.col("b.tk").alias("tk_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    ta, tb = toks.alias("ta"), toks.alias("tb")
+    pairs = (
+        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
+        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
+        .select("doc_a", "doc_b", F.col("ta.tk").alias("tk_a"), F.col("tb.tk").alias("tk_b"))
+    )
     n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
     jac = n_inter / (F.size("tk_a") + F.size("tk_b") - n_inter)
-    return cand.filter(jac >= JACCARD_T).select(
+    return pairs.filter(jac >= JACCARD_T).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
     )
 
