@@ -16,6 +16,7 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.text",
     "sqlite_to_clickhouse_spark.operators.dedup",
     "sqlite_to_clickhouse_spark.operators.similarity",
+    "sqlite_to_clickhouse_spark.streaming.ops",
 ]
 
 for _mod in _OPERATOR_MODULES:

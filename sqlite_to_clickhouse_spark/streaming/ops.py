@@ -1,0 +1,268 @@
+"""Structured Streaming operators over the ``events`` table (SURVEY.md §2b
+stream_* family).
+
+The reference's only streaming-adjacent behavior is chunked incremental
+load (/root/reference/main.py:106-116, R4) — these ops are its engine-side
+generalization: event-time windows, sessions, watermark-late-drop, stateful
+dedup, and an incremental foreachBatch sink (R11's streaming analog,
+/root/reference/main.py:169-173).
+
+Execution model: each registered query builds a ``readStream`` plan over
+the same parquet fixture the batch ops scan, runs it to completion with
+``trigger(availableNow=True)`` into a memory sink (or a parquet sink for
+the foreachBatch op), and returns the materialized result as a DataFrame.
+Trigger.AvailableNow processes exactly the data present at start and then
+stops — the streaming analog of a batch run, which is what makes these
+oracle-checkable against plain SQL on the same file.
+
+Scale notes: all five stateful ops keep state bounded — windows and
+sessions evict on watermark advance, dedup state is scoped to the
+watermark horizon (``dropDuplicatesWithinWatermark``), and the foreachBatch
+sink writes per-epoch parquet (idempotent by epoch_id, mirroring the
+reference's insert-block idempotence). Nothing collects to the driver
+mid-stream.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.registry import register
+
+_MEM_COUNTER = itertools.count()
+_STAGE_DIRS: dict[str, str] = {}
+
+
+def _stage_dir(sf_dir: str) -> str:
+    """Temp dir containing a symlink to ``{sf_dir}/events.parquet`` — the
+    directory the file stream source monitors. One per sf_dir per process."""
+    if sf_dir not in _STAGE_DIRS:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(os.path.abspath(f"{sf_dir}/events.parquet"), os.path.join(d, "events.parquet"))
+        _STAGE_DIRS[sf_dir] = d
+    return _STAGE_DIRS[sf_dir]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events fixture with the same ts handling as
+    the batch loader (io.table): parquet TIMESTAMP(NANOS) read as long,
+    converted to a microsecond timestamp JVM-side."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source wants a directory to monitor, and the fixture
+    # dir holds every table; stage a per-sf temp dir with a symlink to the
+    # one events file (no data copy) and stream that.
+    stage = _stage_dir(sf_dir)
+    raw = spark.readStream.schema(schema).parquet(stage)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Run a streaming plan to completion (AvailableNow) into a memory sink
+    and return the result table. The memory sink is a test/driver harness
+    device only — production sinks are foreachBatch/parquet/kafka."""
+    name = f"stream_result_{next(_MEM_COUNTER)}"
+    spark = sdf.sparkSession
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "stream_tumbling",
+    oracle="""
+    SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+           event_type,
+           COUNT(*)            AS cnt,
+           ROUND(SUM(value),2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts/sums (10-minute windows).
+
+    Incremental hash aggregation with window-keyed state; with a watermark
+    (see stream_watermark_late) state for closed windows is evicted, so
+    state size is O(open windows × group keys) regardless of stream length.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt", "sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_sliding",
+    oracle="""
+    WITH ev AS (
+      SELECT unnest([time_bucket(INTERVAL '5 minutes', ts),
+                     time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes'])
+               AS win_start,
+             value
+      FROM events
+    )
+    SELECT win_start, COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value
+    FROM ev GROUP BY 1
+    """,
+    tags=("streaming",),
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute length, 5-minute slide — each event lands
+    in exactly two windows. The oracle expands the two containing window
+    starts per event (time_bucket(5m) and its predecessor) and aggregates.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "cnt", "sum_value")
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL '5 minutes'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    islands AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts)                        AS session_start,
+           MAX(ts) + INTERVAL '5 minutes' AS session_end,
+           COUNT(*)                       AS cnt
+    FROM islands
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming",),
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows (5-minute gap) per user.
+
+    Spark's session_window merges events whose inter-arrival gap is < 5
+    minutes; the window end is last-event + gap. The oracle is the classic
+    gaps-and-islands formulation (lag → new-session flag → running sum →
+    group), which is exactly the batch semantics of session_window — so
+    this stateful op is fully differentially tested, not rows-only.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "cnt",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register("stream_watermark_late", oracle=None, tags=("streaming",))
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window agg with a 10-minute watermark: rows later than
+    (max event time seen − 10 min) are dropped, and window state older than
+    the watermark is evicted — the mechanism that bounds state at 100 TB.
+
+    ⊘ rows-only here: with the whole fixture arriving as one AvailableNow
+    batch nothing is late, so the output equals stream_tumbling's; the
+    actual late-drop behavior is asserted in tests/test_streaming.py by
+    feeding files in reverse-time order with maxFilesPerTrigger=1.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "cnt")
+    )
+    return run_to_memory(agg, "append")
+
+
+@register(
+    "stream_dedup",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup by (user_id, event_type) within the
+    watermark horizon (dropDuplicatesWithinWatermark). Projecting the key
+    columns only makes the output deterministic (the kept row per key is
+    arrival-order-dependent, the key set is not) — which is what lets a
+    stateful op be oracle-checked as SELECT DISTINCT.
+    """
+    ev = events_stream(spark, sf_dir)
+    dedup = (
+        ev.withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    return run_to_memory(dedup, "append")
+
+
+@register(
+    "stream_foreach_sink",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "sink"),
+)
+def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental load to a sink via foreachBatch — the streaming analog of
+    the reference's chunked INSERT loop (/root/reference/main.py:169-173).
+
+    Each micro-batch's aggregate state lands in the sink through the SAME
+    batch write path a migration uses (df.write.parquet here; swap for
+    write.jdbc against ClickHouse in production — sinks.clickhouse_ddl
+    builds the DDL). Complete-mode overwrite per epoch is idempotent under
+    retries, mirroring ReplacingMergeTree's last-write-wins.
+    """
+    ev = events_stream(spark, sf_dir)
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    out_dir = tempfile.mkdtemp(prefix="stream_foreach_sink_")
+    ckpt = tempfile.mkdtemp(prefix="stream_foreach_ckpt_")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(os.path.join(out_dir, "result"))
+
+    q = (
+        agg.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(out_dir, "result"))
