@@ -1,0 +1,155 @@
+"""UDF surface (SURVEY.md §2b: udf_python, udf_pandas_scalar,
+udf_pandas_grouped_agg, udtf_explode).
+
+The reference's only per-row compute is prepare_row's Python loop
+(/root/reference/main.py:81-104); this module is its engine-side analog —
+with the explicit design stance that UDFs are the SLOW path (SURVEY.md §4):
+every op here has a pure-built-in equivalent, and the docstrings say what
+it is. The UDF versions exist because a complete engine must let users run
+arbitrary Python, and the right way to do that at 100 TB is:
+
+- Arrow-vectorized pandas UDFs (10-100× over row-at-a-time: one
+  Python↔JVM round trip per batch, columnar both sides), never @udf in a
+  hot path;
+- grouped-agg pandas UDFs instead of collect-and-loop;
+- Python UDTFs only for genuinely table-generating Python logic —
+  explode(split(...)) stays JVM-side otherwise.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf, udf, udtf
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+
+@register(
+    "udf_python",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice < 50000  THEN 'small'
+                WHEN o_totalprice < 150000 THEN 'medium'
+                ELSE 'large' END AS price_band
+    FROM orders
+    """,
+    tags=("udf",),
+)
+def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar row-at-a-time Python UDF (price banding).
+
+    Covers the @udf API. Production note: this exact logic is a CASE WHEN
+    (fn_conditional) and belongs JVM-side — a row UDF serializes every row
+    through Python and blocks whole-stage codegen; at 100 TB that is the
+    difference between a codegen'd scan and a Python bottleneck.
+    """
+
+    @udf(returnType=T.StringType())
+    def price_band(p: float) -> str:
+        if p < 50000:
+            return "small"
+        if p < 150000:
+            return "medium"
+        return "large"
+
+    o = table(spark, sf_dir, "orders")
+    return o.select("o_orderkey", price_band("o_totalprice").alias("price_band"))
+
+
+@register(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_extendedprice * (1 - l_discount) * 100) / 100 AS net_price
+    FROM lineitem
+    """,
+    tags=("udf",),
+)
+def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (Series→Series net price).
+
+    One Arrow batch per Python round trip, numpy-vectorized inside — the
+    acceptable shape for custom Python math. The floor-quantization keeps
+    the doubles bit-comparable with the oracle (see project_computed).
+    """
+
+    @pandas_udf(T.DoubleType())
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return np.floor(price * (1.0 - discount) * 100.0) / 100.0
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@register(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 6)
+             AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("udf",),
+)
+def udf_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF: quantity-weighted mean price per flag.
+
+    The UDAF path for custom Python aggregates: Spark shuffles by key,
+    hands each group to Python as Arrow-backed Series, gets one scalar
+    back. Partial aggregation is NOT available to Python UDAFs (the whole
+    group crosses the boundary), so built-in sum()/count() composition is
+    still preferred when expressible — as the oracle shows it is here.
+    """
+
+    @pandas_udf(T.DoubleType())
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float(round((price * qty).sum() / qty.sum(), 6))
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        wavg("l_extendedprice", "l_quantity").alias("wavg_price")
+    )
+
+
+@register(
+    "udtf_explode",
+    oracle="""
+    SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+             AS token
+    FROM documents
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-generating Python UDTF: one (doc_id, token) row per token.
+
+    Covers the Spark 3.5+/4.x @udtf lateral-join API. Production note: a
+    pure tokenize-explode is explode(split(...)) — JVM-side, codegen'd
+    (see text_tokens); a Python UDTF earns its cost only when the 1→N
+    expansion logic itself needs Python.
+    """
+
+    @udtf(returnType="token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            if text:
+                for tok in text.split(" "):
+                    if tok:
+                        yield (tok,)
+
+    d = table(spark, sf_dir, "documents")
+    return d.lateralJoin(Tokenize(F.col("text").outer()).alias("t")).select(
+        "doc_id", "t.token"
+    )

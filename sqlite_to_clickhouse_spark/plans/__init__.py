@@ -17,6 +17,8 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.dedup",
     "sqlite_to_clickhouse_spark.operators.similarity",
     "sqlite_to_clickhouse_spark.streaming.ops",
+    "sqlite_to_clickhouse_spark.functions.udfs",
+    "sqlite_to_clickhouse_spark.operators.etl",
 ]
 
 for _mod in _OPERATOR_MODULES:

@@ -1,0 +1,195 @@
+"""ETL / migration tests (SURVEY.md §5 items 3-4): cast-battery edge cases
+through a real SQLite roundtrip (FIXTURES.md B1 typemap_edge), golden-log
+schema replay (FIXTURES.md B2 ha_mini, /root/reference/README.md:54-82),
+partitioned extraction, ReplacingMergeTree dedup semantics, and the
+migrate orchestrator end-to-end."""
+
+from __future__ import annotations
+
+import datetime as dt
+import sqlite3
+
+import pytest
+from pyspark.sql import types as T
+
+from sqlite_to_clickhouse_spark.migrate import migrate_sqlite, replacing_dedup
+from sqlite_to_clickhouse_spark.sources.sinks import clickhouse_ddl, engine_clause
+from sqlite_to_clickhouse_spark.sources.sqlite import (
+    read_sqlite,
+    sqlite_catalog,
+    sqlite_schema,
+)
+
+
+@pytest.fixture(scope="module")
+def edge_db(tmp_path_factory):
+    """FIXTURES.md B1: one row per coercion branch of the reference's
+    prepare_row/parse_datetime/parse_date (main.py:81-104, 18-37)."""
+    path = str(tmp_path_factory.mktemp("edge") / "edge.db")
+    con = sqlite3.connect(path)
+    con.execute(
+        "CREATE TABLE typemap_edge ("
+        "rid INTEGER PRIMARY KEY, c_int INTEGER, c_real REAL, c_text TEXT, "
+        "c_dt DATETIME, c_date DATE, c_unknown BLOB)"
+    )
+    rows = [
+        (1, 0, 1.5, "abc", "2024-07-25 15:04:42", "2024-07-25", "plain"),
+        (2, -1, -0.0, "", "2024-07-25 15:04:42.993", "2024-13-99", ""),
+        (3, 2**40, None, None, "not-a-date", "", None),
+        (4, None, 2.25, "xyz", "", None, "tail"),
+    ]
+    con.executemany("INSERT INTO typemap_edge VALUES (?,?,?,?,?,?,?)", rows)
+    con.commit()
+    con.close()
+    return path
+
+
+@pytest.fixture(scope="module")
+def ha_db(tmp_path_factory):
+    """FIXTURES.md B2: miniature Home Assistant schema matching the
+    reference README's golden run log (README.md:56-82)."""
+    path = str(tmp_path_factory.mktemp("ha") / "ha.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE event_data (data_id INTEGER, hash TEXT, shared_data TEXT)")
+    con.execute("CREATE TABLE states_meta (metadata_id INTEGER, entity_id TEXT)")
+    con.execute(
+        'CREATE TABLE recorder_runs (run_id INTEGER, start DATETIME, "end" DATETIME, '
+        "closed_incorrect BOOLEAN, created DATETIME)"
+    )
+    con.execute("CREATE TABLE statistics_runs (run_id INTEGER, start DATETIME)")
+    con.executemany(
+        "INSERT INTO event_data VALUES (?,?,?)",
+        [(1, "h1", '{"a":1}'), (2, None, None), (3, "h3", "x")],
+    )
+    con.executemany(
+        "INSERT INTO recorder_runs VALUES (?,?,?,?,?)",
+        [
+            (1, "2024-07-25 15:04:42.993", "2024-07-25 16:00:00", 0, "2024-07-25 15:04:42"),
+            (2, None, None, 1, None),
+        ],
+    )
+    con.executemany("INSERT INTO statistics_runs VALUES (?,?)", [(1, "2024-07-25 15:04:42")])
+    con.commit()
+    con.close()
+    return path
+
+
+def test_catalog_lists_tables(ha_db):
+    assert sqlite_catalog(ha_db) == [
+        "event_data",
+        "recorder_runs",
+        "states_meta",
+        "statistics_runs",
+    ]
+
+
+def test_golden_log_schema_replay(ha_db):
+    """Inferred schemas must match the reference's logged ones
+    (README.md:57,66,72,81): INTEGER→Int64, TEXT→String, DATETIME→DateTime,
+    BOOLEAN falls through the declared-type map to String (main.py:134)."""
+    schema, pk = sqlite_schema(ha_db, "recorder_runs")
+    assert schema == {
+        "run_id": T.LongType(),
+        "start": T.TimestampType(),
+        "end": T.TimestampType(),
+        "closed_incorrect": T.StringType(),
+        "created": T.TimestampType(),
+    }
+    assert pk == []
+    schema, _ = sqlite_schema(ha_db, "event_data")
+    assert schema == {
+        "data_id": T.LongType(),
+        "hash": T.StringType(),
+        "shared_data": T.StringType(),
+    }
+
+
+def test_cast_battery_edges_via_sqlite(spark, edge_db):
+    """Every live prepare_row branch, through the real extract path."""
+    df = read_sqlite(spark, edge_db, "typemap_edge", num_partitions=2)
+    rows = {r["rid"]: r for r in df.collect()}
+
+    assert [f.dataType for f in df.schema.fields] == [
+        T.LongType(),      # rid (INTEGER pk)
+        T.LongType(),      # c_int
+        T.DoubleType(),    # c_real
+        T.StringType(),    # c_text
+        T.TimestampType(), # c_dt
+        T.DateType(),      # c_date
+        T.StringType(),    # c_unknown (BLOB → unmapped → String)
+    ]
+    # int(value or 0): NULL → 0 (main.py:87); big ints survive
+    assert rows[3]["c_int"] == 2**40 and rows[4]["c_int"] == 0
+    # float(value or 0): NULL → 0.0 (main.py:93)
+    assert rows[3]["c_real"] == 0.0 and rows[4]["c_real"] == 2.25
+    # engine default: real NULLs for strings (the "None" quirk is opt-in)
+    assert rows[3]["c_text"] is None and rows[2]["c_text"] == ""
+    # fractional seconds stripped (main.py:22)
+    assert rows[2]["c_dt"] == dt.datetime(2024, 7, 25, 15, 4, 42)
+    # unparseable / empty datetime → NULL (main.py:25-27)
+    assert rows[3]["c_dt"] is None and rows[4]["c_dt"] is None
+    # unparseable / empty date → NULL (main.py:35-37)
+    assert rows[1]["c_date"] == dt.date(2024, 7, 25)
+    assert rows[2]["c_date"] is None and rows[3]["c_date"] is None
+
+
+def test_compat_none_strings_quirk(spark, edge_db):
+    """Bug-for-bug mode: string NULL → literal "None" (main.py:95)."""
+    df = read_sqlite(spark, edge_db, "typemap_edge", compat_none_strings=True)
+    rows = {r["rid"]: r for r in df.collect()}
+    assert rows[3]["c_text"] == "None"
+    assert rows[1]["c_text"] == "abc"
+
+
+def test_read_sqlite_partitioned_complete(spark, edge_db):
+    """Ranged extraction must be a partition of the table: no range may
+    drop or duplicate rows, for any partition count (incl. > nrows)."""
+    for n in (1, 3, 16):
+        df = read_sqlite(spark, edge_db, "typemap_edge", num_partitions=n)
+        assert sorted(r["rid"] for r in df.collect()) == [1, 2, 3, 4]
+
+
+def test_replacing_dedup_last_write_wins(spark):
+    df = spark.createDataFrame(
+        [(1, "old", 10), (1, "new", 20), (2, "only", 5)],
+        "k: long, v: string, ver: long",
+    )
+    got = {(r["k"], r["v"]) for r in replacing_dedup(df, ["k"], "ver").collect()}
+    assert got == {(1, "new"), (2, "only")}
+
+
+def test_clickhouse_ddl_golden():
+    schema = T.StructType(
+        [
+            T.StructField("run_id", T.LongType()),
+            T.StructField("start", T.TimestampType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    ddl = clickhouse_ddl("recorder_runs", schema, order_by=["run_id"])
+    assert ddl == (
+        "CREATE TABLE IF NOT EXISTS `default`.`recorder_runs` (\n"
+        "  `run_id` Int64,\n  `start` DateTime,\n  `note` String\n"
+        ") ENGINE = ReplacingMergeTree()\nORDER BY (run_id)"
+    )
+    assert engine_clause() == "ENGINE = ReplacingMergeTree() ORDER BY (tuple())"
+
+
+def test_migrate_ha_end_to_end(spark, ha_db, tmp_path):
+    """R1→R15 on the golden-log schema: every table lands in parquet with
+    the inferred schema and full row counts."""
+    reports = migrate_sqlite(spark, str(ha_db), str(tmp_path / "out"))
+    assert set(reports) == {"event_data", "recorder_runs", "states_meta", "statistics_runs"}
+    assert reports["event_data"].rows == 3
+    assert reports["recorder_runs"].rows == 2
+    rr = spark.read.parquet(reports["recorder_runs"].target)
+    assert dict((f.name, f.dataType) for f in rr.schema.fields) == {
+        "run_id": T.LongType(),
+        "start": T.TimestampType(),
+        "end": T.TimestampType(),
+        "closed_incorrect": T.StringType(),
+        "created": T.TimestampType(),
+    }
+    row = {r["run_id"]: r for r in rr.collect()}
+    assert row[1]["start"] == dt.datetime(2024, 7, 25, 15, 4, 42)  # frac stripped
+    assert row[2]["start"] is None
