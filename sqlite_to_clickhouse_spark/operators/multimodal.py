@@ -1,0 +1,188 @@
+"""Multimodal columns (SURVEY.md §2b mandate: image/audio/video as opaque
+binary columns with typed metadata; decode / feature-extract / frame-sample
+as Arrow-batched Pandas UDFs).
+
+The container ships no image/audio codecs, so the DECODE step is a
+deterministic fake (documented per function, gated so a real codec drops
+in behind the same signature) — but everything Spark-level is real and
+tested: the binary column representation, the metadata struct schema, the
+mapInPandas batch shape, the explode of sampled frames, and the join-back
+patterns. The fixture "media" is the documents table's text encoded to
+bytes, which keeps every op oracle-checkable in DuckDB — the differential
+check covers the plumbing end to end, not a mocked subset.
+
+Scale notes: payloads stay opaque bytes end-to-end (no driver collection,
+no Python round trip except inside the vectorized decode UDF); metadata
+lives in a sibling struct column so pruning a query to metadata never
+reads payload bytes (columnar projection does this for free); frame
+sampling multiplies rows, not bytes (indices only, payload not carried
+through the explode).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+FRAME_STEP = 7  # sample every 7th "frame"
+
+
+def _try_real_codec():
+    """A real image codec if one is installed (none in this container)."""
+    try:  # pragma: no cover - environment-dependent
+        import PIL.Image  # noqa: F401
+
+        return PIL.Image
+    except ImportError:
+        return None
+
+
+def decode_payload_stub(payload: bytes) -> dict:
+    """STUB decode (deterministic fake). With a real codec installed this
+    is where PIL/ffmpeg decoding goes — same signature, same output keys.
+    The fake derives "decoded" properties purely from the bytes so results
+    are reproducible and differentially testable."""
+    codec = _try_real_codec()
+    if codec is not None:  # pragma: no cover - not installed here
+        raise NotImplementedError(
+            "real codec path not wired in this container; extend here"
+        )
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "first_byte": payload[0] if n else None,
+        "checksum": sum(payload) % 65536,
+    }
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal representation: (doc_id, payload binary, meta struct).
+
+    meta is typed metadata riding next to the opaque payload — media_type,
+    byte length, a declared frame count — so metadata-only queries prune
+    the payload column entirely (check ReadSchema in .explain)."""
+    d = table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("media_type"),
+            F.length(payload).alias("n_bytes"),
+            (F.size(F.split(F.col("text"), " "))).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           'text/plain'                       AS media_type,
+           CAST(strlen(text) AS INT)          AS n_bytes,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_frames,
+           md5(text)                          AS payload_md5
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata projection + payload digest over the binary column.
+
+    The digest (md5 of raw bytes) runs JVM-side; the metadata fields come
+    from the struct — no Python anywhere. At 100 TB this is the op that
+    builds a media catalog without decoding anything.
+    """
+    m = media_table(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.col("meta.media_type").alias("media_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.md5(F.col("payload")).alias("payload_md5"),
+    )
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT)  AS n_bytes,
+           ascii(substring(text, 1, 1))  AS first_byte,
+           CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
+                    i -> ascii(substring(text, i, 1))), 'sum') % 65536
+                AS BIGINT)               AS checksum
+    FROM documents
+    """,
+    tags=("multimodal", "udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch decode + feature extraction via mapInPandas (Arrow batches).
+
+    The decode itself is the deterministic stub (see decode_payload_stub);
+    what this op proves at the Spark level is the production batch shape:
+    binary column in → Arrow record batches → per-batch Python decode →
+    typed feature rows out, schema declared up front, nothing per-row.
+    The oracle recomputes the same features in SQL, so the whole
+    mapInPandas path is differentially checked.
+    """
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_payload_stub(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                    "first_byte": [f["first_byte"] for f in feats],
+                    "checksum": [f["checksum"] for f in feats],
+                }
+            )
+
+    return m.mapInPandas(decode_batches, _FEAT_SCHEMA)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           unnest(range(0, CAST(len(string_split(text, ' ')) AS BIGINT),
+                        {FRAME_STEP})) AS frame_idx
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every FRAME_STEP-th frame index per media row.
+
+    Indices are generated and exploded JVM-side (sequence + explode);
+    the payload column is pruned before the explode, so row expansion
+    never multiplies bytes — the frame extractor joins back by
+    (doc_id, frame_idx) only for the frames it actually decodes.
+    """
+    m = media_table(spark, sf_dir)
+    frames = F.sequence(
+        F.lit(0).cast("long"),
+        (F.col("meta.n_frames") - 1).cast("long"),
+        F.lit(FRAME_STEP).cast("long"),
+    )
+    return m.select("doc_id", F.explode(frames).alias("frame_idx"))

@@ -19,6 +19,7 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.streaming.ops",
     "sqlite_to_clickhouse_spark.functions.udfs",
     "sqlite_to_clickhouse_spark.operators.etl",
+    "sqlite_to_clickhouse_spark.operators.multimodal",
 ]
 
 for _mod in _OPERATOR_MODULES:
