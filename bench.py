@@ -23,22 +23,35 @@ from sqlite_to_clickhouse_spark.registry import all_queries  # noqa: E402
 from sqlite_to_clickhouse_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per major operator family — scan+agg, join, window,
-# set/sort, LLM-pipeline dedup/similarity/text, streaming-equivalent.
+# set/sort, scalar fns, UDF surface, streaming, ETL/migration, multimodal,
+# LLM-pipeline dedup/similarity/text.
 HEADLINE = [
     "pricing_summary",
     "filter_predicate",
     "project_computed",
     "agg_groupby_hash",
+    "agg_rollup",
     "join_inner_hash",
     "join_broadcast",
     "join_asof",
     "window_rank",
+    "window_running",
     "dedup_replacing",
     "topk_per_group",
+    "set_union_distinct",
+    "fn_json",
+    "udf_pandas_scalar",
+    "udtf_explode",
+    "stream_tumbling",
+    "scan_jdbc",
+    "migrate_sqlite_roundtrip",
+    "multimodal_decode_features",
+    "text_langid",
     "text_tfidf",
     "dedup_exact",
     "dedup_fuzzy_minhash",
     "sim_topk_cosine",
+    "sim_ann_ivf",
 ]
 
 

@@ -147,11 +147,11 @@ def _minhash_sig(tokens_col):
 
 def _minhash_oracle() -> str:
     band_pairs = ", ".join(
-        "md5("
+        f"CAST(('0x' || substring(md5('{i}|' || "
         + " || '|' || ".join(
             f"sig[{i * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
         )
-        + ")"
+        + "), 1, 15)) AS BIGINT)"
         for i in range(N_BANDS)
     )
     return f"""
@@ -169,7 +169,7 @@ def _minhash_oracle() -> str:
       FROM toks
     ),
     bands AS (
-      SELECT doc_id, tk, unnest(list_zip([{band_pairs}], range({N_BANDS}))) AS bk
+      SELECT doc_id, tk, unnest([{band_pairs}]) AS bk
       FROM sigs
     ),
     cand AS (
@@ -194,13 +194,17 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline (shingle → minhash → band → bucket-join → verify):
     1. distinct tokens per doc (the 1-gram shingle set);
     2. 48 md5 min-hashes per doc — array lambdas inline in the scan;
-    3. 6 band keys (8 sig rows each) per doc, exploded;
-    4. self-join on (band_id, band_key) carrying ONLY (doc_id, bk) —
-       32 bytes per doc per band through the shuffle — then distinct
-       (doc_a, doc_b). Token arrays are deliberately NOT carried here:
-       a pair can collide in up to 6 bands, so rows entering the
-       distinct are multiplied, and hauling two token arrays per raw
-       collision is what turns LSH into a multi-GB shuffle.
+    3. 6 band keys (8 sig rows each) per doc, exploded. The band id is
+       folded INTO the md5 and the digest truncated to a 60-bit long, so
+       the bucket join hashes/compares 8-byte integers, not 32-char
+       strings in a struct (fixture: 8.2M raw collisions through that
+       join — key width is the dominant join cost);
+    4. self-join on the long band key carrying ONLY (doc_id, key) —
+       then distinct (doc_a, doc_b). Token arrays are deliberately NOT
+       carried here: a pair can collide in up to 6 bands, so rows
+       entering the distinct are multiplied, and hauling two token
+       arrays per raw collision is what turns LSH into a multi-GB
+       shuffle.
     5. join the slim verified-candidate list back to the token table
        (tiny vs. the pair list — the planner broadcasts it at bench
        scale, and at cluster scale it degrades to a clean shuffle join
@@ -217,18 +221,24 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = toks.withColumn("sig", _minhash_sig(F.col("tk")))
     band_keys = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band_id"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.element_at("sig", i * ROWS_PER_BAND + r + 1)
-                            for r in range(ROWS_PER_BAND)
-                        ],
-                    )
-                ).alias("band_key"),
-            )
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(i)),
+                            *[
+                                F.element_at("sig", i * ROWS_PER_BAND + r + 1)
+                                for r in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
             for i in range(N_BANDS)
         ]
     )

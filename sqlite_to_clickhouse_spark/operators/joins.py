@@ -256,24 +256,23 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows precede each left row (here: every order precedes every 2024
     event, so the naive join would be |events|×|orders per user|).
 
-    Right side is pre-reduced to one row per (key, time) so ties are
-    deterministic (max o_orderkey wins), matching the oracle's rn=1 CTE.
+    Tie-break at equal (key, time) — max o_orderkey wins, the oracle's
+    rn=1 CTE — costs nothing: o_orderkey ascending is simply the last
+    component of the scan sort, so the running `last()` lands on the
+    highest-key order. (An earlier version pre-deduped the right side
+    with its own window, which was a second full shuffle of orders on a
+    different key; folding the tie-break into the scan's sort removed it
+    — .explain showed two Exchanges, now one.)
     """
     ev = table(spark, sf_dir, "events")
     o = table(spark, sf_dir, "orders")
 
-    # Deterministic tie-break: one order per (custkey, orderdate).
-    w_tie = Window.partitionBy("o_custkey", "o_orderdate").orderBy(F.desc("o_orderkey"))
-    right = (
-        o.withColumn("rn", F.row_number().over(w_tie))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("o_custkey").alias("k"),
-            F.col("o_orderdate").alias("t"),
-            F.struct("o_orderkey", "o_totalprice").alias("payload"),
-            F.lit(0).alias("is_left"),
-            F.lit(None).cast("long").alias("event_id"),
-        )
+    right = o.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.struct("o_orderkey", "o_totalprice").alias("payload"),
+        F.lit(0).alias("is_left"),
+        F.lit(None).cast("long").alias("event_id"),
     )
     left = ev.select(
         F.col("user_id").alias("k"),
@@ -282,11 +281,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).alias("is_left"),
         "event_id",
     )
-    # At equal t the right row sorts first (is_left asc), making `>=`
-    # inclusive. The frame is a running scan, so state is O(1) per row.
+    # At equal t the right rows sort first (is_left asc ⇒ `>=` inclusive),
+    # highest o_orderkey last (⇒ deterministic tie-break). The frame is a
+    # running scan, so state is O(1) per row.
     w_scan = (
         Window.partitionBy("k")
-        .orderBy("t", "is_left")
+        .orderBy("t", "is_left", F.col("payload.o_orderkey").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = right.unionByName(left).withColumn(
