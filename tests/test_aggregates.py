@@ -1,0 +1,32 @@
+"""Semantics tests for aggregates that the DuckDB oracle cannot check
+exactly (approximate sketches)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """approx_count_distinct(rsd=0.02) must land within a conservative 5×
+    multiple of the configured relative error of the exact count, per
+    group (HLL guarantees ~rsd std-dev; 10% absolute bound at rsd=2%)."""
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in _Q["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact_parts"]
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("exact_parts"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, est in approx.items():
+        rel_err = abs(est - exact[flag]) / exact[flag]
+        assert rel_err < 0.10, (flag, est, exact[flag], rel_err)

@@ -1,0 +1,121 @@
+"""Physical-plan regression tests (SURVEY.md §4): the scale properties the
+docstrings promise — pushdown, pruning, broadcast choice, shuffle counts,
+no Python in JVM-only pipelines — asserted against .explain output so a
+refactor that silently degrades a plan fails CI, not a 100 TB run."""
+
+from __future__ import annotations
+
+import io
+import contextlib
+
+import pytest
+
+from sqlite_to_clickhouse_spark.registry import all_queries
+
+_Q = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _Q[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _exchanges(plan: str) -> list[str]:
+    # Count physical Exchange operators once each (the numbered detail
+    # section), excluding broadcast exchanges counted separately.
+    return [
+        l.strip()
+        for l in plan.splitlines()
+        if l.strip().startswith("(") and "Exchange" in l
+    ]
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    p = _plan(spark, sf_dir, "pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p
+    # Column pruning: the 7 needed columns only — no l_orderkey/l_partkey etc.
+    rs = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+    assert "l_returnflag" in rs and "l_shipdate" in rs
+
+
+def test_filter_predicate_reaches_scan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "filter_predicate")
+    pf = next(l for l in p.splitlines() if "PushedFilters" in l)
+    for fragment in (
+        "GreaterThanOrEqual(l_quantity,10.0)",
+        "In(l_returnflag, [A,R])",
+        "StringStartsWith(l_linestatus,F)",
+    ):
+        assert fragment in pf, f"missing pushed filter {fragment}"
+
+
+def test_join_broadcast_no_fact_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_broadcast")
+    assert p.count("BroadcastHashJoin") >= 2  # once per join in the tree
+    # The only non-broadcast exchange is the final groupBy shuffle.
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular
+
+
+def test_join_asof_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_asof")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular  # one hash shuffle on the as-of key
+
+
+def test_join_range_is_broadcast_nested_loop(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_range")
+    assert "BroadcastNestedLoopJoin" in p
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    p = _plan(spark, sf_dir, "topk")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sim_topk_never_shuffles_embeddings(spark, sf_dir):
+    """Only narrow (probe_id, vec_id, cos) rows may cross the wire — the
+    embedding arrays must stay where they were read."""
+    p = _plan(spark, sf_dir, "sim_topk_cosine")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular
+    detail = p.split(regular[0].split(" ", 1)[1].strip())[-1] if regular else ""
+    ex_args = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert ex_args and all("embedding" not in l and "emb" not in l for l in ex_args), ex_args
+
+
+def test_jvm_only_pipelines_have_no_python_eval(spark, sf_dir):
+    """The hot-path operator families must not contain Python evaluation
+    nodes; Python appears only in the explicitly-UDF ops."""
+    for name in (
+        "pricing_summary",
+        "dedup_fuzzy_minhash",
+        "text_tfidf",
+        "join_asof",
+        "sim_topk_cosine",
+        "dedup_exact",
+    ):
+        p = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_udf_ops_use_arrow_not_row_python(spark, sf_dir):
+    p = _plan(spark, sf_dir, "udf_pandas_scalar")
+    assert "ArrowEvalPython" in p
+    p = _plan(spark, sf_dir, "udf_python")
+    assert "BatchEvalPython" in p  # the documented slow path, on purpose
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    """AQE shows codegen stages only on the executed plan, so run the
+    query and inspect the final plan: scan→filter→partial-agg must be
+    fused into WholeStageCodegen spans."""
+    df = _Q["pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    # "*(N)" prefixes are WholeStageCodegen stage markers in plan strings.
+    assert "*(" in executed and "isFinalPlan=true" in executed
