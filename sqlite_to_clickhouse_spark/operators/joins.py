@@ -229,6 +229,61 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderkey", "tier_name")
 
 
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    *,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi join: fact rows get a uniform salt in
+    [0, n_salts), the dim side is replicated once per salt, and the join
+    key becomes (key, salt) — a pathological hot key's rows now land in
+    n_salts separate shuffle partitions instead of one straggler.
+
+    The salt value a fact row receives does not affect the result (every
+    dim row exists under every salt), so seeded rand() is safe under task
+    retries. This is the manual fallback for skew beyond what AQE's
+    skew-join split handles (both can be active; AQE splits by partition
+    size at runtime, salting pre-splits by design).
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.floor(F.rand(seed=42) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (salted_fact[fact_key] == salted_dim[dim_key])
+        & (salted_fact["_salt"] == salted_dim["_salt"]),
+        how,
+    )
+    return joined.drop("_salt")
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, s.s_name
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    """,
+    tags=("join", "skew"),
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted join demonstrated end-to-end (result set identical to the
+    plain equi join, which is what the oracle checks). shuffle_hash hint
+    bypasses the broadcast the tiny fixture dim would otherwise get, so
+    the salted shuffle path actually executes."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").hint("shuffle_hash")
+    return salted_join(li, s, "l_suppkey", "s_suppkey").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "s_name"
+    )
+
+
 @register(
     "join_asof",
     oracle="""
