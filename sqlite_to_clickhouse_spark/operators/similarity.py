@@ -167,6 +167,73 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_bucketed",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id % {CENTROID_EVERY} = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid AS bucket FROM scored WHERE rn = 1
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND({_cos_sql('a.embedding', 'b.embedding')}, 6) AS cosine
+    FROM assigned a JOIN assigned b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_T}
+    """,
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path for embedding near-dup detection: coarse-quantize
+    every vector to its nearest deterministic centroid (the IVF
+    assignment), then search pairs only WITHIN each bucket.
+
+    Work drops from O(n²) to O(Σ bucket²) ≈ O(n²/k) for k balanced
+    buckets, and the pair join shuffles on the bucket id, so each bucket's
+    pairs are produced by one partition — the same plan at 2 000 or 2 B
+    vectors (with k scaled ~√n). Recall vs the exact O(n²) operator is
+    asserted in tests/test_llm_ops.py; the oracle mirrors the full
+    construction (assignment + bucket join + threshold), so the routing
+    itself is differentially checked, not just the final cosines.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cent = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    )
+    cos_vc = _cosine(_dbl(F.col("embedding")), _dbl(F.col("c_emb")))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), F.asc("cent_id"))
+    assigned = (
+        e.crossJoin(F.broadcast(cent))
+        .select("vec_id", "embedding", "cent_id", cos_vc.alias("a_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+    )
+    a = assigned.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = assigned.select(
+        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    cos_ab = _cosine(_dbl(F.col("emb_a")), _dbl(F.col("emb_b")))
+    return (
+        a.join(b, ["bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cos_ab)
+        .filter(F.col("cos") >= COSINE_T)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
     "sim_ann_ivf",
     oracle=None,  # IVF result depends on bucket routing — recall vs brute
     # force asserted in tests/test_llm_ops.py::test_ivf_recall.

@@ -122,3 +122,26 @@ def sink_parquet(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    *,
+    sort_cols: Optional[Sequence[str]] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed warehouse table: rows hash-clustered (and optionally
+    sorted) by the join/agg key at WRITE time.
+
+    This is the 100 TB lever for repeated joins: two tables bucketed on
+    the same key with the same bucket count join with NO Exchange on
+    either side (and with sortBy, no Sort either — pure zip of buckets).
+    You pay one shuffle once, at layout time, instead of per query;
+    tests/test_bucketing.py asserts the exchange-free plan."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.format("parquet").saveAsTable(table_name)

@@ -230,6 +230,37 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS cnt, ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a dimension table,
+    then aggregate per segment — the standard streaming-enrichment shape.
+
+    The static side is a plain DataFrame; Spark broadcasts it into every
+    micro-batch (re-resolved per batch, so slowly-changing dims pick up
+    updates). No state is kept for the join itself — only the downstream
+    aggregate holds state — which is why stream⨝static scales where
+    stream⨝stream needs watermarked buffers.
+    """
+    from sqlite_to_clickhouse_spark.io import table as _table
+
+    ev = events_stream(spark, sf_dir)
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    return run_to_memory(agg, "complete")
+
+
+@register(
     "stream_foreach_sink",
     oracle="""
     SELECT event_type, COUNT(*) AS cnt, ROUND(SUM(value),2) AS sum_value

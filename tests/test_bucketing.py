@@ -1,0 +1,57 @@
+"""Bucketed co-located join (SURVEY.md §4: "bucketing for co-located
+joins"): bucket lineitem and orders on the join key, then prove the join
+plan has NO shuffle on either side and the result matches the plain join."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.sources.sinks import write_bucketed
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, sf_dir):
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
+    write_bucketed(o, "b_orders", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    yield
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed):
+    # Disable broadcast so the co-location is what avoids the shuffle,
+    # not a broadcast of the small fixture side.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+
+        got = joined.count()
+        want = (
+            table(spark, sf_dir, "lineitem")
+            .join(
+                table(spark, sf_dir, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)

@@ -43,6 +43,29 @@ def test_minhash_candidates_superset_of_high_jaccard(spark, sf_dir):
     assert exact_pairs <= lsh_pairs
 
 
+def test_bucketed_embedding_dedup_sound_with_recall_floor(spark, sf_dir):
+    """The bucketed near-dup path must be SOUND (every emitted pair is a
+    true above-threshold pair with the exact cosine — it verifies within
+    buckets, so false positives are impossible) and recover a reasonable
+    fraction of the exact O(n²) operator's pairs. Single-assignment IVF
+    loses cross-bucket pairs by design; multi-probe assignment is the
+    recall dial (cf. sim_ann_ivf's NPROBE)."""
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _Q["dedup_embedding_cosine"].fn(spark, sf_dir).collect()
+    }
+    bucketed = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in _Q["dedup_embedding_bucketed"].fn(spark, sf_dir).collect()
+    }
+    assert set(bucketed) <= set(exact), "bucketed path emitted a false pair"
+    for k, c in bucketed.items():
+        assert abs(exact[k] - c) < 1e-9
+    if exact:
+        recall = len(bucketed) / len(exact)
+        assert recall >= 0.3, f"bucketed recall {recall:.2f} too low"
+
+
 def test_dedup_exact_keeps_one_per_hash(spark, sf_dir):
     df = _Q["dedup_exact"].fn(spark, sf_dir)
     n = df.count()
