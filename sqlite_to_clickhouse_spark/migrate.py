@@ -90,18 +90,20 @@ def migrate_sqlite(
             df = replacing_dedup(df, pk, ROWID)
             deduped = True
         df = df.drop(ROWID)
+        # R12's running row-count via observe(): the metric rides the write
+        # job itself — one pass over the data, no post-load count, exactly
+        # the reference's inline counter (main.py:171-177) without its
+        # second look at the table.
+        from pyspark.sql import Observation
+
+        obs = Observation(f"migrate_{t}")
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         if clickhouse_url:
             sinks.write_clickhouse(df, clickhouse_url, t, order_by=pk or None)
             target = clickhouse_url
         else:
             target = os.path.join(out_dir, t)
             sinks.sink_parquet(df, target)
-        # R12's running row-count, from the sink's own statistics (parquet)
-        # or a post-load count — not an extra full pass at migrate time.
-        rows = (
-            spark.read.parquet(target).count()
-            if not clickhouse_url
-            else df.count()
-        )
+        rows = obs.get["rows"]
         reports[t] = TableReport(table=t, rows=rows, pk=pk, deduped=deduped, target=target)
     return reports

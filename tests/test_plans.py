@@ -110,6 +110,34 @@ def test_udf_ops_use_arrow_not_row_python(spark, sf_dir):
     assert "BatchEvalPython" in p  # the documented slow path, on purpose
 
 
+def test_partitioned_sink_prunes_partitions(spark, sf_dir, tmp_path):
+    """A dataset written partitionBy(col) must answer an equality filter on
+    that column by scanning one directory (PartitionFilters, not data
+    filters) — the layout lever that turns a 100 TB scan into 1/k of it."""
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.sources.sinks import sink_parquet
+
+    out = str(tmp_path / "byflag")
+    sink_parquet(
+        table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        ),
+        out,
+        partition_by=["l_returnflag"],
+    )
+    df = spark.read.parquet(out).filter("l_returnflag = 'A'")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in pf and "= A" in pf.replace("'", "")
+    # And the value filter is NOT re-checked row-wise on the data columns
+    # (either no PushedFilters line at all, or an empty one).
+    data_filters = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert all("l_returnflag" not in l for l in data_filters), data_filters
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     """AQE shows codegen stages only on the executed plan, so run the
     query and inspect the final plan: scan→filter→partial-agg must be
