@@ -149,6 +149,21 @@ def test_read_sqlite_partitioned_complete(spark, edge_db):
         assert sorted(r["rid"] for r in df.collect()) == [1, 2, 3, 4]
 
 
+def test_read_sqlite_empty_table(spark, tmp_path):
+    """Zero-row tables must come back empty with the inferred schema (the
+    reference migrates them too — README log shows 0-row tables)."""
+    import sqlite3
+
+    path = str(tmp_path / "empty.db")
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE empty_t (a INTEGER, b TEXT)")
+    con.commit()
+    con.close()
+    df = read_sqlite(spark, path, "empty_t")
+    assert df.columns == ["a", "b"]
+    assert df.count() == 0
+
+
 def test_replacing_dedup_last_write_wins(spark):
     df = spark.createDataFrame(
         [(1, "old", 10), (1, "new", 20), (2, "only", 5)],
