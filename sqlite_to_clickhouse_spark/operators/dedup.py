@@ -225,16 +225,46 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final Jaccard — is differentially tested.
     """
     d = table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk")
+    toks = d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk"))
+    return minhash_lsh_pairs(toks, "doc_id", "tk").select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = JACCARD_T,
+) -> DataFrame:
+    """Generic MinHash-LSH near-dup pairs (library API): rows (id, token
+    array) in, verified pairs (id_a, id_b, jaccard >= threshold) out.
+
+    Requires ids < 2^32 (pairs are packed into one 64-bit key for the
+    dedup shuffle). Plan shape and rationale: see dedup_fuzzy_minhash."""
+    rows_per_band = n_hashes // n_bands
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__tk")
     ).withColumn(
-        "tkh",
+        "__tkh",
         F.transform(
-            F.col("tk"),
+            F.col("__tk"),
             lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
         ),
     )
-    sigs = toks.withColumn("sig", _minhash_sig(F.col("tk")))
+    seeds = F.array(*[F.lit(str(s)) for s in range(n_hashes)])
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(
+            F.transform(F.col("__tk"), lambda t: F.md5(F.concat(s, F.lit(":"), t)))
+        ),
+    )
+    sigs = toks.withColumn("sig", sig)
     band_keys = F.array(
         *[
             F.conv(
@@ -244,8 +274,8 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "|",
                             F.lit(str(i)),
                             *[
-                                F.element_at("sig", i * ROWS_PER_BAND + r + 1)
-                                for r in range(ROWS_PER_BAND)
+                                F.element_at("sig", i * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
                             ],
                         )
                     ),
@@ -255,42 +285,43 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 16,
                 10,
             ).cast("long")
-            for i in range(N_BANDS)
+            for i in range(n_bands)
         ]
     )
     # persist(): the band table feeds BOTH sides of the self-join; without
-    # it Spark recomputes the whole signature subtree (48 md5s × tokens ×
-    # docs) twice. 16 bytes × bands × docs, MEMORY_AND_DISK — the standard
-    # LSH practice at any scale (measured here: candidates 16 s → 4 s).
-    bands = sigs.select("doc_id", F.explode(band_keys).alias("bk")).persist()
+    # it Spark recomputes the whole signature subtree (n_hashes md5s ×
+    # tokens × rows) twice. 16 bytes × bands × rows, MEMORY_AND_DISK — the
+    # standard LSH practice at any scale (measured: candidates 16 s → 4 s).
+    bands = sigs.select("__id", F.explode(band_keys).alias("bk")).persist()
     a, b = bands.alias("a"), bands.alias("b")
     # Pack the pair into one long so the dedup shuffle hashes a single
-    # 8-byte key (doc ids are far below 2^32).
+    # 8-byte key.
     cand = (
         a.join(
             b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(
-            (F.col("a.doc_id") * F.lit(2**32) + F.col("b.doc_id")).alias("pair")
-        )
+        .select((F.col("a.__id") * F.lit(2**32) + F.col("b.__id")).alias("pair"))
         .dropDuplicates()
         .select(
-            F.expr(f"pair div {2**32}").alias("doc_a"),
-            (F.col("pair") % F.lit(2**32)).alias("doc_b"),
+            F.expr(f"pair div {2**32}").alias("id_a"),
+            (F.col("pair") % F.lit(2**32)).alias("id_b"),
         )
     )
-    tokh = toks.select("doc_id", "tkh")
+    tokh = toks.select("__id", "__tkh")
     ta, tb = tokh.alias("ta"), tokh.alias("tb")
     pairs = (
-        cand.join(ta, F.col("doc_a") == F.col("ta.doc_id"))
-        .join(tb, F.col("doc_b") == F.col("tb.doc_id"))
-        .select("doc_a", "doc_b", F.col("ta.tkh").alias("tk_a"), F.col("tb.tkh").alias("tk_b"))
+        cand.join(ta, F.col("id_a") == F.col("ta.__id"))
+        .join(tb, F.col("id_b") == F.col("tb.__id"))
+        .select(
+            "id_a", "id_b",
+            F.col("ta.__tkh").alias("tk_a"), F.col("tb.__tkh").alias("tk_b"),
+        )
     )
     n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
     jac = n_inter / (F.size("tk_a") + F.size("tk_b") - n_inter)
-    return pairs.filter(jac >= JACCARD_T).select(
-        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    return pairs.filter(jac >= threshold).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )
 
 

@@ -284,6 +284,65 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    right_payload: list[str],
+    right_tiebreak: str,
+) -> DataFrame:
+    """Generic as-of join (library API): for every left row, attach the
+    right row with the greatest ``right_time`` <= the row's ``left_time``
+    within the same join key; at equal times the highest
+    ``right_tiebreak`` wins.
+
+    One hash shuffle on the key, O(n log n) window scan, O(1) state per
+    row — see join_asof below for the full scale rationale. Returns the
+    left rows with ``asof_<payload>`` columns appended (NULL when no
+    right row precedes)."""
+    payload_cols = (
+        right_payload
+        if right_tiebreak in right_payload
+        else right_payload + [right_tiebreak]
+    )
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    r = right.select(
+        F.col(right_on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        payload.alias("__payload"),
+        F.lit(0).alias("__is_left"),
+    )
+    l_cols = left.columns
+    l = left.select(
+        *l_cols,
+        F.col(left_on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        F.lit(1).alias("__is_left"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(
+            "__t",
+            "__is_left",
+            F.col(f"__payload.{right_tiebreak}").asc_nulls_last(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(l, allowMissingColumns=True).withColumn(
+        "__last", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__is_left") == 1).select(
+        *l_cols,
+        *[F.col(f"__last.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+    return out
+
+
 @register(
     "join_asof",
     oracle="""
@@ -319,38 +378,21 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     different key; folding the tie-break into the scan's sort removed it
     — .explain showed two Exchanges, now one.)
     """
-    ev = table(spark, sf_dir, "events")
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
     o = table(spark, sf_dir, "orders")
-
-    right = o.select(
-        F.col("o_custkey").alias("k"),
-        F.col("o_orderdate").alias("t"),
-        F.struct("o_orderkey", "o_totalprice").alias("payload"),
-        F.lit(0).alias("is_left"),
-        F.lit(None).cast("long").alias("event_id"),
-    )
-    left = ev.select(
-        F.col("user_id").alias("k"),
-        F.col("ts").alias("t"),
-        F.lit(None).cast("struct<o_orderkey:bigint,o_totalprice:double>").alias("payload"),
-        F.lit(1).alias("is_left"),
+    return asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    ).select(
         "event_id",
-    )
-    # At equal t the right rows sort first (is_left asc ⇒ `>=` inclusive),
-    # highest o_orderkey last (⇒ deterministic tie-break). The frame is a
-    # running scan, so state is O(1) per row.
-    w_scan = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_left", F.col("payload.o_orderkey").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = right.unionByName(left).withColumn(
-        "last_right", F.last("payload", ignorenulls=True).over(w_scan)
-    )
-    return merged.filter(F.col("is_left") == 1).select(
-        F.col("event_id"),
-        F.col("k").alias("user_id"),
-        F.col("t").alias("ts"),
-        F.col("last_right.o_orderkey").alias("asof_orderkey"),
-        F.col("last_right.o_totalprice").alias("asof_totalprice"),
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
     )

@@ -70,6 +70,37 @@ def _cos_sql(a: str, b: str) -> str:
     )
 
 
+def topk_cosine(
+    vectors: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "p_emb",
+) -> DataFrame:
+    """Generic brute-force top-k cosine search (library API): for every
+    probe row, the k nearest vectors by cosine (excluding the probe's own
+    id), ties broken by ascending vector id.
+
+    The probe set broadcasts; the vector table streams through once and is
+    never shuffled — the only Exchange carries narrow (probe, id, cos)
+    triples into the per-probe top-k window."""
+    cos = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    pairs = (
+        vectors.crossJoin(F.broadcast(probes))
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(probe_id_col, id_col, cos.alias("cos"))
+    )
+    w = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(probe_id_col, id_col, F.round("cos", 6).alias("cosine"))
+    )
+
+
 @register(
     "sim_topk_cosine",
     oracle=f"""
@@ -99,18 +130,7 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
-    cos = _cosine(_dbl(F.col("p_emb")), _dbl(F.col("embedding")))
-    pairs = (
-        e.crossJoin(F.broadcast(probes))
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", cos.alias("cos"))
-    )
-    w = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"))
-    )
+    return topk_cosine(e, probes, k=TOP_K)
 
 
 @register(

@@ -12,26 +12,23 @@ from pyspark.sql import functions as F
 
 
 def _asof_union_impl(spark, left_rows, right_rows):
-    """The same plan shape as operators.joins.join_asof, on generic data:
-    left (k, t, lid), right (k, t, rid) → (lid, asof_rid)."""
-    left = spark.createDataFrame(left_rows, "k: long, t: long, lid: long").select(
-        "k", "t", F.lit(None).cast("long").alias("rid"), F.lit(1).alias("is_left"), "lid"
+    """The REAL library operator (operators.joins.asof_join) on generic
+    data: left (k, t, lid), right (k, t, rid) → {lid: asof_rid}."""
+    from sqlite_to_clickhouse_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(left_rows, "k: long, t: long, lid: long")
+    right = spark.createDataFrame(right_rows, "rk: long, rt: long, rid: long")
+    out = asof_join(
+        left,
+        right,
+        left_on="k",
+        right_on="rk",
+        left_time="t",
+        right_time="rt",
+        right_payload=["rid"],
+        right_tiebreak="rid",
     )
-    right = spark.createDataFrame(right_rows, "k: long, t: long, rid: long").select(
-        "k", "t", "rid", F.lit(0).alias("is_left"), F.lit(None).cast("long").alias("lid")
-    )
-    w = (
-        Window.partitionBy("k")
-        .orderBy("t", "is_left", F.col("rid").asc_nulls_last())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = right.unionByName(left).withColumn(
-        "asof_rid", F.last("rid", ignorenulls=True).over(w)
-    )
-    return {
-        r["lid"]: r["asof_rid"]
-        for r in merged.filter(F.col("is_left") == 1).collect()
-    }
+    return {r["lid"]: r["asof_rid"] for r in out.collect()}
 
 
 def _asof_brute(left_rows, right_rows):
