@@ -232,3 +232,63 @@ def agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("l_tax") > 0.04, F.col("l_extendedprice")).otherwise(0.0)), 2
         ).alias("sum_taxed"),
     )
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'F'), 0), 2) AS qty_F,
+           ROUND(COALESCE(SUM(l_quantity) FILTER (WHERE l_linestatus = 'O'), 0), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "pivot"),
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: rotate l_linestatus values into columns (groupBy().pivot()).
+
+    The explicit value list matters at scale: without it Spark runs an
+    extra distinct-collect job over the pivot column to discover values —
+    a full pass over the fact table before the real aggregation starts.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("qty_F"),
+            F.col("O").alias("qty_O"),
+        )
+    )
+
+
+@register(
+    "agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95,
+           ROUND(MAX(l_extendedprice), 2)                 AS p_max
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "percentile"),
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (median, p95).
+
+    Spark's percentile() and DuckDB's quantile_cont() both use linear
+    interpolation on the sorted values, so the results are comparable to
+    the rounding precision. At 100 TB prefer approx_percentile (t-digest
+    sketch, mergeable partial state) — exact percentile holds each
+    group's values; the exact form is the oracle-checkable baseline.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+        F.round(F.max("l_extendedprice"), 2).alias("p_max"),
+    )
