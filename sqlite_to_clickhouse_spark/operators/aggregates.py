@@ -292,3 +292,39 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
         F.round(F.max("l_extendedprice"), 2).alias("p_max"),
     )
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+    SELECT o_custkey, best_orderkey, ROUND(best_totalprice, 2) AS best_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey AS best_orderkey, o_totalprice AS best_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    WHERE rn = 1
+    """,
+    tags=("aggregate", "argmax"),
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax (ClickHouse's argMax / ANSI max_by): per customer, the order
+    carrying the highest total price.
+
+    Spelled as MAX over a (value, id) struct rather than max_by(): struct
+    comparison is lexicographic, so equal prices deterministically fall
+    back to the highest order key — max_by leaves ties undefined. As a
+    plain aggregate it keeps map-side partial aggregation (the window
+    formulation the oracle uses shuffles whole rows; the struct-max
+    shuffles one 16-byte partial per key per partition).
+    """
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.max(F.struct("o_totalprice", "o_orderkey")).alias("m"))
+        .select(
+            "o_custkey",
+            F.col("m.o_orderkey").alias("best_orderkey"),
+            F.round("m.o_totalprice", 2).alias("best_totalprice"),
+        )
+    )
