@@ -25,3 +25,27 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy re-exports of the library-level operator APIs (kept lazy so
+    importing the package never forces a SparkSession or the full operator
+    registry)."""
+    _API = {
+        "asof_join": "sqlite_to_clickhouse_spark.operators.joins",
+        "salted_join": "sqlite_to_clickhouse_spark.operators.joins",
+        "minhash_lsh_pairs": "sqlite_to_clickhouse_spark.operators.dedup",
+        "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
+        "replacing_dedup": "sqlite_to_clickhouse_spark.migrate",
+        "migrate_sqlite": "sqlite_to_clickhouse_spark.migrate",
+        "read_sqlite": "sqlite_to_clickhouse_spark.sources.sqlite",
+        "write_bucketed": "sqlite_to_clickhouse_spark.sources.sinks",
+        "write_clickhouse": "sqlite_to_clickhouse_spark.sources.sinks",
+        "sink_parquet": "sqlite_to_clickhouse_spark.sources.sinks",
+        "get_spark": "sqlite_to_clickhouse_spark.session",
+    }
+    if name in _API:
+        import importlib
+
+        return getattr(importlib.import_module(_API[name]), name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

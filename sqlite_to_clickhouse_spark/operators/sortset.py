@@ -163,3 +163,16 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference (distinct semantics) — left-anti under the hood."""
     a, b = _order_halves(spark, sf_dir)
     return a.subtract(b)
+
+
+@register(
+    "set_except_all",
+    oracle=f"{_HALVES_SQL_A} EXCEPT ALL {_HALVES_SQL_B}",
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag difference (multiplicity-aware EXCEPT ALL): each row survives
+    max(0, count_left - count_right) times. Physically a count-compare per
+    group, not a row-wise anti join — duplicates matter."""
+    a, b = _order_halves(spark, sf_dir)
+    return a.exceptAll(b)

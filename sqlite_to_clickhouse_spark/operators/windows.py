@@ -156,3 +156,32 @@ def dedup_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts", "value")
     )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
+           CAST(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE)
+             AS pct_rank
+    FROM orders
+    """,
+    tags=("window",),
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank over a global ordering (quartile bucketing).
+
+    A single unpartitioned window is the one window shape that does NOT
+    scale (all rows through one partition); it is registered for surface
+    completeness — at 100 TB bucket via approx quantile boundaries
+    (range-partitioned sort) instead, or partition the window.
+    """
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
