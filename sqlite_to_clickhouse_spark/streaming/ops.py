@@ -297,3 +297,102 @@ def stream_foreach_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(os.path.join(out_dir, "result"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL '30 minutes'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: clicks joined to purchases by the same
+    user within 30 minutes after the click.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on both ends, so Spark can evict buffered rows once the watermark
+    passes the range — the requirement that makes stream⨝stream state
+    finite. Without the time bound the buffers grow forever; this op is
+    the template for correctly-bounded streaming joins at scale.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") < F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return run_to_memory(joined, "append")
+
+
+@register(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt, ROUND(SUM(value), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running (count, sum) maintained in explicit group state and re-emitted
+    on every batch that touches the user.
+
+    This is the escape hatch for stateful semantics Spark's built-ins
+    can't express (custom sessionization, CEP, decaying counters): state
+    is an arbitrary tuple per key, batches arrive as Arrow-backed pandas
+    frames, and the watermark/timeout machinery bounds state lifetime.
+    With the fixture arriving as one AvailableNow batch the emissions are
+    exactly the final per-user aggregates, which is what makes this
+    differentially checkable against plain GROUP BY SQL.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "cnt": [cnt], "sum_value": [round(total, 2)]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, cnt long, sum_value double",
+        stateStructType="cnt long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return run_to_memory(out, "update")
