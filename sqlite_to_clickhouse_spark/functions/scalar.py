@@ -250,3 +250,58 @@ def fn_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@register(
+    "fn_hash",
+    oracle="""
+    SELECT doc_id,
+           md5(text)                                       AS h_md5,
+           sha256(text)                                    AS h_sha256,
+           CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS h_md5_64
+    FROM documents
+    """,
+    tags=("function", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-function family (ClickHouse's MD5/SHA/cityHash64 analog):
+    md5, sha2-256, and a 60-bit integer digest derived from md5 — the
+    engine-portable integer hash the LSH/dedup ops build on. All JVM-side;
+    for pure-speed partitioning keys prefer xxhash64 (not reproducible in
+    DuckDB, hence not oracled here)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("h_md5"),
+        F.sha2(F.col("text"), 256).alias("h_sha256"),
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("h_md5_64"),
+    )
+
+
+@register(
+    "fn_bitwise",
+    oracle="""
+    SELECT event_id,
+           user_id & 255                AS b_and,
+           user_id | 4096               AS b_or,
+           xor(user_id, 1365)           AS b_xor,
+           user_id << 3                 AS b_shl,
+           user_id >> 2                 AS b_shr,
+           CAST(bit_count(user_id) AS INT) AS b_popcnt
+    FROM events
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor/shifts/popcount on integer columns."""
+    ev = table(spark, sf_dir, "events")
+    u = F.col("user_id")
+    return ev.select(
+        "event_id",
+        u.bitwiseAND(F.lit(255)).alias("b_and"),
+        u.bitwiseOR(F.lit(4096)).alias("b_or"),
+        u.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+        F.shiftleft(u, 3).alias("b_shl"),
+        F.shiftright(u, 2).alias("b_shr"),
+        F.bit_count(u).alias("b_popcnt"),
+    )
