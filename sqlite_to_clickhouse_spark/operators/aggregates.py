@@ -328,3 +328,32 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("m.o_totalprice", 2).alias("best_totalprice"),
         )
     )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6)                   AS sd_qty,
+           ROUND(var_samp(l_quantity), 6)                      AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 6)         AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)   AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance.
+
+    All are single-pass mergeable sketches in Spark (Welford-style
+    partial states), so they shuffle O(groups) like sum/count — the
+    property that keeps corr() over a 100 TB fact table one scan.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )

@@ -286,3 +286,48 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(toks, lambda t: F.md5(t))).alias("min_token_hash"),
         F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long").alias("fingerprint60"),
     )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS freq, COUNT(DISTINCT doc_id) AS n_docs
+    FROM grams GROUP BY bigram HAVING COUNT(*) >= 5
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram frequencies (n-gram family): generate adjacent-token
+    bigrams with a JVM-side sequence/transform (no UDF), explode, and
+    aggregate corpus-wide counts + document frequency. The HAVING cut
+    keeps the shuffled result to frequent grams — at corpus scale the
+    long tail is the volume, so threshold before any join against it."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # Guard: sequence(0, -1) runs DESCENDING in Spark, so a 0/1-token doc
+    # would fabricate indices — emit an empty array instead.
+    bigrams = F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(tk, i + 1), F.element_at(tk, i + 2)),
+        )
+    )
+    return (
+        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("freq") >= 5)
+    )
