@@ -174,3 +174,50 @@ def migrate_sqlite_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(reports["customer"].target).select(
         "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
     )
+
+
+_STAGED_FMT: dict[tuple, str] = {}
+
+
+def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    """Write the nation fixture out as CSV/JSON once per process — the
+    staged copy is what scan_csv/scan_json read back, so the op covers the
+    full write+read round trip of the format."""
+    key = (sf_dir, fmt)
+    if key not in _STAGED_FMT:
+        path = os.path.join(tempfile.mkdtemp(prefix=f"scan_{fmt}_"), "nation")
+        n = table(spark, sf_dir, "nation")
+        if fmt == "csv":
+            n.write.mode("overwrite").option("header", "true").csv(path)
+        else:
+            n.write.mode("overwrite").json(path)
+        _STAGED_FMT[key] = path
+    return _STAGED_FMT[key]
+
+
+_NATION_ORACLE = "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+
+
+@register("scan_csv", oracle=_NATION_ORACLE, tags=("source", "etl"))
+def scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema (never inferSchema at scale —
+    inference is a full extra pass over the files). Header + typed read
+    back of the staged CSV copy of nation."""
+    path = _stage_format(spark, sf_dir, "csv")
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .option("header", "true")
+        .csv(path)
+    )
+
+
+@register("scan_json", oracle=_NATION_ORACLE, tags=("source", "etl"))
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with an explicit schema (same rule: schema
+    inference is an extra full scan; at 100 TB always declare)."""
+    path = _stage_format(spark, sf_dir, "json")
+    return (
+        spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
+        .json(path)
+        .select("n_nationkey", "n_name", "n_regionkey")
+    )
