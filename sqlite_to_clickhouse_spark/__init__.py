@@ -36,6 +36,7 @@ def __getattr__(name):
         "salted_join": "sqlite_to_clickhouse_spark.operators.joins",
         "minhash_lsh_pairs": "sqlite_to_clickhouse_spark.operators.dedup",
         "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
+        "topk_cosine_blocked": "sqlite_to_clickhouse_spark.operators.similarity",
         "replacing_dedup": "sqlite_to_clickhouse_spark.migrate",
         "migrate_sqlite": "sqlite_to_clickhouse_spark.migrate",
         "read_sqlite": "sqlite_to_clickhouse_spark.sources.sqlite",
