@@ -305,3 +305,94 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(u, 2).alias("b_shr"),
         F.bit_count(u).alias("b_popcnt"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com'              AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR)   AS path,
+           lang                                  AS q_lang,
+           'https'                               AS proto
+    FROM documents
+    """,
+    tags=("fn",),
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family (ClickHouse domain()/path()/extractURLParameter
+    analogs): build a deterministic URL per document, then take it apart
+    with parse_url — HOST, PATH, a named QUERY parameter, PROTOCOL. The
+    oracle constructs the same fields directly, so the assertion is that
+    Spark's parser inverts the construction exactly. parse_url is a JVM
+    intrinsic: no UDF, stays inside codegen."""
+    d = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("proto"),
+    )
+
+
+@register(
+    "fn_time_bucket",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts)) AS BIGINT) // 900 * 900 * 1000000)
+               AS bucket_ts,
+           count(*) AS n,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
+    GROUP BY bucket_ts
+    """,
+    tags=("fn", "events"),
+)
+def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-aligned 15-minute bucketing (ClickHouse toStartOfInterval /
+    DuckDB time_bucket analog) via integer epoch math — the grid is
+    engine-independent, unlike format-string truncation. Bucket ids are
+    computed in the projection, so the aggregate shuffles only the ~200
+    bucket keys."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(F.expr("unix_timestamp(ts) div 900 * 900"))
+    return (
+        ev.filter(F.col("ts") < F.lit("2024-01-03 00:00:00").cast("timestamp"))
+        .select(bucket.alias("bucket_ts"), "value")
+        .groupBy("bucket_ts")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+@register(
+    "fn_editdistance",
+    oracle="""
+    SELECT a.doc_id,
+           levenshtein(a.text, b.text) AS edit_dist,
+           abs(a.n_chars - b.n_chars)  AS len_delta
+    FROM documents a
+    JOIN documents b ON b.doc_id = a.doc_id + 1
+    """,
+    tags=("fn", "text"),
+)
+def fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance (ClickHouse editDistance) between consecutive
+    documents — a cheap near-dup signal on short texts. The id+1 self-join
+    broadcasts at this scale; at 100 TB the same pairing comes free from a
+    lag() window over doc_id instead of a join."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    a, b = d.alias("a"), d.alias("b")
+    return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        F.abs(F.col("a.n_chars") - F.col("b.n_chars")).alias("len_delta"),
+    )

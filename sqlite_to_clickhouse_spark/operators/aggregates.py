@@ -357,3 +357,101 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
     )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(l_extendedprice / 5000) AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(l_extendedprice), 2) AS lo,
+           round(max(l_extendedprice), 2) AS hi,
+           round(avg(l_extendedprice), 2) AS mean_price
+    FROM lineitem
+    GROUP BY bucket
+    """,
+    tags=("agg",),
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (ClickHouse histogram()/width_bucket analog):
+    bucket = floor(price/5000) with per-bucket count/min/max/mean. The
+    bucket id is computed in the projection, so the aggregate is an
+    ordinary partial+final hash agg on ~dozens of keys — the cheapest
+    possible shuffle no matter the input size."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "bucket", F.floor(F.col("l_extendedprice") / 5000).cast("long")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("l_extendedprice"), 2).alias("lo"),
+            F.round(F.max("l_extendedprice"), 2).alias("hi"),
+            F.round(F.avg("l_extendedprice"), 2).alias("mean_price"),
+        )
+    )
+
+
+@register(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT l_returnflag,
+           bit_or(l_linenumber)  AS flags_or,
+           bit_and(l_linenumber) AS flags_and,
+           bit_xor(l_orderkey)   AS keys_xor,
+           bool_and(l_quantity > 0)     AS all_positive,
+           bool_or(l_discount > 0.09)   AS any_deep_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregates (ClickHouse groupBitOr/groupBitAnd/
+    groupBitXor + every/any analogs). All are associative+commutative, so
+    Spark computes them with map-side partials — the shuffle carries one
+    long per group per aggregate regardless of input size."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_or("l_linenumber").alias("flags_or"),
+        F.bit_and("l_linenumber").alias("flags_and"),
+        F.bit_xor("l_orderkey").alias("keys_xor"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+    )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT l_returnflag,
+               round(sum(l_quantity), 2)      AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(sum(l_discount), 2)      AS sum_disc
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_price', sum_price FROM wide
+    UNION ALL
+    SELECT l_returnflag, 'sum_disc', sum_disc FROM wide
+    """,
+    tags=("agg",),
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (pivot's inverse; DuckDB UNPIVOT / CH arrayJoin
+    over a measure map): three per-flag sums melted into (measure, val)
+    rows. Spark's native unpivot is a zero-shuffle projection — the only
+    exchange is the upstream groupBy."""
+    li = table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )

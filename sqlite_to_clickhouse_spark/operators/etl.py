@@ -189,6 +189,8 @@ def _stage_format(spark: SparkSession, sf_dir: str, fmt: str) -> str:
         n = table(spark, sf_dir, "nation")
         if fmt == "csv":
             n.write.mode("overwrite").option("header", "true").csv(path)
+        elif fmt == "orc":
+            n.write.mode("overwrite").orc(path)
         else:
             n.write.mode("overwrite").json(path)
         _STAGED_FMT[key] = path
@@ -220,4 +222,55 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema("n_nationkey int, n_name string, n_regionkey int")
         .json(path)
         .select("n_nationkey", "n_name", "n_regionkey")
+    )
+
+
+@register("scan_orc", oracle=_NATION_ORACLE, tags=("source", "etl"))
+def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round trip. ORC carries its own schema and, like
+    parquet, supports predicate pushdown + column pruning at the scan —
+    the second columnar interchange format the engine speaks."""
+    path = _stage_format(spark, sf_dir, "orc")
+    return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
+
+
+_PART_STAGED: dict[str, str] = {}
+
+
+@register(
+    "sink_partitioned_parquet",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("sink", "etl"),
+)
+def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + partition-pruned read-back: write
+    orders partitioned by o_orderpriority, then read ONE partition back via
+    a filter on the partition column. The filter resolves against directory
+    names (PartitionFilters in the plan — asserted in tests/test_plans.py),
+    so the scan never opens the other partitions' files. This layout is the
+    100 TB table-organization primitive: low-cardinality key -> directories,
+    pruning makes per-key queries O(selected partition)."""
+    key = sf_dir
+    if key not in _PART_STAGED:
+        path = os.path.join(tempfile.mkdtemp(prefix="sink_part_"), "orders")
+        (
+            table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+            .write.mode("overwrite")
+            .partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+        _PART_STAGED[key] = path
+    got = spark.read.parquet(_PART_STAGED[key]).filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return got.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
     )

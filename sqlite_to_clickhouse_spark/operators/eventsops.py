@@ -1,0 +1,189 @@
+"""Event-sequence analytics: the ClickHouse ``windowFunnel`` / ``retention``
+parametric-aggregate analogs, expressed as pure DataFrame plans.
+
+The reference's sink is ClickHouse (``/root/reference/main.py:65`` creates
+ReplacingMergeTree tables), whose users lean on its event-analytics
+aggregates for exactly the kind of ``events`` table the fixtures model.
+Neither function exists in Spark; both decompose into window-min chains and
+conditional aggregation — no UDF, no per-user array materialization, so the
+plan survives users with millions of events.
+
+Scale notes (100 TB): every step keys on ``user_id`` only. The three
+window-min passes in the funnel share one ``hashpartitioning(user_id)``
+exchange (Catalyst reuses the sort/partitioning between consecutive Window
+nodes with identical specs), and the follow-up per-user aggregate reuses it
+again — one wide shuffle total, then a tiny shuffle on the step/flag keys.
+Skewed users (bots) cost one hot partition in the window pass; AQE skew
+handling is on in the session builder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+_FUNNEL_ORACLE = """
+    WITH f1 AS (
+        SELECT user_id, ts, event_type,
+               min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS s1
+        FROM events
+    ), f2 AS (
+        SELECT *, min(CASE WHEN event_type = 'click'
+                            AND ts >= s1
+                            AND ts <= s1 + INTERVAL 24 HOURS THEN ts END)
+                      OVER (PARTITION BY user_id) AS s2
+        FROM f1
+    ), f3 AS (
+        SELECT *, min(CASE WHEN event_type = 'purchase'
+                            AND ts >= s2
+                            AND ts <= s1 + INTERVAL 24 HOURS THEN ts END)
+                      OVER (PARTITION BY user_id) AS s3
+        FROM f2
+    ), per_user AS (
+        SELECT user_id,
+               max(CASE WHEN s3 IS NOT NULL THEN 3
+                        WHEN s2 IS NOT NULL THEN 2
+                        WHEN s1 IS NOT NULL THEN 1
+                        ELSE 0 END) AS funnel_step
+        FROM f3
+        GROUP BY user_id
+    )
+    SELECT funnel_step, count(*) AS n_users
+    FROM per_user
+    GROUP BY funnel_step
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE, tags=("events", "analytics"))
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(24h)(ts, view, click, purchase)`` analog:
+    deepest view→click→purchase step each user completes, where every later
+    step must land within 24 h of the first view. Histogram of users per
+    step reached.
+
+    The chain is three whole-partition window mins over the same
+    ``user_id`` partitioning (each conditioned on the previous step's
+    timestamp, which the prior window already stamped onto every row), so
+    Catalyst plans a single exchange for all three plus the per-user
+    aggregate.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    deadline = F.col("s1") + F.expr("INTERVAL 24 HOURS")
+    df = ev.withColumn(
+        "s1", F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    )
+    df = df.withColumn(
+        "s2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click")
+                & (F.col("ts") >= F.col("s1"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    df = df.withColumn(
+        "s3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") >= F.col("s2"))
+                & (F.col("ts") <= deadline),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    step = (
+        F.when(F.col("s3").isNotNull(), F.lit(3))
+        .when(F.col("s2").isNotNull(), F.lit(2))
+        .when(F.col("s1").isNotNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    per_user = df.groupBy("user_id").agg(F.max(step).alias("funnel_step"))
+    return per_user.groupBy("funnel_step").agg(F.count("*").alias("n_users"))
+
+
+_RETENTION_ORACLE = """
+    WITH per_user AS (
+        SELECT user_id,
+               max(CASE WHEN event_type = 'signup'
+                         AND ts < TIMESTAMP '2024-01-08 00:00:00'
+                        THEN 1 ELSE 0 END) AS r1,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                         AND ts < TIMESTAMP '2024-01-15 00:00:00'
+                        THEN 1 ELSE 0 END) AS r2,
+               max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00'
+                         AND ts < TIMESTAMP '2024-01-22 00:00:00'
+                        THEN 1 ELSE 0 END) AS r3
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT CAST(sum(r1) AS BIGINT)      AS n_cohort,
+           CAST(sum(r1 * r2) AS BIGINT) AS n_week2,
+           CAST(sum(r1 * r3) AS BIGINT) AS n_week3
+    FROM per_user
+"""
+
+
+@register("events_retention", oracle=_RETENTION_ORACLE, tags=("events", "analytics"))
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``retention(cond1, cond2, cond3)`` analog: cohort = users
+    who signed up in week 1; how many were active in week 2 / week 3
+    (each later flag ANDed with the cohort flag, per the CH contract).
+
+    One per-user conditional aggregate (map-side partial → single shuffle
+    on user_id), then a scalar roll-up — no joins, no arrays.
+    """
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    d2, d3, d4 = "2024-01-08 00:00:00", "2024-01-15 00:00:00", "2024-01-22 00:00:00"
+    t = lambda s: F.lit(s).cast("timestamp")  # noqa: E731
+    flag = lambda c: F.max(F.when(c, 1).otherwise(0))  # noqa: E731
+    per_user = ev.groupBy("user_id").agg(
+        flag((F.col("event_type") == "signup") & (F.col("ts") < t(d2))).alias("r1"),
+        flag((F.col("ts") >= t(d2)) & (F.col("ts") < t(d3))).alias("r2"),
+        flag((F.col("ts") >= t(d3)) & (F.col("ts") < t(d4))).alias("r3"),
+    )
+    return per_user.agg(
+        F.sum("r1").cast("long").alias("n_cohort"),
+        F.sum(F.col("r1") * F.col("r2")).cast("long").alias("n_week2"),
+        F.sum(F.col("r1") * F.col("r3")).cast("long").alias("n_week3"),
+    )
+
+
+_SEQ_ORACLE = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CASE WHEN prev_type = 'view' AND event_type = 'click'
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_then_click
+    FROM ordered
+    GROUP BY user_id
+"""
+
+
+@register("events_sequence_count", oracle=_SEQ_ORACLE, tags=("events", "analytics"))
+def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')`` (adjacent-pair flavor):
+    per user, how many times a click immediately follows a view in
+    event-time order. One lag window + the per-user aggregate share a
+    single hashpartitioning(user_id) exchange; ties broken on event_id so
+    both engines see the same ordering."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn("prev_type", F.lag("event_type").over(w))
+    hit = (F.col("prev_type") == "view") & (F.col("event_type") == "click")
+    return flagged.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_view_then_click"),
+    )

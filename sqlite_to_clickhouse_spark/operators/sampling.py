@@ -1,0 +1,98 @@
+"""Deterministic sampling / dataset-split operators.
+
+Training-data pipelines need *reproducible* splits: the same document must
+land in the same split on every run, on any cluster size, with no RNG state
+to ship around. Hash-based assignment gives that for free — split is a pure
+function of the key, so it's stable under retries, repartitioning, and
+incremental appends (new docs don't reshuffle old ones, unlike
+`df.randomSplit`, whose assignment depends on partition layout).
+
+The md5-hex trick: the first two hex chars of md5(key) are a uniform value
+in '00'..'ff', and hex strings compare lexicographically in numeric order
+('9' < 'a' in ASCII), so plain string thresholds carve exact /256 fractions
+identically in any engine that has md5 — which is what makes these ops
+oracle-checkable bit-for-bit against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+# 204/256 = 79.7% train, 26/256 = 10.2% val, 26/256 = 10.2% test.
+_TRAIN_HI = "cc"
+_VAL_HI = "e6"
+
+_SPLIT_ORACLE = f"""
+    WITH tagged AS (
+        SELECT n_chars,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}'
+                        THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM tagged
+    GROUP BY split
+"""
+
+
+@register("split_train_holdout", oracle=_SPLIT_ORACLE, tags=("sampling", "llm"))
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~80/10/10 train/val/test assignment by md5(doc_id) prefix, with
+    per-split doc and char counts. Pure projection + tiny 3-key aggregate:
+    no shuffle of the corpus itself, no RNG, append-stable — the split of
+    an existing doc never changes when new data arrives."""
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(h2 < _TRAIN_HI, "train").when(h2 < _VAL_HI, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+_SAMPLE_ORACLE = """
+    SELECT l_returnflag,
+           count(*) AS n_sampled,
+           round(avg(l_extendedprice), 2) AS avg_price
+    FROM lineitem
+    WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '-'
+                     || CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+    GROUP BY l_returnflag
+"""
+
+
+@register("sample_deterministic", oracle=_SAMPLE_ORACLE, tags=("sampling",))
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~10% deterministic row sample (26/256) by md5 of the composite key,
+    then a per-flag summary. The filter is a scan-side projection predicate
+    — at 100 TB this is the cheap way to get a reproducible dev slice
+    without TABLESAMPLE's partition-dependent nondeterminism."""
+    li = table(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+    )
+    return (
+        li.filter(F.substring(F.md5(key), 1, 2) < "1a")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )

@@ -331,3 +331,43 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("freq") >= 5)
     )
+
+
+@register(
+    "text_bpe_tokens",
+    oracle=r"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))) AS BIGINT)
+               AS sum_bpe_tokens,
+           CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS sum_ws_tokens,
+           round(avg(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]'))), 4)
+               AS avg_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "llm"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for pipeline budgeting: a BPE-ish lexer regex
+    (letter runs | digit runs | single non-alnum) next to plain whitespace
+    tokens, aggregated per language. Both counts are single-pass
+    projections feeding a tiny groupBy(lang) — regexp_extract_all and
+    split are JVM intrinsics, so the scan stays inside codegen with no
+    Python in the loop."""
+    d = table(spark, sf_dir, "documents")
+    bpe = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0))
+    )
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.select("lang", bpe.alias("bpe"), ws.alias("ws"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("bpe").cast("long").alias("sum_bpe_tokens"),
+            F.sum("ws").cast("long").alias("sum_ws_tokens"),
+            F.round(F.avg("bpe"), 4).alias("avg_bpe_tokens"),
+        )
+    )

@@ -218,3 +218,26 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(w).alias("latest_order_so_far"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
     )
+
+
+@register(
+    "window_cume_dist",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           round(cume_dist() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal), 6) AS bal_cume
+    FROM customer
+    """,
+    tags=("window",),
+)
+def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist per market segment: each customer's cumulative balance
+    percentile. Tie rows share a value by definition, so the output is
+    deterministic without a tiebreaker column."""
+    c = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
+    )

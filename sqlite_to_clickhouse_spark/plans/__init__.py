@@ -20,6 +20,8 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.functions.udfs",
     "sqlite_to_clickhouse_spark.operators.etl",
     "sqlite_to_clickhouse_spark.operators.multimodal",
+    "sqlite_to_clickhouse_spark.operators.eventsops",
+    "sqlite_to_clickhouse_spark.operators.sampling",
 ]
 
 for _mod in _OPERATOR_MODULES:

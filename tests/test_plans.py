@@ -147,3 +147,21 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     executed = df._jdf.queryExecution().executedPlan().toString()
     # "*(N)" prefixes are WholeStageCodegen stage markers in plan strings.
     assert "*(" in executed and "isFinalPlan=true" in executed
+
+
+def test_events_funnel_single_wide_shuffle(spark, sf_dir):
+    # Three window-min passes + per-user agg must share one
+    # hashpartitioning(user_id) exchange; the only other exchange is the
+    # tiny final shuffle on funnel_step.
+    p = _plan(spark, sf_dir, "events_funnel")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 2, regular
+    assert p.count("Window") >= 3
+
+
+def test_sink_partitioned_parquet_op_prunes(spark, sf_dir):
+    # The registered op's read-back plan must resolve the priority filter
+    # against directory names, not row groups.
+    p = _plan(spark, sf_dir, "sink_partitioned_parquet")
+    pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "o_orderpriority" in pf

@@ -49,6 +49,15 @@ _ANSI_OPS = [
     "udf_pandas_grouped_agg",
     # dedup_exact's oracle uses DuckDB's sha256(); Spark spells it sha2(x,256)
     "text_lang_filter",
+    "events_funnel",
+    "events_retention",
+    "agg_histogram",
+    "window_cume_dist",
+    "sink_partitioned_parquet",
+    "events_sequence_count",
+    "agg_bitwise_bool",
+    "agg_unpivot",
+    "fn_editdistance",
 ]
 
 
