@@ -52,6 +52,19 @@ HEADLINE = [
     "dedup_fuzzy_minhash",
     "sim_topk_cosine",
     "sim_ann_ivf",
+    # Event analytics, pipeline splits, CDC merge, time-range windows —
+    # round-1 extensions (each sub-second at sf0.1; dedup_connected_components
+    # is correctness-gated but excluded here: it re-runs the whole minhash
+    # subtree, which dedup_fuzzy_minhash above already times).
+    "events_funnel",
+    "events_user_path",
+    "window_time_range",
+    "split_train_holdout",
+    "merge_upsert",
+    "agg_histogram",
+    "text_bpe_tokens",
+    "query_shipping_priority",
+    "query_supplier_volume",
 ]
 
 

@@ -396,3 +396,112 @@ def fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
         F.abs(F.col("a.n_chars") - F.col("b.n_chars")).alias("len_delta"),
     )
+
+
+@register(
+    "fn_format",
+    oracle="""
+    SELECT o_orderkey,
+           printf('%08d:%.2f', o_orderkey, o_totalprice) AS order_tag,
+           lpad(o_orderpriority, 15, '.')                AS padded,
+           reverse(o_orderstatus)                        AS rev_status,
+           repeat(o_orderstatus, 3)                      AS status3
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """printf-style formatting + pad/reverse/repeat (ClickHouse format()/
+    leftPad family). format_string is the JVM printf — the %.2f path is
+    locale-independent, so both engines render identical strings."""
+    o = table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.format_string("%08d:%.2f", F.col("o_orderkey"), F.col("o_totalprice")).alias(
+            "order_tag"
+        ),
+        F.lpad("o_orderpriority", 15, ".").alias("padded"),
+        F.reverse("o_orderstatus").alias("rev_status"),
+        F.repeat("o_orderstatus", 3).alias("status3"),
+    )
+
+
+@register(
+    "fn_date_extra",
+    oracle="""
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE))            AS month_end,
+           quarter(CAST(o_orderdate AS DATE))             AS qtr,
+           dayofyear(CAST(o_orderdate AS DATE))           AS doy,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m
+    FROM orders
+    """,
+    tags=("fn",),
+)
+def fn_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar arithmetic beyond fn_date: month-end, quarter, day-of-year,
+    and month addition with end-of-month clamping (both engines clamp
+    Jan 31 + 1 month to Feb 29) — the ClickHouse toLastDayOfMonth /
+    toQuarter / addMonths family."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.dayofyear(d).alias("doy"),
+        F.add_months(d, 3).alias("plus_3m"),
+    )
+
+
+@register(
+    "fn_json_struct",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
+    FROM events
+    """,
+    tags=("fn",),
+)
+def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON round trip: parse props into a typed struct (from_json
+    with a declared schema — the scalable path: one parse, columnar after),
+    access the field, serialize back with to_json. The declared-schema
+    parse is to JSON what declared schemas are to CSV: no inference pass."""
+    ev = table(spark, sf_dir, "events")
+    s = F.from_json("props", "k INT")
+    return ev.select(
+        "event_id",
+        s["k"].alias("k_val"),
+        F.to_json(F.struct(s["k"].alias("k"))).alias("rebuilt"),
+    )
+
+
+@register(
+    "fn_math_advanced",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(sqrt(l_quantity), 6)          AS q_sqrt,
+           round(exp(l_quantity / 50.0), 6)    AS q_exp,
+           round(ln(l_extendedprice), 6)       AS p_ln,
+           round(sin(l_discount), 6)           AS d_sin,
+           round(atan2(l_quantity, l_tax + 1), 6) AS qt_atan2
+    FROM lineitem
+    """,
+    tags=("fn",),
+)
+def fn_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcendental/math family (sqrt/exp/ln/sin/atan2 — the ClickHouse
+    math function surface). All JVM intrinsics inside codegen; rounded to
+    6 decimals because libm implementations may differ in the last ulp."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.sqrt("l_quantity"), 6).alias("q_sqrt"),
+        F.round(F.exp(F.col("l_quantity") / 50.0), 6).alias("q_exp"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("p_ln"),
+        F.round(F.sin("l_discount"), 6).alias("d_sin"),
+        F.round(F.atan2(F.col("l_quantity"), F.col("l_tax") + 1), 6).alias("qt_atan2"),
+    )

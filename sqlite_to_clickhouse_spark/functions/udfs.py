@@ -153,3 +153,26 @@ def udtf_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.lateralJoin(Tokenize(F.col("text").outer()).alias("t")).select(
         "doc_id", "t.token"
     )
+
+
+@register(
+    "udtf_posexplode",
+    oracle="""
+    SELECT doc_id,
+           unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token,
+           unnest(range(1, len(list_filter(string_split(text, ' '), t -> t <> '')) + 1))
+               AS pos
+    FROM documents
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (the generator the @udtf above generalizes):
+    one (doc_id, token, 1-based position) row per token, entirely JVM-side
+    — posexplode is a codegen'd generator, the fast path for ordinal
+    flattening (CH arrayJoin + arrayEnumerate)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    return d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "token")
+    ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))

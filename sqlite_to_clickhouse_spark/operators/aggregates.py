@@ -16,7 +16,7 @@ coarse enough that order effects vanish at the tested scales.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlite_to_clickhouse_spark.io import table
@@ -454,4 +454,150 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price", "sum_disc"], "measure", "val"
+    )
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    SELECT user_id, round(entropy(event_type), 6) AS type_entropy,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "events"),
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (log2) of each user's event-type distribution —
+    ClickHouse/DuckDB entropy() built-in, which Spark lacks. Decomposed
+    into two hash aggregates over the same user_id partitioning: counts
+    per (user, type), then sum(-p*log2(p)) per user — Catalyst reuses the
+    exchange, so it costs one shuffle like the built-in would."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type")
+    per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    w_total = F.sum("c").over(Window.partitionBy("user_id"))
+    p = F.col("c") / w_total
+    return (
+        per_type.withColumn("term", -p * F.log2(p))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.sum("term"), 6).alias("type_entropy"),
+            F.sum("c").alias("n_events"),
+        )
+    )
+
+
+@register(
+    "agg_quantiles_multi",
+    oracle="""
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
+                          v -> round(v, 4)) AS quartiles
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-quantile in one pass (ClickHouse quantiles(...)(x) analog):
+    one sort of each group's values serves all four cut points — four
+    separate percentile calls would buffer the group four times."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(q, lambda v: F.round(v, 4)).alias("quartiles")
+    )
+
+
+@register(
+    "agg_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*)              AS n,
+               sum(l_quantity)       AS s1,
+               sum(l_quantity * l_quantity) AS s2,
+               sum(l_quantity * l_quantity * l_quantity) AS s3
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(s1 / n, 6) AS mean_qty,
+           round((s2 / n) - (s1 / n) * (s1 / n), 6) AS var_pop,
+           round(((s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / pow((s2 / n) - (s1 / n) * (s1 / n), 1.5), 6) AS skew_pop
+    FROM s
+    """,
+    tags=("agg",),
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population mean/variance/skewness from raw power sums — built-in
+    skewness() definitions differ across engines (sample vs population,
+    bias correction), so both sides compute the identical moment formula.
+    One partial+final aggregate: the shuffle carries four doubles per
+    group, the classic mergeable-sketch shape every engine's stats
+    aggregates reduce to."""
+    li = table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n")
+    m3 = F.col("s3") / F.col("n")
+    var_pop = m2 - m1 * m1
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(var_pop, 6).alias("var_pop"),
+        F.round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1) / F.pow(var_pop, 1.5), 6).alias(
+            "skew_pop"
+        ),
+    )
+
+
+@register(
+    "agg_group_array",
+    oracle="""
+    SELECT user_id,
+           list_sort(list_distinct(list(event_type))) AS types_seen,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("agg", "events"),
+)
+def agg_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregate (ClickHouse groupUniqArray): each user's
+    distinct event types as a sorted array. collect_set partials merge
+    map-side; the sort makes the array deterministic across engines and
+    partition orders."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+
+
+@register(
+    "agg_approx_percentile",
+    oracle=None,  # sketch-based: Spark t-digest-style vs DuckDB's sampling
+    # differ by construction; tests/test_aggregates.py bounds the error
+    # against the exact percentile.
+    tags=("agg", "approx"),
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (ClickHouse quantileTDigest analog):
+    mergeable constant-memory sketch per group — the 100 TB path where
+    exact percentile() would buffer each group's values. accuracy=10000
+    bounds rank error at 1/10000."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("ap50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("ap95"),
+        F.count("*").alias("n"),
     )

@@ -372,3 +372,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = F.array_distinct(_tokens(F.col("text")))
     return d.select("doc_id", _simhash_expr(toks).cast("long").alias("simhash"))
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+) -> DataFrame:
+    """Connected components by iterative min-label propagation (library
+    API): undirected edge list in, (node, component_id) out, where
+    component_id = the smallest node id reachable from the node.
+
+    The Pregel-lite loop: every node starts labeled with itself; each
+    round a node adopts min(own label, min of neighbors' labels); stop at
+    fixpoint. Rounds ≈ graph diameter (dup clusters are shallow — near-dup
+    graphs are clique-ish, so 3-5 rounds in practice). Per round: one
+    shuffle join (edges ⨝ labels on src) + one agg on dst — both keyed the
+    same way, so AQE coalesces them tightly. localCheckpoint every round
+    truncates the lineage (an iterative plan otherwise grows exponentially
+    in analysis time) and materializes the small label table, never the
+    edges.
+    """
+    fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    und = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
+    und = und.persist()
+    labels = (
+        und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["s"] == labels["node"])
+            .groupBy(und["d"].alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select("node", F.col("label").alias("component_id"))
+
+
+def _components_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS peer FROM edges
+        UNION
+        SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    )
+    SELECT node AS doc_id,
+           least(node, min(peer)) AS component_id,
+           (node = least(node, min(peer))) AS is_canonical
+    FROM reach
+    GROUP BY node
+    """
+
+
+@register("dedup_connected_components", oracle=_components_oracle(), tags=("llm", "dedup"))
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster collapse — the step after pair generation that
+    actual corpus dedup needs: MinHash-LSH pairs → connected components →
+    one canonical doc (min id) per cluster. Iterative label propagation on
+    the Spark side; the oracle computes the same components with a
+    recursive-CTE transitive closure over the identical pair set, so the
+    clustering itself is differentially verified (a rare case of an
+    iterative algorithm with an exact SQL oracle)."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk"))
+    pairs = minhash_lsh_pairs(toks, "doc_id", "tk").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component_id",
+        (F.col("node") == F.col("component_id")).alias("is_canonical"),
+    )

@@ -274,3 +274,76 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+                THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+                THEN 'update' ELSE 'base' END AS src
+    FROM orders
+    """,
+    tags=("etl",),
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert (the batch form of the reference's
+    ReplacingMergeTree last-write-wins contract, main.py:65,178): a base
+    table unioned with a ~10% update batch (deterministic md5 slice, price
+    bumped, higher version), then one row per key keeping the max version.
+    The union is shuffle-free; the only exchange is the per-key window —
+    the same single-shuffle shape MERGE INTO compiles to on any engine.
+    The oracle states the post-merge truth directly (updated keys carry
+    the new price), so the whole union+version+dedup path is verified."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    sel = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "1a"
+    base = o.select("o_orderkey", "o_totalprice", F.lit(0).alias("v"))
+    upd = o.filter(sel).select(
+        "o_orderkey", (F.col("o_totalprice") + 1000).alias("o_totalprice"), F.lit(1).alias("v")
+    )
+    merged = base.unionByName(upd)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("v"))
+    return (
+        merged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.when(F.col("v") == 1, "update").otherwise("base").alias("src"),
+        )
+    )
+
+
+def _catalog_oracle() -> str:
+    parts = [
+        f"SELECT '{t}' AS table_name,"
+        f" (SELECT count(*) FROM (DESCRIBE SELECT * FROM {t})) AS n_cols,"
+        f" (SELECT count(*) FROM {t}) AS n_rows"
+        for t in TABLES
+    ]
+    return " UNION ALL ".join(parts)
+
+
+@register("catalog_scan", oracle=_catalog_oracle(), tags=("source", "etl"))
+def catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog + schema introspection as a query (reference R1/R2/R12,
+    main.py:118-145): every fixture table with its column count and row
+    count. The counts are distributed parquet-metadata scans (a parquet
+    count reads footers, not data) unioned into one result — nothing is
+    collected driver-side."""
+    per_table = [
+        table(spark, sf_dir, t).agg(
+            F.lit(t).alias("table_name"),
+            F.lit(len(table(spark, sf_dir, t).columns)).cast("long").alias("n_cols"),
+            F.count("*").alias("n_rows"),
+        )
+        for t in TABLES
+    ]
+    out = per_table[0]
+    for df in per_table[1:]:
+        out = out.unionByName(df)
+    return out

@@ -187,3 +187,87 @@ def events_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_view_then_click"),
     )
+
+
+_PATH_ORACLE = """
+    SELECT user_id,
+           array_to_string(list(event_type ORDER BY ts, event_id)[1:10], '->')
+               AS path,
+           count(*) AS n_events
+    FROM events
+    GROUP BY user_id
+"""
+
+
+@register("events_user_path", oracle=_PATH_ORACLE, tags=("events", "analytics"))
+def events_user_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``groupArray`` / ordered ``string_agg`` analog: each
+    user's first ten event types in time order, joined into a path string.
+
+    Spark has no ordered aggregate, so the canonical trick: collect
+    (ts, event_id, type) structs, array_sort (struct comparison is
+    field-order, so ts then event_id — deterministic under ties), slice to
+    10, project the type, join. One shuffle on user_id; the slice bounds
+    the output row width no matter how many events a user has (the
+    collect itself is bounded by the heaviest user — for truly unbounded
+    users, pre-rank + filter rank<=10 with a window before collecting)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    sorted_structs = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    path = F.array_join(
+        F.transform(F.slice(sorted_structs, 1, 10), lambda x: x["event_type"]),
+        "->",
+    )
+    return ev.groupBy("user_id").agg(
+        path.alias("path"), F.count("*").alias("n_events")
+    )
+
+
+_SESSIONIZE_ORACLE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                      OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_no
+        FROM flagged
+    )
+    SELECT user_id, session_no,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s
+    FROM sessions
+    GROUP BY user_id, session_no
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE, tags=("events", "analytics"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a session breaks after a
+    30-minute silence; per session, event count and span. The lag flag and
+    the running session counter ride one hashpartitioning(user_id)
+    exchange, and the per-session aggregate reuses it — the batch twin of
+    stream_session's session_window, verified against the same SQL shape."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = ev.withColumn(
+        "is_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_no", F.sum("is_new").over(run))
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+        .cast("long")
+        .alias("span_s"),
+    )

@@ -396,3 +396,39 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_o_orderkey").alias("asof_orderkey"),
         F.col("asof_o_totalprice").alias("asof_totalprice"),
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH cust AS (
+        SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_key
+        FROM customer
+    ), seg AS (
+        SELECT nullif(c_mktsegment, 'BUILDING') AS seg_key,
+               count(*) AS seg_n
+        FROM customer
+        GROUP BY 1
+    )
+    SELECT c.c_custkey, c.seg_key, s.seg_n
+    FROM cust c JOIN seg s ON c.seg_key IS NOT DISTINCT FROM s.seg_key
+    """,
+    tags=("join",),
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of vanishing, the semantics CDC pipelines need for
+    nullable business keys. eqNullSafe keeps the join a hash join (NULLs
+    hash like any value) — no fallback to a nested-loop plan."""
+    c = table(spark, sf_dir, "customer")
+    cust = c.select(
+        "c_custkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_key")
+    )
+    seg = (
+        c.select(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_key"))
+        .groupBy("seg_key")
+        .agg(F.count("*").alias("seg_n"))
+    )
+    return cust.join(seg, cust["seg_key"].eqNullSafe(seg["seg_key"])).select(
+        cust["c_custkey"], cust["seg_key"], seg["seg_n"]
+    )

@@ -177,3 +177,123 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "query_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_key,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_key
+    LIMIT 10
+    """,
+    tags=("relational", "tpch"),
+)
+def query_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers × date-bounded orders ×
+    lineitem, revenue per order, top 10. The customer/orders filters push
+    to their scans; customer broadcasts into orders; only the
+    orders⨝lineitem join and the per-order aggregate shuffle. Ties broken
+    on the rounded revenue then o_key so both engines pick identical rows."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(li["l_orderkey"].alias("o_key"), o["o_orderdate"])
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_key", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_key")
+        .limit(10)
+    )
+
+
+@register(
+    "query_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "tpch"),
+)
+def query_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: the full dimension chain region→nation→supplier
+    hung off lineitem. All three dims broadcast (they are tiny at any
+    scale factor — region/nation are fixed-cardinality), so the fact table
+    never shuffles for the joins; the only exchange is the final
+    groupBy(n_name) on ~25 keys. This is the canonical star-join plan the
+    100 TB design rule demands."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "query_part_margin",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)
+                     - p.p_retailprice * l.l_quantity * 0.8), 2) AS margin,
+           count(DISTINCT p.p_partkey) AS n_parts
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 10
+    GROUP BY p.p_brand
+    """,
+    tags=("relational", "tpch"),
+)
+def query_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-dimension rollup (Q9-ish margin): lineitem ⨝ broadcast part
+    with a dim-side filter (pushed to the part scan), per-brand margin +
+    distinct part count. The distinct-count rides the same groupBy
+    exchange via Spark's partial distinct aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    margin = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * 0.8
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(margin), 2).alias("margin"),
+            F.countDistinct("p_partkey").alias("n_parts"),
+        )
+    )

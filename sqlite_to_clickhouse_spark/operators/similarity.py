@@ -382,3 +382,38 @@ def topk_cosine_blocked(
         .filter(F.col("rn") <= k)
         .select(probe_id_col, id_col, F.round("cos", 6).alias("cosine"))
     )
+
+
+@register(
+    "sim_cosine_pairs",
+    oracle="""
+    SELECT a.vec_id,
+           round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4)
+               AS cos_next
+    FROM embeddings a
+    JOIN embeddings b ON b.vec_id = a.vec_id + 1
+    """,
+    tags=("llm", "similarity"),
+)
+def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine between consecutive embeddings — our zip_with/aggregate dot
+    product differentially tested against DuckDB's list_cosine_similarity
+    built-in (an independent implementation, so the whole float32→double
+    promotion + summation path is cross-checked, not just the plan).
+    Rounded to 4 decimals: DuckDB's built-in accumulates in float32."""
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.embedding"), F.col("b.embedding"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    cos = dot / (norm(F.col("a.embedding")) * norm(F.col("b.embedding")))
+    return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_id"), F.round(cos, 4).alias("cos_next")
+    )

@@ -241,3 +241,37 @@ def window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.cume_dist().over(w), 6).alias("bal_cume"),
     )
+
+
+@register(
+    "window_time_range",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS cnt_1h,
+           round(sum(value) OVER w, 2) AS sum_value_1h
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s FROM events) e
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "events"),
+)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user activity (event count + value sum) — a
+    time-interval RANGE frame (CH neighbor-window / streaming sliding
+    window, computed batch-side). Ordering on integer epoch seconds keeps
+    the frame arithmetic engine-independent; peers at the same second
+    share a frame, so the output needs no tiebreaker."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "epoch_s", F.unix_timestamp("ts")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("cnt_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+    )

@@ -118,3 +118,16 @@ def test_blocked_topk_equals_lambda_topk(spark, sf_dir):
     assert set(blocked) == set(lam)
     for key, c in blocked.items():
         assert abs(c - lam[key]) <= 1e-6
+
+
+def test_connected_components_library_api(spark):
+    # Two chains and an isolated pair: components must collapse to the
+    # smallest reachable id, independent of edge direction or order.
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(5, 3), (3, 9), (20, 21), (40, 41), (41, 42), (42, 40)],
+        "src: long, dst: long",
+    )
+    got = {r.node: r.component_id for r in connected_components(edges).collect()}
+    assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}

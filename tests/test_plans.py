@@ -165,3 +165,17 @@ def test_sink_partitioned_parquet_op_prunes(spark, sf_dir):
     p = _plan(spark, sf_dir, "sink_partitioned_parquet")
     pf = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "o_orderpriority" in pf
+
+
+def test_query_supplier_volume_star_join_no_fact_shuffle(spark, sf_dir):
+    # The dimension chain must broadcast; the fact table shuffles only for
+    # the final 25-key aggregate.
+    p = _plan(spark, sf_dir, "query_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 3
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular
+
+
+def test_query_shipping_priority_takes_ordered_topk(spark, sf_dir):
+    p = _plan(spark, sf_dir, "query_shipping_priority")
+    assert "TakeOrderedAndProject" in p

@@ -58,6 +58,13 @@ _ANSI_OPS = [
     "agg_bitwise_bool",
     "agg_unpivot",
     "fn_editdistance",
+    "fn_format",
+    "fn_date_extra",
+    "query_shipping_priority",
+    "query_supplier_volume",
+    "query_part_margin",
+    "agg_moments",
+    "fn_math_advanced",
 ]
 
 
