@@ -79,6 +79,7 @@ def main() -> None:
     registry[names[0]].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     total = 0.0
     for name in names:
         fn = registry[name].fn
@@ -87,8 +88,19 @@ def main() -> None:
         n = df.count()
         dt = time.perf_counter() - t0
         timings[name] = round(dt, 4)
+        rows[name] = n
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    # Derived throughput for the one workload the reference publishes a
+    # number for (BASELINE.md: ~5 100 rows/s end-to-end SQLite→sink
+    # migration): rows of the migrated table over the full
+    # stage→extract→cast→dedup→write→read-back wall clock.
+    derived = {}
+    if timings.get("migrate_sqlite_roundtrip"):
+        derived["migrate_rows_per_s"] = round(
+            rows["migrate_sqlite_roundtrip"] / timings["migrate_sqlite_roundtrip"]
+        )
 
     print(
         json.dumps(
@@ -98,6 +110,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "derived": derived,
             }
         )
     )

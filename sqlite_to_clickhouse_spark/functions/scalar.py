@@ -505,3 +505,29 @@ def fn_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sin("l_discount"), 6).alias("d_sin"),
         F.round(F.atan2(F.col("l_quantity"), F.col("l_tax") + 1), 6).alias("qt_atan2"),
     )
+
+
+@register(
+    "fn_regex",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '(\w+) (\w+)', '\2 \1', 'g') AS swapped_head,
+           len(regexp_extract_all(text, '[a-z]{5,}'))   AS n_long_words,
+           regexp_matches(text, 'dup|spark')            AS mentions_engine
+    FROM documents
+    """,
+    tags=("fn",),
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex family beyond extract: group-backreference replace (Java $n
+    vs RE2 \\n spelled per dialect, same semantics), match counting, and
+    boolean match — all JVM-side, no UDF."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_replace(F.col("text"), r"(\w+) (\w+)", r"$2 $1").alias("swapped_head"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{5,}"), F.lit(0))).alias(
+            "n_long_words"
+        ),
+        F.col("text").rlike("dup|spark").alias("mentions_engine"),
+    )

@@ -176,3 +176,55 @@ def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(toks).alias("pos0", "token")
     ).select("doc_id", "token", (F.col("pos0") + 1).alias("pos"))
+
+
+@register(
+    "udf_pandas_cogrouped",
+    oracle="""
+    SELECT o.o_orderkey,
+           count(l.l_orderkey) AS n_lines,
+           coalesce(sum(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)), 0) / 100
+               AS line_revenue
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (the two-table Arrow surface): orders and
+    lineitem cogrouped on the order key, one pandas merge per key group.
+    Both sides shuffle once on the cogroup key; each Python call sees the
+    two aligned batches. The pure-SQL equivalent is the left-join
+    aggregate the oracle states — the cogroup API exists for merge logic
+    SQL can't express (model scoring over joined panels, custom as-of
+    rules), and this op pins its semantics to the SQL baseline."""
+    import pandas as pd
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+
+    def merge(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # Floor each line to cents BEFORE summing: per-term IEEE products
+        # are bit-identical across engines and cent-integers sum exactly,
+        # so the result is independent of row/partition order. Flooring
+        # (or rounding) AFTER a float sum is knife-edge nondeterministic.
+        cents = np.floor(
+            (l_pdf["l_extendedprice"] * (1 - l_pdf["l_discount"])).to_numpy() * 100
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(l_pdf)],
+                "line_revenue": [float(cents.sum()) / 100],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(merge, "o_orderkey long, n_lines long, line_revenue double")
+    )

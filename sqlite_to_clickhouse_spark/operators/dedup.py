@@ -16,14 +16,17 @@ Scale design:
   lets the LSH pipeline be differentially tested end-to-end. At production
   scale you would swap xxhash64 for md5 (same plan shape, ~5× faster).
 
-MinHash/LSH parameters: 48 hash functions, 6 bands × 8 rows, Jaccard
-threshold 0.95. Band-collision probability is J⁸, so a J=0.95 pair is
-caught with P = 1-(1-0.95⁸)⁶ ≈ 0.9985 while a J=0.7 pair collides with
-P ≈ 0.30 and a J=0.5 pair with P ≈ 0.02. The steep r=8 curve matters
-because realistic corpora (and the synthetic fixture) contain mountains
-of moderate-similarity pairs: with the naive 2-rows-per-band scheme the
-fixture produced 11.3M candidates from 5 000 docs (90 % of all pairs),
-i.e. LSH degenerated to the O(n²) plan it exists to avoid.
+MinHash/LSH parameters: 48 hash functions, 4 bands × 12 rows, Jaccard
+threshold 0.95. Band-collision probability is J¹², so a J=0.99 pair is
+caught with P = 1-(1-0.99¹²)⁴ ≈ 0.9998, a J=0.95 pair with ≈ 0.955,
+while a J=0.8 pair collides with only P ≈ 0.25 and J=0.7 with ≈ 0.05.
+The steep r=12 curve matters because realistic corpora (and the
+synthetic fixture) contain mountains of moderate-similarity pairs: with
+the naive 2-rows-per-band scheme the fixture produced 11.3M candidates
+from 5 000 docs (90 % of all pairs, LSH degenerated to the O(n²) plan it
+exists to avoid); r=8×6 still admitted 4.1M (33 %); r=12×4 admits ~1.5M
+while keeping near-exact dups — the threshold band the 0.95 cutoff
+actually targets — at >99.9 % recall.
 """
 
 from __future__ import annotations
@@ -35,10 +38,17 @@ from sqlite_to_clickhouse_spark.io import table
 from sqlite_to_clickhouse_spark.registry import register
 
 N_HASHES = 48
-N_BANDS = 6
-ROWS_PER_BAND = 8
+N_BANDS = 4
+ROWS_PER_BAND = 12
 JACCARD_T = 0.95
 SIMHASH_BITS = 24
+# Affine universal-hash family for the minhash signatures: one md5 per
+# token (the 60-bit base hash also used by the verify stage), then per
+# seed s the cheap 64-bit arithmetic (2s+1)·h + b_s mod M31 — instead of
+# 48 md5 calls per token. Identical in DuckDB, so the construction stays
+# differentially testable.
+MERSENNE31 = 2_147_483_647
+AFFINE_MULT = 2_654_435_761  # Knuth's 2^32/phi multiplier for b_s spread
 
 
 def _tokens(col):
@@ -131,25 +141,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_sig(tokens_col):
-    """MinHash signature: per seed s, min over tokens of md5(s:token).
-
-    Pure array lambdas — computed inline during the scan, no shuffle, no
-    UDF. String-min over md5 hex digests is a valid uniform min-hash."""
-    seeds = F.array(*[F.lit(str(s)) for s in range(N_HASHES)])
-    return F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(tokens_col, lambda t: F.md5(F.concat(s, F.lit(":"), t)))
-        ),
-    )
-
-
 def _minhash_oracle() -> str:
     band_pairs = ", ".join(
         f"CAST(('0x' || substring(md5('{i}|' || "
         + " || '|' || ".join(
-            f"sig[{i * ROWS_PER_BAND + r + 1}]" for r in range(ROWS_PER_BAND)
+            f"CAST(sig[{i * ROWS_PER_BAND + r + 1}] AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
         )
         + "), 1, 15)) AS BIGINT)"
         for i in range(N_BANDS)
@@ -170,7 +167,10 @@ def _minhash_oracle() -> str:
       SELECT doc_id, tkh,
              list_transform(range({N_HASHES}),
                s -> list_aggregate(
-                      list_transform(tk, t -> md5(CAST(s AS VARCHAR) || ':' || t)),
+                      list_transform(tkh,
+                        h -> ((2 * s + 1) * (h % {MERSENNE31})
+                              + (s * {AFFINE_MULT}) % {MERSENNE31})
+                             % {MERSENNE31}),
                       'min')) AS sig
       FROM hashed
     ),
@@ -198,16 +198,18 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
 
     Pipeline (shingle → minhash → band → bucket-join → verify):
-    1. distinct tokens per doc (the 1-gram shingle set);
-    2. 48 md5 min-hashes per doc — array lambdas inline in the scan;
-    3. 6 band keys (8 sig rows each) per doc, exploded. The band id is
-       folded INTO the md5 and the digest truncated to a 60-bit long, so
-       the bucket join hashes/compares 8-byte integers, not 32-char
-       strings in a struct (fixture: 8.2M raw collisions through that
-       join — key width is the dominant join cost);
+    1. distinct tokens per doc (the 1-gram shingle set), one md5 per
+       token → 60-bit base hash (shared with the verify stage);
+    2. 48 affine min-hashes per doc — (2s+1)·h + b_s mod M31 over the
+       base hashes, pure codegen'd long arithmetic (the md5-per-seed
+       variant spent ~40 % of the whole pipeline hashing);
+    3. 4 band keys (12 sig rows each) per doc, exploded. The band id is
+       folded INTO a band md5 and the digest truncated to a 60-bit long,
+       so the bucket join hashes/compares 8-byte integers, not 32-char
+       strings in a struct;
     4. self-join on the long band key carrying ONLY (doc_id, key) —
        then distinct (doc_a, doc_b). Token arrays are deliberately NOT
-       carried here: a pair can collide in up to 6 bands, so rows
+       carried here: a pair can collide in up to 4 bands, so rows
        entering the distinct are multiplied, and hauling two token
        arrays per raw collision is what turns LSH into a multi-GB
        shuffle.
@@ -257,14 +259,20 @@ def minhash_lsh_pairs(
             lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
         ),
     )
-    seeds = F.array(*[F.lit(str(s)) for s in range(n_hashes)])
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(
-            F.transform(F.col("__tk"), lambda t: F.md5(F.concat(s, F.lit(":"), t)))
-        ),
-    )
-    sigs = toks.withColumn("sig", sig)
+    # Affine minhash over the md5-derived base hash: per seed s,
+    # min((2s+1)·(h mod M31) + b_s mod M31). One md5 per token total
+    # (shared with the verify stage's __tkh), the rest is codegen'd long
+    # arithmetic — ~48× less hashing than md5-per-seed-per-token.
+    def _affine_min(s: int):
+        b_s = (s * AFFINE_MULT) % MERSENNE31
+        return F.array_min(
+            F.transform(
+                F.col("__tkh"),
+                lambda h: ((2 * s + 1) * (h % MERSENNE31) + b_s) % MERSENNE31,
+            )
+        )
+
+    sigs = toks.withColumn("sig", F.array(*[_affine_min(s) for s in range(n_hashes)]))
     band_keys = F.array(
         *[
             F.conv(

@@ -347,3 +347,151 @@ def catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in per_table[1:]:
         out = out.unionByName(df)
     return out
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+    tags=("join", "etl"),
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact side is the Hive-partitioned
+    orders layout (staged by sink_partitioned_parquet), the dim side is a
+    tiny priority dimension filtered at runtime (urgency <= 2). Catalyst
+    reuses the broadcast dim as a pruning subquery on the partition
+    column (dynamicpruningexpression in PartitionFilters — asserted in
+    tests/test_plans.py), so only 2 of 5 partition directories are read.
+    At 100 TB this is THE mechanism that turns dim-filtered star joins
+    into partial-table scans."""
+    sink_partitioned_parquet(spark, sf_dir)  # ensure staged
+    fact = spark.read.parquet(_PART_STAGED[sf_dir])
+    dim = spark.createDataFrame(
+        [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
+         ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],
+        "pri: string, urgency: int",
+    ).filter(F.col("urgency") <= 2)
+    return (
+        fact.join(F.broadcast(dim), fact["o_orderpriority"] == dim["pri"])
+        .groupBy(F.col("o_orderpriority").cast("string").alias("o_orderpriority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "scan_range",
+    oracle="""
+    SELECT range AS id,
+           range * range AS sq,
+           range % 7 AS bucket
+    FROM range(100000)
+    """,
+    tags=("source", "etl"),
+)
+def scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic range source (spark.range / DuckDB range() — ClickHouse
+    system.numbers): the generator every backfill and synthetic-data job
+    starts from. Partitioned generation, no driver materialization."""
+    return spark.range(0, 100_000).select(
+        F.col("id"),
+        (F.col("id") * F.col("id")).alias("sq"),
+        (F.col("id") % 7).alias("bucket"),
+    )
+
+
+@register(
+    "maintenance_delete_rows",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE NOT substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+    """,
+    tags=("etl", "maintenance"),
+)
+def maintenance_delete_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted row deletion (GDPR/right-to-be-forgotten shape): a ~5%
+    delete-set keyed by hash slice, removed via left-anti join, rewritten,
+    read back. At 100 TB the anti join is the only scalable delete: the
+    delete-set shuffles (or broadcasts — it is small by nature), the base
+    table streams through, and the rewrite is partition-scoped in a real
+    layout. The round trip is asserted, not just the plan."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    dels = o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "0d"
+    ).select("o_orderkey")
+    remaining = o.join(F.broadcast(dels), "o_orderkey", "left_anti")
+    path = os.path.join(tempfile.mkdtemp(prefix="delete_rows_"), "orders")
+    remaining.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, CAST(NULL AS INTEGER) AS n_regionkey,
+           'v1' AS batch
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, CAST(NULL AS VARCHAR), n_regionkey, 'v2'
+    FROM nation
+    """,
+    tags=("source", "etl"),
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file batches: batch v1 lacks n_regionkey,
+    batch v2 lacks n_name; mergeSchema unions the schemas and
+    null-extends each batch — the lakehouse answer to drifting producers.
+    mergeSchema costs a footer read per file, so production pins the
+    merged schema in a metastore; the per-read merge is the
+    exploration-time path."""
+    n = table(spark, sf_dir, "nation")
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    n.select("n_nationkey", "n_name", F.lit("v1").alias("batch")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "b1"))
+    n.select("n_nationkey", "n_regionkey", F.lit("v2").alias("batch")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(base, "b2"))
+    got = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b1"), os.path.join(base, "b2")
+    )
+    return got.select("n_nationkey", "n_name", "n_regionkey", "batch")
+
+
+@register(
+    "sink_sorted_clustered",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 200
+    """,
+    tags=("sink", "etl"),
+)
+def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered, sorted parquet layout: repartitionByRange on the
+    cluster key + sortWithinPartitions before writing, so each file holds
+    a tight o_custkey range and parquet row-group min/max stats let a key
+    filter skip most of the table (the poor man's Z-order; one dimension
+    is just range clustering). The read-back filter is answered from a
+    fraction of the files — the layout primitive for key-range analytics
+    at 100 TB."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    path = os.path.join(tempfile.mkdtemp(prefix="sorted_clustered_"), "orders")
+    (
+        o.repartitionByRange(8, "o_custkey")
+        .sortWithinPartitions("o_custkey", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    return spark.read.parquet(path).filter(
+        F.col("o_custkey").between(100, 200)
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -432,3 +432,33 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.join(seg, cust["seg_key"].eqNullSafe(seg["seg_key"])).select(
         cust["c_custkey"], cust["seg_key"], seg["seg_n"]
     )
+
+
+@register(
+    "join_merge_hint",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS sum_total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint surface: force a sort-merge join where the
+    planner would broadcast (tests/test_plans.py asserts SortMergeJoin in
+    the plan). The hint matters at scale when the 'small' side is small
+    only per-partition (pre-sorted bucketed tables) or when broadcast
+    would OOM the driver — the user can override per-join without
+    touching session config."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").hint("merge")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+        )
+    )

@@ -21,6 +21,7 @@ through the explode).
 
 from __future__ import annotations
 
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -186,3 +187,41 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(FRAME_STEP).cast("long"),
     )
     return m.select("doc_id", F.explode(frames).alias("frame_idx"))
+
+
+_BINFILES_DIR = "/tmp/graft_binfiles"
+
+
+@register(
+    "scan_binary_files",
+    oracle=f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS fname,
+           size AS n_bytes,
+           md5(decode(content)) AS content_md5
+    FROM read_blob('{_BINFILES_DIR}/*.bin')
+    """,
+    tags=("source", "multimodal"),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary ingestion (spark.read.format("binaryFile")) — the
+    source multimodal pipelines start from: one row per blob with path,
+    size, and raw bytes. Staged with deterministic sf-independent content
+    so DuckDB's read_blob reads the identical bytes; compared on
+    (basename, size, md5-of-bytes). binaryFile parallelizes by file; at
+    100 TB you shard many small media files per task and carry bytes as a
+    column into the decode UDFs (multimodal_decode_features)."""
+    import hashlib
+
+    os.makedirs(_BINFILES_DIR, exist_ok=True)
+    for i in range(20):
+        payload = f"payload-{i}:{hashlib.md5(str(i).encode()).hexdigest()}".encode()
+        fp = os.path.join(_BINFILES_DIR, f"f_{i:02d}.bin")
+        # Deterministic bytes: concurrent stagers write identical content.
+        with open(fp, "wb") as fh:
+            fh.write(payload)
+    df = spark.read.format("binaryFile").load(f"{_BINFILES_DIR}/*.bin")
+    return df.select(
+        F.regexp_extract("path", r"([^/]+)$", 1).alias("fname"),
+        F.col("length").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )

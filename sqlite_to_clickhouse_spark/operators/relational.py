@@ -297,3 +297,186 @@ def query_part_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("p_partkey").alias("n_parts"),
         )
     )
+
+
+_EXISTS_SQL = """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'F')
+"""
+
+
+@register("filter_exists_subquery", oracle=_EXISTS_SQL, tags=("relational", "sql"))
+def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point —
+    Catalyst decorrelates both into a left-semi + left-anti join pair
+    (never a per-row subquery execution), so the plan is two hash joins
+    on c_custkey regardless of scale."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXISTS_SQL)
+
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+"""
+
+
+@register("join_lateral", oracle=_LATERAL_SQL, tags=("relational", "sql"))
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY … LIMIT (top-2
+    orders per customer). Catalyst decorrelates the limit into a rank
+    window over the join — same plan family as topk_per_group — instead
+    of executing the subquery per customer row."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "query_market_share",
+    oracle="""
+    WITH rev AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)
+                   AS cents,
+               n1.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders   o  ON l.l_orderkey  = o.o_orderkey
+        JOIN part     p  ON l.l_partkey   = p.p_partkey
+        JOIN supplier s  ON l.l_suppkey   = s.s_suppkey
+        JOIN nation   n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN customer c  ON o.o_custkey   = c.c_custkey
+        JOIN nation   n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region   r  ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA' AND p.p_size <= 25
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents
+                               ELSE 0 END) AS DOUBLE) / sum(cents), 6)
+               AS mkt_share,
+           count(*) AS n_lines
+    FROM rev
+    GROUP BY o_year
+    """,
+    tags=("relational", "tpch"),
+)
+def query_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's part-filtered
+    revenue per order year. Plan: lineitem⨝orders is the fact-fact
+    shuffle; nation and region are force-broadcast (fixed cardinality 25
+    and 5 at ANY scale factor), while part/supplier/customer — which
+    GROW with SF and would OOM a forced broadcast at 100 TB — are left to
+    the planner: AQE broadcasts them at small SF and falls back to
+    shuffle joins when their post-filter stats exceed the threshold.
+    Revenue is floored to integer cents per row before summing — the
+    share is then a ratio of exact integers, so the division is
+    bit-identical across engines (a float-sum share would be knife-edge
+    at round()'s half-way points)."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") <= 25)
+    s = table(spark, sf_dir, "supplier")
+    n1 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    c = table(spark, sf_dir, "customer")
+    n2 = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_regionkey").alias("n2_region")
+    )
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    joined = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(F.broadcast(r), F.col("n2_region") == F.col("r_regionkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            cents.alias("cents"),
+            "supp_nation",
+        )
+    )
+    share = (
+        F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(0))
+        .cast("double")
+        / F.sum("cents")
+    )
+    return joined.groupBy("o_year").agg(
+        F.round(share, 6).alias("mkt_share"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "query_returned_items",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o.o_custkey,
+               CAST(sum(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY o.o_custkey
+    )
+    SELECT p.o_custkey AS c_custkey, c.c_name, c.c_mktsegment,
+           p.revenue, p.n_lines
+    FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+    ORDER BY p.revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("relational", "tpch"),
+)
+def query_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top customers by revenue lost to returns.
+
+    Aggregate-before-join: lineitem(filtered R)⨝orders reduces to one row
+    per customer BEFORE touching the customer dimension, so the customer
+    join moves |customers| rows, not |lineitems| — the order of agg vs
+    join is the difference between shuffling 100 TB and shuffling the
+    (much smaller) key space. Revenue sums integer cents (exact), and the
+    final top-20 is TakeOrderedAndProject with ties broken on c_custkey
+    so both engines pick identical rows."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(
+            (F.sum(cents).cast("double") / 100).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+    return (
+        per_cust.join(c, per_cust["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "c_name",
+            "c_mktsegment",
+            "revenue",
+            "n_lines",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )

@@ -16,7 +16,7 @@ oracle-checkable bit-for-bit against DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlite_to_clickhouse_spark.io import table
@@ -94,5 +94,83 @@ def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sampled"),
             F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+_PIPELINE_ORACLE = """
+    WITH scored AS (
+        SELECT doc_id, lang, n_chars, md5(text) AS h,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok,
+               round(CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                                                        t -> t <> ''))) AS DOUBLE)
+                     / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1),
+                     6) AS distinct_ratio
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored WHERE n_tok >= 15 AND distinct_ratio >= 0.35
+    ),
+    deduped AS (
+        SELECT * FROM filtered
+        WHERE doc_id IN (SELECT min(doc_id) FROM filtered GROUP BY h)
+    ),
+    split_assigned AS (
+        SELECT *,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM deduped
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(distinct_ratio), 6) AS avg_distinct_ratio
+    FROM split_assigned
+    GROUP BY split, lang
+"""
+
+
+@register("pipeline_corpus_clean", oracle=_PIPELINE_ORACLE, tags=("llm", "pipeline"))
+def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data prep pipeline in one plan: quality
+    filter (token floor + lexical-diversity floor) → exact content dedup
+    (keep lowest doc_id per md5) → hash-stable split assignment →
+    per-(split, lang) corpus stats. Every stage is the registered
+    standalone operator's expression, fused — Catalyst collapses the
+    quality projections into the scan, the dedup is the only wide
+    shuffle, and the split/stats ride a tiny 15-key aggregate. The
+    near-dup collapse (minhash → connected components) runs as its own
+    job upstream in a real pipeline; see dedup_connected_components."""
+    from sqlite_to_clickhouse_spark.operators.text import _tokens
+
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    dr = F.round(
+        F.size(F.array_distinct(toks)).cast("double")
+        / F.greatest(n_tok, F.lit(1)),
+        6,
+    )
+    scored = d.select(
+        "doc_id", "lang", "n_chars",
+        F.md5("text").alias("h"),
+        n_tok.alias("n_tok"),
+        dr.alias("distinct_ratio"),
+    ).filter((F.col("n_tok") >= 15) & (F.col("distinct_ratio") >= 0.35))
+    w = Window.partitionBy("h")
+    deduped = (
+        scored.withColumn("keep_id", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keep_id"))
+    )
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = F.when(h2 < "cc", "train").when(h2 < "e6", "val").otherwise("test")
+    return (
+        deduped.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
         )
     )

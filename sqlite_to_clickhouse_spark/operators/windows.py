@@ -275,3 +275,72 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(w).alias("cnt_1h"),
         F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
     )
+
+
+@register(
+    "window_median",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+           ROUND(median(l_quantity)
+                 OVER (PARTITION BY l_returnflag), 4)        AS med_qty,
+           ROUND(quantile_cont(l_quantity, 0.25)
+                 OVER (PARTITION BY l_returnflag), 4)        AS q25_qty,
+           ROUND(quantile_cont(l_quantity, 0.75)
+                 OVER (PARTITION BY l_returnflag), 4)        AS q75_qty
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / quartiles as analytic (whole-partition) window aggregates:
+    every row carries its partition's exact linear-interpolation
+    percentile (Spark percentile() == DuckDB median/quantile_cont to 4
+    decimals). No ORDER BY in the window spec, so the frame is the whole
+    partition and Spark evaluates the aggregate once per partition, not
+    once per row. Exact percentiles require the partition's values
+    together — at 100 TB use few large partitions here (or the
+    approx_percentile sketch in agg_approx_percentile) rather than a
+    global exact percentile."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.percentile("l_quantity", F.lit(0.5)).over(w), 4).alias("med_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.25)).over(w), 4).alias("q25_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.75)).over(w), 4).alias("q75_qty"),
+    )
+
+
+@register(
+    "window_rolling_distinct",
+    oracle="""
+    SELECT event_id, event_type,
+           count(DISTINCT user_id)
+               OVER (PARTITION BY event_type ORDER BY event_id
+                     ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+               AS uniq_users_100
+    FROM events
+    """,
+    tags=("window", "events"),
+)
+def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct-user count over the last 100 events per event
+    type. Spark has no count(DISTINCT) window, so the idiom is
+    size(collect_set() OVER frame) — semantically identical (DuckDB
+    states it directly). The set is bounded by the 100-row frame, so
+    per-row state is small regardless of table size; the partition key
+    keeps the window parallel across event types."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(-99, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.size(F.collect_set("user_id").over(w)).alias("uniq_users_100"),
+    )

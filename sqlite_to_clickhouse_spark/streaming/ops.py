@@ -70,13 +70,26 @@ def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:
     device only — production sinks are foreachBatch/parquet/kafka."""
     name = f"stream_result_{next(_MEM_COUNTER)}"
     spark = sdf.sparkSession
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    # Stateful streaming allocates one state store per shuffle partition
+    # for the QUERY LIFETIME (chosen at first start, sticky in the
+    # checkpoint). The batch-tuned 32 partitions mean 32 state stores ×
+    # commit files per micro-batch — pure overhead at these state sizes.
+    # 8 keeps state ops parallel while quartering the per-batch commit
+    # fan-out; a production job sizes this to expected state volume, not
+    # to the batch shuffle width. Restored after start() — the setting is
+    # read at stream planning time.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     return spark.table(name)
 

@@ -179,3 +179,15 @@ def test_query_supplier_volume_star_join_no_fact_shuffle(spark, sf_dir):
 def test_query_shipping_priority_takes_ordered_topk(spark, sf_dir):
     p = _plan(spark, sf_dir, "query_shipping_priority")
     assert "TakeOrderedAndProject" in p
+
+
+def test_join_dpp_prunes_partitions_at_runtime(spark, sf_dir):
+    # The partitioned scan must carry a dynamic pruning subquery on the
+    # partition column, fed by the broadcast dim.
+    p = _plan(spark, sf_dir, "join_dynamic_partition_pruning")
+    assert "dynamicpruning" in p.lower(), p[:2000]
+
+
+def test_join_merge_hint_forces_sort_merge(spark, sf_dir):
+    p = _plan(spark, sf_dir, "join_merge_hint")
+    assert "SortMergeJoin" in p

@@ -65,6 +65,9 @@ _ANSI_OPS = [
     "query_part_margin",
     "agg_moments",
     "fn_math_advanced",
+    "join_merge_hint",
+    "filter_exists_subquery",
+    "join_lateral",
 ]
 
 
