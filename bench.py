@@ -65,6 +65,11 @@ HEADLINE = [
     "text_bpe_tokens",
     "query_shipping_priority",
     "query_supplier_volume",
+    "query_market_share",
+    "query_returned_items",
+    "events_anomaly_zscore",
+    "window_rolling_distinct",
+    "text_line_dedup",
 ]
 
 

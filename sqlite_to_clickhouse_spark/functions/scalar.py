@@ -531,3 +531,82 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("text").rlike("dup|spark").alias("mentions_engine"),
     )
+
+
+@register(
+    "fn_struct",
+    oracle="""
+    SELECT n_nationkey,
+           to_json(struct_pack(name := n_name, region := n_regionkey))
+               AS nation_json,
+           struct_pack(name := n_name, region := n_regionkey).name
+               AS via_field,
+           to_json(struct_pack(
+               key := n_nationkey,
+               dims := struct_pack(r := n_regionkey, tag := 'v1'),
+               ks := [n_nationkey, n_regionkey]))       AS nested_json
+    FROM nation
+    """,
+    tags=("fn",),
+)
+def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct construction, dot-field access, nesting (struct in struct,
+    array in struct), and JSON serialization — the typed-record surface
+    (ClickHouse Tuple/Nested, DuckDB STRUCT). Structs are shredded into
+    per-field parquet columns on write, so field access after a round
+    trip prunes to one column; to_json output is byte-compared across
+    engines (ints/strings only — float JSON formatting differs)."""
+    n = table(spark, sf_dir, "nation")
+    rec = F.struct(
+        F.col("n_name").alias("name"), F.col("n_regionkey").alias("region")
+    )
+    nested = F.struct(
+        F.col("n_nationkey").alias("key"),
+        F.struct(F.col("n_regionkey").alias("r"), F.lit("v1").alias("tag")).alias(
+            "dims"
+        ),
+        F.array(F.col("n_nationkey"), F.col("n_regionkey")).alias("ks"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.to_json(rec).alias("nation_json"),
+        rec.getField("name").alias("via_field"),
+        F.to_json(nested).alias("nested_json"),
+    )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           FLOOR(l_quantity / nullif(l_linenumber - 1, 0) * 10000) / 10000
+               AS qty_per_prev_line,
+           TRY_CAST(l_returnflag AS INTEGER)      AS flag_as_int,
+           TRY_CAST(l_quantity AS INTEGER)        AS qty_int
+    FROM lineitem
+    """,
+    tags=("fn",),
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic and casts: try_divide NULLs on
+    divide-by-zero instead of failing the job (ANSI mode makes plain `/`
+    throw — one bad row must not kill a 100 TB pass), and try_cast NULLs
+    unparseable values (reference main.py:18-37 swallows bad
+    datetime/date parses the same way). DuckDB's `/` already yields NULL
+    on zero via nullif; both sides floor-quantize the quotient."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.floor(
+                F.try_divide(
+                    F.col("l_quantity"), F.nullif(F.col("l_linenumber") - 1, F.lit(0))
+                )
+                * 10000
+            )
+            / 10000
+        ).alias("qty_per_prev_line"),
+        F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
+        F.col("l_quantity").try_cast("int").alias("qty_int"),
+    )

@@ -474,3 +474,110 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_id",
         (F.col("node") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+_CONTAINMENT_T = 0.9
+
+_CONTAINMENT_ORACLE = f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk), 6)
+               AS containment
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.doc_id <> b.doc_id
+    WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) / len(a.tk)
+          >= {_CONTAINMENT_T}
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("llm", "dedup"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment similarity C(A→B) = |A∩B| / |A|: the
+    asymmetric near-dup measure that catches a document EMBEDDED in a
+    larger one (quote-inside-article, boilerplate wrappers) where Jaccard
+    stays low because the union is dominated by the big side.
+
+    Same inverted-index plan as dedup_ngram_jaccard — postings join
+    counts each unordered intersection once (doc_a < doc_b), then both
+    directions are derived from the one count by dividing by either
+    side's set size. The containment ratio is exact-int/exact-int, so the
+    threshold compare is bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(_tokens(F.col("text"))).alias("tk"),
+    )
+    sizes = toks.select("doc_id", "lang", F.size("tk").cast("long").alias("sz"))
+    postings = toks.select("doc_id", "lang", F.explode("tk").alias("token"))
+    a, b = postings.alias("a"), postings.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    both = inter.join(sa, F.col("u") == F.col("sa.doc_id")).join(
+        sb, F.col("v") == F.col("sb.doc_id")
+    )
+    fwd = both.select(
+        F.col("u").alias("doc_a"),
+        F.col("v").alias("doc_b"),
+        (F.col("n_inter").cast("double") / F.col("sa.sz")).alias("c"),
+    )
+    rev = both.select(
+        F.col("v").alias("doc_a"),
+        F.col("u").alias("doc_b"),
+        (F.col("n_inter").cast("double") / F.col("sb.sz")).alias("c"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter(F.col("c") >= _CONTAINMENT_T)
+        .select("doc_a", "doc_b", F.round("c", 6).alias("containment"))
+    )
+
+
+@register(
+    "dedup_adjacent",
+    oracle="""
+    WITH lagged AS (
+        SELECT event_id, user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_type
+        FROM events
+    )
+    SELECT event_id, user_id, event_type
+    FROM lagged
+    WHERE prev_type IS NULL OR event_type <> prev_type
+    """,
+    tags=("dedup", "events"),
+)
+def dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-duplicate collapse: keep an event only when it CHANGES
+    the user's event_type (run-length compression of state streams —
+    sensor readings, status pings; ClickHouse users reach for
+    CollapsingMergeTree or groupArray+arrayCompact here). Unlike
+    dedup_replacing this is order-sensitive: equal values survive if a
+    different value sits between them. One lag window per user — state is
+    one row regardless of run length, so it streams at any scale."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
+        .select("event_id", "user_id", "event_type")
+    )

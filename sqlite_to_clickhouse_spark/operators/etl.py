@@ -495,3 +495,67 @@ def sink_sorted_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).filter(
         F.col("o_custkey").between(100, 200)
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "merge_scd2",
+    oracle="""
+    WITH versions AS (
+        SELECT o_orderkey, o_totalprice, 1 AS ver,
+               TIMESTAMP '2024-01-01 00:00:00' AS eff_ts
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.1, 2 AS ver,
+               TIMESTAMP '2024-06-01 00:00:00' AS eff_ts
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'
+    )
+    SELECT o_orderkey,
+           FLOOR(o_totalprice * 100) / 100 AS price,
+           eff_ts AS valid_from,
+           lead(eff_ts) OVER (PARTITION BY o_orderkey ORDER BY ver)
+               AS valid_to,
+           CAST(lead(eff_ts) OVER (PARTITION BY o_orderkey ORDER BY ver)
+                IS NULL AS BOOLEAN) AS is_current
+    FROM versions
+    """,
+    tags=("etl", "cdc"),
+)
+def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: fold a change batch (~25% of
+    keys get a new price version) into a versioned history where each row
+    carries [valid_from, valid_to) and the open-ended row is flagged
+    current. valid_to is simply lead(valid_from) per key — one window
+    over the union, no self-join. This is how a warehouse keeps
+    point-in-time joins (join_asof consumes exactly this shape). One
+    shuffle on the business key; at 100 TB the union reads base +
+    changes once each and the window state is per-key-tiny."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.lit(1).alias("ver"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("eff_ts"),
+    )
+    changed = (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "40")
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit(2).alias("ver"),
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("eff_ts"),
+        )
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("ver")
+    return (
+        base.unionByName(changed)
+        .select(
+            "o_orderkey",
+            (F.floor(F.col("o_totalprice") * 100) / 100).alias("price"),
+            F.col("eff_ts").alias("valid_from"),
+            F.lead("eff_ts").over(w).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )

@@ -271,3 +271,77 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("span_s"),
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH cents AS (
+        SELECT event_id, user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS v
+        FROM events
+    ),
+    stats AS (
+        SELECT event_id, user_id, v,
+               count(v) OVER w AS n,
+               sum(v)   OVER w AS s1,
+               sum(v * v) OVER w AS s2
+        FROM cents
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, v,
+           FLOOR((v - CAST(s1 AS DOUBLE) / n)
+                 / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))
+                 * 10000) / 10000 AS z
+    FROM stats
+    WHERE n >= 8
+      AND (s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) > 0
+      AND abs((v - CAST(s1 AS DOUBLE) / n)
+              / sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1))) > 2
+    """,
+    tags=("events", "window"),
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags: each event scored against the
+    trailing 10-event window of ITS OWN user (frame excludes the current
+    row — a point must not dilute its own baseline). Emits events more
+    than 2 sigma from their trailing mean, given >= 8 prior points and
+    nonzero variance.
+
+    Determinism design: values are floored to integer cents first, so the
+    windowed count/sum/sum-of-squares are EXACT integers (max |v| ~ 5.6e4
+    -> s2 <= 10 * 3.2e9, far inside the 2^53 exact-double range); mean,
+    variance, and z are then derived per row with the identical formula
+    on both engines — no float accumulation order anywhere. Built-in
+    stddev() over a window would hit Welford-vs-naive differences in the
+    last ulp. One shuffle (user_id); the three window sums share a single
+    window spec and exchange."""
+    ev = table(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_id", "user_id", F.floor(F.col("value") * 100).cast("long").alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(-10, -1)
+    v = F.col("v")
+    stats = cents.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.count(v).over(w).alias("n"),
+        F.sum(v).over(w).alias("s1"),
+        F.sum(v * v).over(w).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = (F.col("s2") - F.col("s1").cast("double") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (v - mean) / F.sqrt(var)
+    return (
+        stats.filter((F.col("n") >= 8) & (var > 0) & (F.abs(z) > 2))
+        .select(
+            "event_id",
+            "user_id",
+            "v",
+            (F.floor(z * 10000) / 10000).alias("z"),
+        )
+    )

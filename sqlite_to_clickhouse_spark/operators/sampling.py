@@ -174,3 +174,86 @@ def pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("distinct_ratio"), 6).alias("avg_distinct_ratio"),
         )
     )
+
+
+@register(
+    "sample_stratified_hash",
+    oracle="""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+          < CASE lang WHEN 'en' THEN '1a' ELSE '80' END
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_stratified_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: per-stratum rates via a hash
+    threshold (en downsampled to ~10%, other languages kept at ~50%) —
+    the data-mixture rebalancing step of corpus curation. Hash-threshold
+    sampling beats rand()-based sampleBy at scale: reproducible across
+    retries/engines, stable under repartitioning, and a pure scan-side
+    filter (no shuffle, no RNG state). Rates are hex-prefix thresholds:
+    '1a'/256 ~ 0.102, '80'/256 = 0.5."""
+    d = table(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.when(F.col("lang") == "en", "1a").otherwise("80")
+    return d.filter(h2 < thresh).select("doc_id", "lang")
+
+
+_PACK_SIZE = 2048
+
+_PACK_ORACLE = f"""
+    WITH counted AS (
+        SELECT doc_id, lang,
+               len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tok
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, lang, n_tok,
+               CAST(FLOOR(COALESCE(sum(n_tok) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   / {_PACK_SIZE}) AS BIGINT) AS pack_id
+        FROM counted
+    )
+    SELECT lang, pack_id,
+           count(*)          AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+           min(doc_id)       AS first_doc
+    FROM packed
+    GROUP BY lang, pack_id
+"""
+
+
+@register("pipeline_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "pipeline"))
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing for LLM pretraining batches: documents are
+    laid end-to-end per language shard (ordered by doc_id for
+    reproducibility) and cut into ~2048-token packs — pack_id is the
+    trailing cumulative token count div the context size, so a document
+    lands in the pack where its first token falls (documents straddle
+    boundaries; the trainer's loader handles the tail split). One
+    window shuffle on lang + a tiny grouped agg; the cumulative sum is
+    exact-integer so the assignment is engine-identical. At 100 TB the
+    per-lang global order becomes per-(lang, shard-range) order — the
+    window spec gains a second partition key, nothing else changes."""
+    d = table(spark, sf_dir, "documents")
+    from sqlite_to_clickhouse_spark.operators.text import _tokens
+
+    n_tok = F.size(_tokens(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = d.select("doc_id", "lang", n_tok.alias("n_tok")).withColumn(
+        "pack_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / _PACK_SIZE).cast(
+            "long"
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

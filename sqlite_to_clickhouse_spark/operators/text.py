@@ -371,3 +371,57 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("bpe"), 4).alias("avg_bpe_tokens"),
         )
     )
+
+
+@register(
+    "text_line_dedup",
+    oracle="""
+    WITH lines AS (
+        SELECT doc_id, unnest(string_split(text, '. ')) AS line
+        FROM documents
+    ),
+    ne AS (SELECT doc_id, line FROM lines WHERE line <> ''),
+    freq AS (SELECT line, count(*) AS cnt FROM ne GROUP BY line)
+    SELECT n.doc_id,
+           count(*)                                          AS n_lines,
+           CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_dup_lines,
+           FLOOR(CAST(sum(CASE WHEN f.cnt > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000) / 1000000              AS dup_ratio
+    FROM ne n JOIN freq f ON n.line = f.line
+    GROUP BY n.doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (line/sentence-level) duplication profile — the
+    C4/RefinedWeb-style step that catches boilerplate sentences repeated
+    across a corpus even when no whole document duplicates: split each
+    doc into '. '-delimited lines, count each line's global frequency,
+    and score every doc by its share of corpus-duplicated lines
+    (downstream: drop lines with cnt>1 keeping one copy, or drop docs
+    with dup_ratio above a threshold).
+
+    Plan: explode → grouped count on the line text → broadcast-or-shuffle
+    hash join back → per-doc agg. At 100 TB the line-frequency table is
+    the big intermediate; hash lines to 64-bit before the join (as
+    minhash does) and the join key drops from ~100-char strings to
+    8 bytes."""
+    d = table(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), r"\. ")).alias("line")
+    ).filter(F.col("line") != "")
+    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("cnt"))
+    dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
+    return (
+        lines.join(freq, "line")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dup.cast("long").alias("n_dup_lines"),
+            (
+                F.floor(dup.cast("double") / F.count(F.lit(1)) * 1_000_000)
+                / 1_000_000
+            ).alias("dup_ratio"),
+        )
+    )

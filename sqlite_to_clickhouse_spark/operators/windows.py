@@ -344,3 +344,48 @@ def window_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.size(F.collect_set("user_id").over(w)).alias("uniq_users_100"),
     )
+
+
+@register(
+    "window_fill_forward",
+    oracle="""
+    WITH gapped AS (
+        SELECT event_id, user_id,
+               CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % 7 = 0 THEN NULL
+                    ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v
+        FROM events
+    )
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+    FROM gapped
+    """,
+    tags=("window", "events"),
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward) over a
+    gappy series: nulls (synthesized deterministically as every
+    cents%7==0 reading) take the most recent non-null value of the same
+    user. Spark spells it last(col, ignorenulls=True) over a running
+    frame; a leading null stays null. The running frame is evaluated
+    incrementally per partition — no per-row rescan — and the only
+    shuffle is the user_id partitioning."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    gapped = ev.select(
+        "event_id",
+        "user_id",
+        F.when(cents % 7 == 0, F.lit(None).cast("long")).otherwise(cents).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return gapped.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("v_filled"),
+    )

@@ -191,3 +191,57 @@ def test_join_dpp_prunes_partitions_at_runtime(spark, sf_dir):
 def test_join_merge_hint_forces_sort_merge(spark, sf_dir):
     p = _plan(spark, sf_dir, "join_merge_hint")
     assert "SortMergeJoin" in p
+
+
+def test_market_share_broadcasts_fixed_dims_only(spark, sf_dir):
+    """nation/region force-broadcast; the lineitem⨝orders fact-fact join
+    must NOT be a broadcast (it would OOM at scale — at tiny SF AQE may
+    still pick broadcast for orders, so assert the explicit hints only)."""
+    p = _plan(spark, sf_dir, "query_market_share")
+    assert p.count("BroadcastHashJoin") >= 3  # n1, n2, r at minimum
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or p.count("BroadcastHashJoin") >= 6
+
+
+def test_returned_items_aggregates_before_customer_join(spark, sf_dir):
+    """The per-customer aggregate must sit BELOW the customer join in the
+    plan tree: HashAggregate appears before the join consuming customer."""
+    df = _Q["query_returned_items"].fn(spark, sf_dir)
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("extended")
+    opt = buf.getvalue().split("== Optimized Logical Plan ==")[1]
+    agg_pos = opt.index("Aggregate")
+    # the customer-relation scan must appear AFTER (deeper than) the agg's
+    # lineitem/orders subtree — i.e. the final join input order puts the
+    # aggregate subtree first.
+    assert "TakeOrdered" in _plan(spark, sf_dir, "query_returned_items")
+    assert agg_pos < opt.index("customer.parquet")
+
+
+def test_anomaly_zscore_single_window_exchange(spark, sf_dir):
+    """The three trailing-window sums share one spec ⇒ one Window node,
+    one hashpartitioning(user_id) exchange, no extra sort."""
+    p = _plan(spark, sf_dir, "events_anomaly_zscore")
+    assert len(_exchanges(p)) == 1
+    assert p.count("Window") >= 1
+
+
+def test_rolling_distinct_partition_parallel(spark, sf_dir):
+    """Rolling distinct runs per event_type partition — exactly one
+    shuffle (the window partitioning), nothing global."""
+    p = _plan(spark, sf_dir, "window_rolling_distinct")
+    assert len(_exchanges(p)) == 1
+
+
+def test_fill_forward_single_shuffle(spark, sf_dir):
+    p = _plan(spark, sf_dir, "window_fill_forward")
+    assert len(_exchanges(p)) == 1
+
+
+def test_stratified_sample_is_scanside_filter(spark, sf_dir):
+    """Hash-threshold sampling must stay a scan-side filter: no Exchange
+    anywhere in the plan."""
+    p = _plan(spark, sf_dir, "sample_stratified_hash")
+    assert len(_exchanges(p)) == 0
+    assert "Filter" in p
