@@ -601,3 +601,30 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("l_extendedprice", F.lit(0.95), F.lit(10000)).alias("ap95"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "agg_string_concat",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           count(*) AS n
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("aggregate",),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (DuckDB string_agg / ClickHouse
+    groupConcat-style arrayStringConcat(groupArray())): Spark spells it
+    array_join(array_sort(collect_list())) — the explicit sort makes the
+    concatenation order deterministic, which collect_list alone is NOT
+    under parallel merge (same reason dedup keeps min-doc_id, not
+    'first'). Collect-aggregates materialize the group in memory: fine
+    for bounded groups (nations per region), a skew hazard for unbounded
+    ones — prefer the sorted-array form so the bound is visible."""
+    n = table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -559,3 +559,49 @@ def merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("is_current", F.col("valid_to").isNull())
     )
+
+
+@register(
+    "etl_surrogate_keys",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(('0x' || substring(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                       || CAST(l_linenumber AS VARCHAR)),
+                                   1, 15)) AS BIGINT) AS sk,
+           CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+                AS BIGINT) AS part_sk
+    FROM lineitem
+    """,
+    tags=("etl",),
+)
+def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate keys: 60-bit longs from md5 over the
+    (composite) business key. monotonically_increasing_id() is the
+    tempting alternative and is WRONG for warehouse keys — it depends on
+    partition layout, so a retry or repartition mints different ids;
+    hash keys are stable across engines, runs, and backfills (same trick
+    keys the minhash band join). 60 bits keeps the value inside an exact
+    BIGINT/double range on every engine; collision odds at 10^10 rows are
+    ~3% (birthday bound) — go to 120 bits (two longs) past that."""
+    li = table(spark, sf_dir, "lineitem")
+    sk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    psk = F.conv(
+        F.substring(F.md5(F.col("l_partkey").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    return li.select(
+        "l_orderkey", "l_linenumber", sk.alias("sk"), psk.alias("part_sk")
+    )

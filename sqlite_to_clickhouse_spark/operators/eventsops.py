@@ -345,3 +345,63 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.floor(z * 10000) / 10000).alias("z"),
         )
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n_events
+        FROM events
+        GROUP BY user_id, date_trunc('day', ts)
+    ),
+    spans AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    spine AS (
+        SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM spans
+    )
+    SELECT s.user_id, s.day,
+           COALESCE(d.n_events, 0) AS n_events,
+           CAST(d.user_id IS NULL AS BOOLEAN) AS filled
+    FROM spine s LEFT JOIN daily d
+      ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    tags=("events", "timeseries"),
+)
+def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regular-grid densification (ClickHouse ORDER BY … WITH FILL; the
+    resample step of any time-series pipeline): per-user daily event
+    counts, with missing days materialized as explicit 0-rows between
+    each user's first and last active day. The spine is generated
+    data-dependently — sequence(min_day, max_day) per user, exploded —
+    so no driver-side date loop and no global calendar join; the spine
+    join is keyed (user_id, day) and the per-user grid is bounded by the
+    user's own span. At 100 TB the spine is ~|users|×span rows; cap the
+    span or bucket coarser when densifying cold users."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    d = daily.alias("d")
+    s = spine.alias("s")
+    return s.join(
+        d, (F.col("s.user_id") == F.col("d.user_id")) & (F.col("s.day") == F.col("d.day")), "left"
+    ).select(
+        F.col("s.user_id").alias("user_id"),
+        F.col("s.day").alias("day"),
+        F.coalesce(F.col("d.n_events"), F.lit(0)).alias("n_events"),
+        F.col("d.user_id").isNull().alias("filled"),
+    )

@@ -389,3 +389,41 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.last("v", ignorenulls=True).over(w).alias("v_filled"),
     )
+
+
+@register(
+    "window_ratio_to_report",
+    oracle="""
+    WITH cents AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cb
+        FROM customer
+    )
+    SELECT c_custkey, c_mktsegment, cb,
+           FLOOR(CAST(cb AS DOUBLE)
+                 / sum(cb) OVER (PARTITION BY c_mktsegment)
+                 * 1000000) / 1000000 AS seg_share
+    FROM cents
+    """,
+    tags=("window",),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each customer's share of their segment's total
+    balance — the share-of-total window every BI layer needs (Oracle
+    RATIO_TO_REPORT; ClickHouse does it with a subquery join). Balances
+    go through integer cents so the partition sum is exact and the
+    division engine-identical; one whole-partition window, no
+    self-join."""
+    c = table(spark, sf_dir, "customer")
+    cb = F.floor(F.col("c_acctbal") * 100).cast("long")
+    w = Window.partitionBy("c_mktsegment")
+    cents = c.select("c_custkey", "c_mktsegment", cb.alias("cb"))
+    return cents.select(
+        "c_custkey",
+        "c_mktsegment",
+        "cb",
+        (
+            F.floor(F.col("cb").cast("double") / F.sum("cb").over(w) * 1_000_000)
+            / 1_000_000
+        ).alias("seg_share"),
+    )
