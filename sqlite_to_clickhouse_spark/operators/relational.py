@@ -480,3 +480,91 @@ def query_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    "query_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS DOUBLE) / 100 AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    """,
+    tags=("relational", "tpch"),
+)
+def query_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarter revenue per supplier, keep the max. The
+    scalar subquery (SELECT max(...)) compiles to a one-row broadcast
+    joined as a filter — the revenue aggregate is computed ONCE and
+    reused for both the ranking and the max (spark.sql sees the shared
+    CTE; cache() would pin it explicitly if the optimizer re-expanded
+    it). Revenue sums integer cents so the max-equality compare is exact
+    — a float-sum tie at the top would be engine-dependent."""
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(sum(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100)
+                                 AS BIGINT)) AS DOUBLE) / 100 AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        """
+    )
+
+
+@register(
+    "query_large_volume_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(sum(l.l_quantity) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+    )
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    """,
+    tags=("relational", "tpch"),
+)
+def query_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers holding unusually large orders. The IN
+    (GROUP BY … HAVING) subquery decorrelates to a left-semi join against
+    the qualifying-order aggregate; quantity sums are exact (fixture
+    quantities are integral doubles ≤ 50 with ≤ 7 lines per order, so
+    the double sum is exact and engine-identical). Aggregate-then-join
+    ordering: the HAVING filter reduces the semi-join side to the few
+    hot orders BEFORE the three-way join fans out."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"], "left_semi")
+        .join(c, F.col("o_custkey") == c["c_custkey"])
+        .join(li, F.col("o_orderkey") == li["l_orderkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
+    )

@@ -14,12 +14,14 @@ import os
 from pyspark.sql import SparkSession
 
 
-def get_spark(app_name: str = "sqlite_to_clickhouse_spark") -> SparkSession:
+def get_spark(
+    app_name: str = "sqlite_to_clickhouse_spark", master: str | None = None
+) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master or f"local[{cpus}]")
         # Adaptive execution: runtime partition coalescing, skew-join split,
         # broadcast demotion — the levers that keep plans healthy at 100 TB.
         .config("spark.sql.adaptive.enabled", "true")

@@ -208,3 +208,41 @@ def test_migrate_ha_end_to_end(spark, ha_db, tmp_path):
     row = {r["run_id"]: r for r in rr.collect()}
     assert row[1]["start"] == dt.datetime(2024, 7, 25, 15, 4, 42)  # frac stripped
     assert row[2]["start"] is None
+
+
+def test_cli_flag_parity_and_migration(spark, sf_dir, tmp_path):
+    """The reference's 7 CLI flags (main.py:185-192) parse verbatim, and a
+    parquet-mode run migrates with pk dedup, reusing the live session."""
+    from sqlite_to_clickhouse_spark.__main__ import build_parser, main
+
+    # Flag parity: the reference's exact invocation parses.
+    ns = build_parser().parse_args(
+        [
+            "--sqlite", "db.sqlite",
+            "--clickhouse-host", "h",
+            "--clickhouse-port", "9001",
+            "--clickhouse-user", "u",
+            "--clickhouse-password", "p",
+            "--clickhouse-database", "d",
+            "--chunk-size", "5000",
+        ]
+    )
+    assert ns.clickhouse_port == 9001 and ns.chunk_size == 5000
+
+    # End-to-end parquet mode against a staged SQLite db.
+    from sqlite_to_clickhouse_spark.operators.etl import _stage_sqlite
+
+    db = _stage_sqlite(sf_dir)
+    out = str(tmp_path / "out")
+    rc = main(["--sqlite", db, "--output-dir", out, "--tables", "nation"])
+    assert rc == 0
+    got = spark.read.parquet(f"{out}/nation")
+    assert got.count() == 25
+    # The shared session must survive the CLI run.
+    assert spark.sql("SELECT 1").collect()[0][0] == 1
+
+
+def test_cli_requires_a_sink(capsys):
+    from sqlite_to_clickhouse_spark.__main__ import main
+
+    assert main(["--sqlite", "x.db"]) == 2
