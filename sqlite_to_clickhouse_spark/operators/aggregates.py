@@ -491,8 +491,10 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_quantiles_multi",
     oracle="""
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
-                          v -> round(v, 4)) AS quartiles
+           array_to_string(
+               list_transform(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.9]),
+                              v -> CAST(CAST(round(v, 4) AS DECIMAL(18,4)) AS VARCHAR)),
+               ',') AS quartiles
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -501,11 +503,22 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_quantiles_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-quantile in one pass (ClickHouse quantiles(...)(x) analog):
     one sort of each group's values serves all four cut points — four
-    separate percentile calls would buffer the group four times."""
+    separate percentile calls would buffer the group four times.
+
+    The quartile array is serialized to a ','-joined string through a
+    DECIMAL(18,4) cast: array-typed output columns are unhashable for the
+    driver's row hasher, and double→string casts hit scientific notation
+    at different magnitudes per engine — fixed-point decimal formatting
+    is identical on both."""
     li = table(spark, sf_dir, "lineitem")
     q = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))")
     return li.groupBy("l_returnflag").agg(
-        F.transform(q, lambda v: F.round(v, 4)).alias("quartiles")
+        F.array_join(
+            F.transform(
+                q, lambda v: F.round(v, 4).cast("decimal(18,4)").cast("string")
+            ),
+            ",",
+        ).alias("quartiles")
     )
 
 
@@ -564,7 +577,8 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_group_array",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS types_seen,
+           array_to_string(list_sort(list_distinct(list(event_type))), '|')
+             AS types_seen,
            count(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
@@ -573,12 +587,16 @@ def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_group_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregate (ClickHouse groupUniqArray): each user's
-    distinct event types as a sorted array. collect_set partials merge
-    map-side; the sort makes the array deterministic across engines and
-    partition orders."""
+    distinct event types as a sorted, '|'-joined string. collect_set
+    partials merge map-side; the sort makes the order deterministic
+    across engines and partition orders, and the join-to-string keeps
+    the output hashable for the driver's row comparator (array columns
+    are not)."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("user_id").agg(
-        F.array_sort(F.collect_set("event_type")).alias("types_seen"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), "|").alias(
+            "types_seen"
+        ),
         F.countDistinct("event_type").alias("n_types"),
     )
 

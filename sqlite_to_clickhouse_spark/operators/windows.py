@@ -170,20 +170,60 @@ def dedup_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window",),
 )
 def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile / percent_rank over a global ordering (quartile bucketing).
+    """ntile / percent_rank over a global ordering — WITHOUT the global
+    single-partition window (`Window.orderBy(...)` with no partitionBy
+    funnels every row through one task; a straggler-killer at scale).
 
-    A single unpartitioned window is the one window shape that does NOT
-    scale (all rows through one partition); it is registered for surface
-    completeness — at 100 TB bucket via approx quantile boundaries
-    (range-partitioned sort) instead, or partition the window.
+    Distributed-exact plan:
+      1. ``repartitionByRange`` on the sort key → partition p holds a
+         contiguous key range, and partition ids order with the keys;
+      2. per-partition local ``row_number`` (window PARTITIONed BY the
+         range-partition id → parallel across partitions);
+      3. per-partition counts → cumulative offsets (tiny: one row per
+         partition) broadcast back;
+      4. global rank = offset + local row number; ntile(4) and
+         percent_rank are then closed-form in (rank, n).
+
+    The sort key includes the unique o_orderkey so rank()==row_number()
+    (no ties) and both engines order identically.
     """
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ranged = o.repartitionByRange(32, "o_totalprice", "o_orderkey").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local_w = Window.partitionBy("_pid").orderBy("o_totalprice", "o_orderkey")
+    with_rn = ranged.withColumn("_rn", F.row_number().over(local_w))
+
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Offsets over ≤32 rows: the single-partition window here is over the
+    # per-partition COUNTS (bounded by the partition count), not the data.
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    tot_w = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"),
+        F.sum("_cnt").over(tot_w).alias("_n"),
+    )
+
+    rank = (F.col("_off") + F.col("_rn")).alias("_rank")
+    joined = with_rn.join(F.broadcast(offsets), "_pid").withColumn("_rank", rank)
+    # ntile(k): first n%k buckets get ceil(n/k) rows, the rest floor(n/k).
+    n, rk = F.col("_n"), F.col("_rank")
+    qsize, rem = (n / 4).cast("long"), n % 4
+    threshold = rem * (qsize + 1)
+    quartile = F.when(rk <= threshold, F.ceil(rk / (qsize + 1))).otherwise(
+        rem + F.ceil((rk - threshold) / F.greatest(qsize, F.lit(1)))
+    )
+    pct = F.when(n == 1, F.lit(0.0)).otherwise(
+        ((rk - 1) / (n - 1)).cast("double")
+    )
+    return joined.select(
         "o_orderkey",
         "o_totalprice",
-        F.ntile(4).over(w).alias("quartile"),
-        F.percent_rank().over(w).alias("pct_rank"),
+        quartile.cast("int").alias("quartile"),
+        pct.alias("pct_rank"),
     )
 
 

@@ -245,3 +245,24 @@ def test_stratified_sample_is_scanside_filter(spark, sf_dir):
     p = _plan(spark, sf_dir, "sample_stratified_hash")
     assert len(_exchanges(p)) == 0
     assert "Filter" in p
+
+
+def test_window_ntile_no_global_single_partition_window(spark, sf_dir):
+    """The global ntile must NOT put the data through one unpartitioned
+    Window: every Window node over the orders rows must carry a partition
+    spec (_pid), and the only unpartitioned windows are over the ≤32-row
+    per-partition counts (below a HashAggregate, broadcast back)."""
+    p = _plan(spark, sf_dir, "window_ntile")
+    # the data path: rangepartitioning exchange, then hashpartitioning(_pid)
+    assert "rangepartitioning(o_totalprice" in p
+    assert any("hashpartitioning(_pid" in l for l in p.splitlines())
+    # the counts side must be broadcast, not joined via shuffle
+    assert "BroadcastHashJoin" in p
+    # No SinglePartition exchange feeding a Window over the raw orders
+    # columns: every 'Exchange SinglePartition' (if any) must sit above a
+    # HashAggregate (the tiny counts), never directly above the scan.
+    lines = p.splitlines()
+    for i, l in enumerate(lines):
+        if "SinglePartition" in l:
+            ctx = "\n".join(lines[max(0, i - 6) : i + 6])
+            assert "HashAggregate" in ctx or "count(1)" in ctx, ctx
