@@ -100,15 +100,76 @@ _JACCARD_ORACLE = f"""
 """
 
 
+def _ranked_postings(toks: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Postings with the machinery for exact prefix filtering.
+
+    Each document's distinct tokens are ranked rarest-first under a global
+    total order (document frequency within the language, token string as
+    tie-break) — the ordering from the ALL-PAIRS / PPJoin family. Output
+    columns per posting: doc_id, lang, token, sz (doc's set size), rank
+    (1-based position in the global order), and o = ceil(t·sz), the
+    minimum overlap a partner must share with THIS doc at threshold
+    t = t_num/t_den. o is computed in integer arithmetic ((t_num·sz +
+    t_den − 1) div t_den): a float ceil(0.95·20) = ceil(19.000…004) = 20
+    would SHORTEN the prefix below the theorem's bound and silently drop
+    true pairs.
+    """
+    sized = toks.withColumn("sz", F.size("tk").cast("long"))
+    postings = sized.select("doc_id", "lang", "sz", F.explode("tk").alias("token"))
+    df_counts = postings.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    return (
+        postings.join(df_counts, ["lang", "token"])
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn("o", F.expr(f"({t_num} * sz + {t_den} - 1) div {t_den}"))
+    )
+
+
+def jaccard_prefix_candidates(toks: DataFrame, t_num: int, t_den: int) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs for an exact Jaccard-threshold join,
+    via symmetric prefix filtering.
+
+    Theorem (prefix filter): if |A∩B| ≥ o, the first |A|−o+1 tokens of A
+    and the first |B|−o+1 of B under a shared total order intersect.
+    J(A,B) ≥ t implies |A∩B| ≥ ceil(t·max(|A|,|B|)) ≥ ceil(t·|X|) for
+    each side X, so joining only prefix postings (rank ≤ sz − o + 1) loses
+    no qualifying pair — the result is EXACT, not approximate. A stopword
+    with df ≈ n ranks last in every document and never enters a prefix,
+    which removes the O(df²) hot-token blowup of the naive inverted-index
+    join. The size-ratio filter (t·max ≤ min, also implied by J ≥ t) cuts
+    cross-size pairs before the shuffle output materializes.
+    """
+    prefix = _ranked_postings(toks, t_num, t_den).filter(
+        F.col("rank") <= F.col("sz") - F.col("o") + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                t_den * F.least(F.col("a.sz"), F.col("b.sz"))
+                >= t_num * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 @register("dedup_ngram_jaccard", oracle=_JACCARD_ORACLE, tags=("llm", "dedup"))
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-set Jaccard near-dup pairs within each language shard.
 
-    Spark side uses the inverted-index formulation — explode tokens, join
-    postings on (lang, token) to count intersections, derive the union
-    from per-doc set sizes — which is O(sum of posting-list² per token),
-    not O(n²) over documents, and is the standard scalable exact-Jaccard
-    plan. The oracle enumerates pairs directly (fine at toy scale).
+    Two-stage exact plan (Vernica–Carey–Li shape): (1) candidate pairs
+    from a prefix-filtered inverted index — see jaccard_prefix_candidates
+    for the theorem; hot tokens never enter prefixes, so no posting-list
+    self-join blowup — then (2) exact verification of only the candidates
+    against the full token arrays. Both stages are exact, so the oracle
+    remains the direct all-pairs enumeration (fine at toy scale) with no
+    construction mirroring needed.
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select(
@@ -116,27 +177,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.array_distinct(_tokens(F.col("text"))).alias("tk"),
     )
-    sizes = toks.select("doc_id", "lang", F.size("tk").cast("long").alias("sz"))
-    postings = toks.select("doc_id", "lang", F.explode("tk").alias("token"))
-    a, b = postings.alias("a"), postings.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    cand = jaccard_prefix_candidates(toks, 19, 20)  # 19/20 == 0.95 exactly
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b"))
+    n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("long")
+    verified = (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_inter", n_inter)
+        .withColumn("sz_a", F.size("tk_a").cast("long"))
+        .withColumn("sz_b", F.size("tk_b").cast("long"))
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
     jac = F.col("n_inter").cast("double") / (
-        F.col("sa.sz") + F.col("sb.sz") - F.col("n_inter")
+        F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
     )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_T)
+        verified.filter(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
@@ -501,43 +557,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger one (quote-inside-article, boilerplate wrappers) where Jaccard
     stays low because the union is dominated by the big side.
 
-    Same inverted-index plan as dedup_ngram_jaccard — postings join
-    counts each unordered intersection once (doc_a < doc_b), then both
-    directions are derived from the one count by dividing by either
-    side's set size. The containment ratio is exact-int/exact-int, so the
-    threshold compare is bit-identical across engines."""
+    Exact prefix-filtered plan: a pair can satisfy either containment
+    direction at threshold t only if the overlap is ≥ o = ceil(t·min(|A|,
+    |B|)) — C(small→big) ≥ t needs o directly, and C(big→small) ≥ t
+    implies an even larger overlap. So candidates are generated with the
+    SMALLER doc's static prefix (rank ≤ sz − o + 1, o from its own size)
+    against the larger doc's dynamic prefix (rank_b ≤ sz_b − o_a + 1; the
+    partner's o arrives through the join predicate, which is why the big
+    side keeps full ranked postings). Hot tokens rank last and never
+    enter the small side's prefix, so the O(df²) stopword blowup is gone
+    while the result stays exact — verification recomputes both directed
+    ratios from the full token arrays, and the oracle remains the direct
+    all-pairs enumeration."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
         F.array_distinct(_tokens(F.col("text"))).alias("tk"),
     )
-    sizes = toks.select("doc_id", "lang", F.size("tk").cast("long").alias("sz"))
-    postings = toks.select("doc_id", "lang", F.explode("tk").alias("token"))
-    a, b = postings.alias("a"), postings.alias("b")
-    inter = (
-        a.join(
-            b,
+    ranked = _ranked_postings(toks, 9, 10)  # 9/10 == 0.9 exactly
+    small = ranked.filter(F.col("rank") <= F.col("sz") - F.col("o") + 1).alias("a")
+    big = ranked.alias("b")
+    cand = (
+        small.join(
+            big,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.token") == F.col("b.token"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (
+                (F.col("a.sz") < F.col("b.sz"))
+                | (
+                    (F.col("a.sz") == F.col("b.sz"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id"))
+                )
+            )
+            & (F.col("b.rank") <= F.col("b.sz") - F.col("a.o") + 1),
         )
-        .groupBy(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select(F.col("a.doc_id").alias("u"), F.col("b.doc_id").alias("v"))
+        .distinct()
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    both = inter.join(sa, F.col("u") == F.col("sa.doc_id")).join(
-        sb, F.col("v") == F.col("sb.doc_id")
+    tu = toks.select(F.col("doc_id").alias("u"), F.col("tk").alias("tk_u"))
+    tv = toks.select(F.col("doc_id").alias("v"), F.col("tk").alias("tk_v"))
+    both = (
+        cand.join(tu, "u")
+        .join(tv, "v")
+        .withColumn("n_inter", F.size(F.array_intersect("tk_u", "tk_v")).cast("long"))
+        .withColumn("sz_u", F.size("tk_u").cast("long"))
+        .withColumn("sz_v", F.size("tk_v").cast("long"))
     )
     fwd = both.select(
         F.col("u").alias("doc_a"),
         F.col("v").alias("doc_b"),
-        (F.col("n_inter").cast("double") / F.col("sa.sz")).alias("c"),
+        (F.col("n_inter").cast("double") / F.col("sz_u")).alias("c"),
     )
     rev = both.select(
         F.col("v").alias("doc_a"),
         F.col("u").alias("doc_b"),
-        (F.col("n_inter").cast("double") / F.col("sb.sz")).alias("c"),
+        (F.col("n_inter").cast("double") / F.col("sz_v")).alias("c"),
     )
     return (
         fwd.unionByName(rev)

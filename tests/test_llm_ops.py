@@ -136,3 +136,37 @@ def test_connected_components_library_api(spark):
     )
     got = {r.node: r.component_id for r in connected_components(edges).collect()}
     assert got == {3: 3, 5: 3, 9: 3, 20: 20, 21: 20, 40: 40, 41: 40, 42: 40}
+
+
+def test_prefix_filter_bounds_hot_token_candidates(spark):
+    """An injected stopword shared by EVERY document must not explode the
+    candidate set: with prefix filtering the stopword ranks last in each
+    doc and never enters a prefix, so candidates stay near zero instead
+    of the naive inverted-index O(n²/2) pairs — while genuinely
+    near-duplicate docs are still found (exactness)."""
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        jaccard_prefix_candidates,
+    )
+
+    n = 200
+    rows = []
+    for i in range(n):
+        # 10 unique-to-doc tokens + the universal stopword "the".
+        toks = [f"tok{i}_{j}" for j in range(10)] + ["the"]
+        rows.append((i, "en", toks))
+    # One true near-dup pair: doc 9000/9001 share 19 of 20 tokens.
+    shared = [f"dup{j}" for j in range(19)]
+    rows.append((9000, "en", shared + ["only_a"]))
+    rows.append((9001, "en", shared + ["only_b"]))
+    toks = spark.createDataFrame(rows, "doc_id long, lang string, tk array<string>")
+
+    cand = jaccard_prefix_candidates(toks, 19, 20).collect()
+    naive_pairs = n * (n - 1) // 2  # what the stopword alone would generate
+    assert len(cand) < 50, f"{len(cand)} candidates — hot token not cut"
+    assert len(cand) < naive_pairs / 100
+    # exactness: the planted J=0.9 pair is BELOW the 0.95 threshold's
+    # candidate guarantee, so plant an identical pair too.
+    rows2 = rows + [(9100, "en", shared + ["same"]), (9101, "en", shared + ["same"])]
+    toks2 = spark.createDataFrame(rows2, "doc_id long, lang string, tk array<string>")
+    cand2 = {(r.doc_a, r.doc_b) for r in jaccard_prefix_candidates(toks2, 19, 20).collect()}
+    assert (9100, 9101) in cand2
