@@ -153,7 +153,12 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently running a quadratic join at corpus scale.
     """
     e = table(spark, sf_dir, "embeddings")
-    n = e.count()
+    # Guard from the parquet FOOTER row count (zero Spark jobs) — the
+    # previous e.count() launched a full scan job per invocation just to
+    # decide whether to run.
+    import pyarrow.parquet as pq
+
+    n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     if n > 100_000:
         raise ValueError(
             f"dedup_embedding_cosine is the exact O(n²) variant; {n} vectors "
@@ -253,6 +258,109 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_every: int = CENTROID_EVERY,
+    iters: int = 2,
+) -> DataFrame:
+    """Learned IVF centroids: deterministic seed picks refined by Lloyd
+    iterations, entirely in DataFrame ops (spherical k-means — assignment
+    by max cosine, update by element-wise mean; argmax cosine is
+    invariant to centroid norm, so no renormalization is needed).
+
+    Seeds are ``id % init_every == 0`` (reproducible, no RNG); each Lloyd
+    round is one broadcast cross-join + argmax window (parallel over
+    vectors) and one posexplode/groupBy mean (parallel over (bucket,
+    dim)). Clusters that lose all members simply drop out — k shrinks
+    rather than keeping a dead centroid. The final (small) centroid table
+    is localCheckpoint()ed so the two downstream broadcasts don't each
+    replay the Lloyd lineage.
+    """
+    cents = vectors.filter(F.col(id_col) % init_every == 0).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_emb")
+    )
+    for _ in range(iters):
+        cos_vc = _cosine(_dbl(F.col(vec_col)), _dbl(F.col("c_emb")))
+        w = Window.partitionBy(id_col).orderBy(F.desc("a_cos"), F.asc("cent_id"))
+        assigned = (
+            vectors.crossJoin(F.broadcast(cents))
+            .select(id_col, vec_col, "cent_id", cos_vc.alias("a_cos"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        ex = assigned.select(
+            F.col("cent_id").alias("b"),
+            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"),
+        )
+        means = ex.groupBy("b", "pos").agg(F.avg("val").alias("m"))
+        cents = (
+            means.groupBy("b")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("c_emb")
+            )
+            .select(F.col("b").alias("cent_id"), "c_emb")
+        )
+    return cents.localCheckpoint(eager=False)
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    init_every: int = CENTROID_EVERY,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "p_emb",
+) -> DataFrame:
+    """IVF approximate top-k (library API): learned coarse quantizer
+    (kmeans_centroids), per-probe routing to nprobe buckets, exact search
+    within routed buckets only."""
+    cent = kmeans_centroids(
+        vectors, id_col=id_col, vec_col=vec_col, init_every=init_every, iters=iters
+    )
+    cos_vc = _cosine(_dbl(F.col(vec_col)), _dbl(F.col("c_emb")))
+    # Assign every vector to its nearest centroid (argmax cosine).
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("a_cos"), F.asc("cent_id"))
+    assigned = (
+        vectors.crossJoin(F.broadcast(cent))
+        .select(id_col, vec_col, "cent_id", cos_vc.alias("a_cos"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, F.col("cent_id").alias("bucket"))
+    )
+    # Route each probe to its nprobe nearest centroid buckets.
+    cos_pc = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col("c_emb")))
+    w_route = Window.partitionBy(probe_id_col).orderBy(F.desc("p_cos"), F.asc("cent_id"))
+    routed = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(probe_id_col, probe_vec_col, "cent_id", cos_pc.alias("p_cos"))
+        .withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= nprobe)
+        .select(probe_id_col, probe_vec_col, F.col("cent_id").alias("bucket"))
+    )
+    # Search only within routed buckets.
+    cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    w_topk = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        routed.join(assigned, "bucket")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(probe_id_col, id_col, cos_pv.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select(probe_id_col, id_col, F.round("cos", 6).alias("cosine"))
+    )
+
+
 @register(
     "sim_ann_ivf",
     oracle=None,  # IVF result depends on bucket routing — recall vs brute
@@ -261,7 +369,8 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate nearest neighbor: coarse-quantize vectors to
-    deterministic centroids, search only each probe's nprobe buckets.
+    LEARNED centroids (deterministic seeds + 2 Lloyd rounds, see
+    kmeans_centroids), search only each probe's nprobe buckets.
 
     Plan shape at 100 TB: centroids broadcast twice (assignment +
     probe routing); the vector table is scanned once, shuffled only by
@@ -269,43 +378,10 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     |bucket| × nprobe instead of n.
     """
     e = table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
-    )
-    cos_vc = _cosine(_dbl(F.col("embedding")), _dbl(F.col("c_emb")))
-    # Assign every vector to its nearest centroid (argmax cosine).
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), F.asc("cent_id"))
-    assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", cos_vc.alias("a_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
-    )
-    # Route each probe to its nprobe nearest centroid buckets.
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
-    cos_pc = _cosine(_dbl(F.col("p_emb")), _dbl(F.col("c_emb")))
-    w_route = Window.partitionBy("probe_id").orderBy(F.desc("p_cos"), F.asc("cent_id"))
-    routed = (
-        probes.crossJoin(F.broadcast(cent))
-        .select("probe_id", "p_emb", "cent_id", cos_pc.alias("p_cos"))
-        .withColumn("rn", F.row_number().over(w_route))
-        .filter(F.col("rn") <= NPROBE)
-        .select("probe_id", "p_emb", F.col("cent_id").alias("bucket"))
-    )
-    # Search only within routed buckets.
-    cos_pv = _cosine(_dbl(F.col("p_emb")), _dbl(F.col("embedding")))
-    w_topk = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
-    return (
-        routed.join(assigned, "bucket")
-        .filter(F.col("vec_id") != F.col("probe_id"))
-        .select("probe_id", "vec_id", cos_pv.alias("cos"))
-        .withColumn("rn", F.row_number().over(w_topk))
-        .filter(F.col("rn") <= TOP_K)
-        .select("probe_id", "vec_id", F.round("cos", 6).alias("cosine"))
-    )
+    return ivf_topk(e, probes, k=TOP_K, nprobe=NPROBE)
 
 
 def topk_cosine_blocked(
