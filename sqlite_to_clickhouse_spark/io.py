@@ -25,6 +25,31 @@ TABLES = (
 )
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to session-tz TIMESTAMP regardless of the
+    fixture's physical parquet type. The driver regenerates fixtures between
+    rounds and has already flipped between TIMESTAMP(NANOS) (read as long
+    under ``nanosAsLong``) and timestamp[us] (read as TIMESTAMP_NTZ), so
+    dispatch on the *read* dtype instead of assuming one:
+
+    - LongType (nanos-as-long): integer ``div 1000`` then
+      ``timestamp_micros`` — ns epoch values overflow double precision, so
+      no float math.
+    - TIMESTAMP_NTZ / anything else: plain cast. Under the pinned UTC
+      session timezone this preserves the wall-clock value DuckDB sees,
+      keeping oracle hash parity.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampType
+
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dt, TimestampType):
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one fixture table (reference R3's engine analog)."""
     if name not in TABLES:
@@ -32,13 +57,10 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamps must mean the same instant the DuckDB oracle sees (naive);
     # pin the session timezone in case the caller's session didn't.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses by default
-    # (PARQUET_TYPE_ILLEGAL). Read nanos as long, then convert with integer
-    # division (ns epoch values overflow double precision, so no float math).
+    # Tolerate TIMESTAMP(NANOS) fixtures (Spark refuses them by default with
+    # PARQUET_TYPE_ILLEGAL); harmless when the fixture is already micros.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        from pyspark.sql import functions as F
-
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     return df

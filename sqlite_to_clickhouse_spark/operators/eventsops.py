@@ -240,7 +240,7 @@ _SESSIONIZE_ORACLE = """
                    AS session_no
         FROM flagged
     )
-    SELECT user_id, session_no,
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
            count(*) AS n_events,
            CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS span_s
     FROM sessions

@@ -153,7 +153,7 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source, COUNT(*) AS n_docs,
            ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents WHERE lang = 'en'
     GROUP BY source
     """,

@@ -42,38 +42,17 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # (registration order).  To rotate driver-side verification across the whole
 # registry over successive rounds, ``all_queries()`` emits the names below
 # first, then the rest in registration order.  Round 1 verified the
-# relational/join/agg family (the natural first 50); round 2 promotes the
-# LLM-pipeline family (text/dedup/similarity/multimodal/events/sampling) plus
-# the two aggregates whose array outputs were re-serialized for the gate.
+# relational/join/agg family (the natural first 50); rounds 2-3 the
+# LLM-pipeline family.  Round 4's window = the 15 ops that errored/failed in
+# CORRECTNESS_r03 (proving the events-ts loader fix and the two oracle int-
+# width casts) + 35 never-verified ops (fn_*, oracle-bearing stream_*,
+# udf_*/udtf_*, two sort/set).  The ~26 still-never-verified (scans/sinks,
+# rest of sort/set, no-oracle ops) rotate into round 5.
 _PRIORITY: list[str] = [
+    # -- r3 failures, now fixed --
     "agg_group_array",
-    "agg_quantiles_multi",
-    "window_ntile",
-    "text_tokens",
-    "text_term_freq",
-    "text_tfidf",
     "text_lang_filter",
-    "text_langid",
-    "text_quality",
-    "doc_fingerprint",
-    "text_ngrams",
-    "text_bpe_tokens",
-    "text_line_dedup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_fuzzy_minhash",
-    "dedup_simhash",
-    "dedup_connected_components",
-    "dedup_containment",
     "dedup_adjacent",
-    "sim_topk_cosine",
-    "dedup_embedding_cosine",
-    "dedup_embedding_bucketed",
-    "sim_cosine_pairs",
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_frame_sample",
-    "scan_binary_files",
     "events_funnel",
     "events_retention",
     "events_sequence_count",
@@ -81,21 +60,50 @@ _PRIORITY: list[str] = [
     "events_sessionize",
     "events_anomaly_zscore",
     "timeseries_gap_fill",
-    "split_train_holdout",
-    "sample_deterministic",
-    "pipeline_corpus_clean",
-    "sample_stratified_hash",
-    "pipeline_pack_sequences",
     "window_running",
-    "window_range_frame",
     "dedup_replacing",
-    "window_first_last",
-    "window_cume_dist",
     "window_time_range",
-    "window_median",
     "window_rolling_distinct",
     "window_fill_forward",
-    "window_ratio_to_report",
+    # -- never-verified: scalar function battery --
+    "fn_string",
+    "fn_date",
+    "fn_math",
+    "fn_conditional",
+    "fn_json",
+    "fn_array",
+    "fn_map",
+    "fn_hash",
+    "fn_bitwise",
+    "fn_url",
+    "fn_time_bucket",
+    "fn_editdistance",
+    "fn_format",
+    "fn_date_extra",
+    "fn_json_struct",
+    "fn_math_advanced",
+    "fn_regex",
+    "fn_struct",
+    "fn_try_arith",
+    # -- never-verified: streaming (oracle-bearing) --
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_dedup",
+    "stream_static_join",
+    "stream_foreach_sink",
+    "stream_stream_join",
+    "stream_custom_stateful",
+    # -- never-verified: UDF/UDTF family --
+    "udf_python",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "udtf_explode",
+    "udtf_posexplode",
+    "udf_pandas_cogrouped",
+    # -- never-verified: sort/set picks --
+    "sort_multi",
+    "topk_per_group",
 ]
 
 

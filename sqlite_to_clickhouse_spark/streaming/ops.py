@@ -50,8 +50,10 @@ def _stage_dir(sf_dir: str) -> str:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``readStream`` over the events fixture with the same ts handling as
-    the batch loader (io.table): parquet TIMESTAMP(NANOS) read as long,
-    converted to a microsecond timestamp JVM-side."""
+    the batch loader — delegates to io.normalize_events_ts so batch and
+    stream stay in lockstep when the driver regenerates fixtures."""
+    from sqlite_to_clickhouse_spark.io import normalize_events_ts
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
@@ -61,7 +63,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one events file (no data copy) and stream that.
     stage = _stage_dir(sf_dir)
     raw = spark.readStream.schema(schema).parquet(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def run_to_memory(sdf: DataFrame, output_mode: str) -> DataFrame:

@@ -1,0 +1,138 @@
+"""Fixture-loader hardening: the driver regenerates the parquet fixtures
+between rounds and has already flipped events.ts between TIMESTAMP(NANOS)
+and timestamp[us] (round-3 regression — 32 ops died on the unconditional
+nanos conversion). These tests fabricate every physical type the driver
+has shipped so the next drift is caught locally, and pin the normalized
+schema of all ten tables."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sqlite_to_clickhouse_spark import io
+
+_WALL = dt.datetime(2024, 3, 1, 12, 34, 56, 789000)
+_EPOCH_US = int(_WALL.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+
+def _write_events(tmpdir: str, ts_array: pa.Array) -> str:
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": ts_array,
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.5], pa.float64()),
+            "props": pa.array(['{"k":1}'], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(tmpdir, "events.parquet"))
+    return tmpdir
+
+
+_TS_VARIANTS = {
+    "nanos_as_long": pa.array([_EPOCH_US * 1000], pa.int64()),
+    "timestamp_us": pa.array([_EPOCH_US], pa.timestamp("us")),
+    "timestamp_ns": pa.array([_EPOCH_US * 1000], pa.timestamp("ns")),
+    "timestamp_ms": pa.array([_EPOCH_US // 1000], pa.timestamp("ms")),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(_TS_VARIANTS))
+def test_events_ts_normalizes_any_physical_type(spark, tmp_path, variant):
+    """io.table must yield the same TIMESTAMP wall-clock value whatever
+    physical ts type the driver writes next."""
+    d = _write_events(str(tmp_path), _TS_VARIANTS[variant])
+    df = io.table(spark, d, "events")
+    assert dict(df.dtypes)["ts"] == "timestamp", variant
+    [row] = df.collect()
+    assert row["ts"].replace(tzinfo=None) == _WALL, variant
+
+
+def test_fixture_schemas_normalized(spark, sf_dir):
+    """Pin the post-normalization schema of every fixture table so fixture
+    regeneration shows up as a local red, not a driver-window surprise."""
+    expected = {
+        "region": {"r_regionkey": "int", "r_name": "string"},
+        "nation": {"n_nationkey": "int", "n_name": "string", "n_regionkey": "int"},
+        "customer": {
+            "c_custkey": "bigint",
+            "c_name": "string",
+            "c_nationkey": "int",
+            "c_acctbal": "double",
+            "c_mktsegment": "string",
+        },
+        "supplier": {
+            "s_suppkey": "bigint",
+            "s_name": "string",
+            "s_nationkey": "int",
+            "s_acctbal": "double",
+        },
+        "part": {
+            "p_partkey": "bigint",
+            "p_name": "string",
+            "p_brand": "string",
+            "p_type": "string",
+            "p_size": "int",
+            "p_retailprice": "double",
+        },
+        "orders": {
+            "o_orderkey": "bigint",
+            "o_custkey": "bigint",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+            "o_orderdate": "timestamp_ntz",
+            "o_orderpriority": "string",
+        },
+        "lineitem": {
+            "l_orderkey": "bigint",
+            "l_partkey": "bigint",
+            "l_suppkey": "bigint",
+            "l_linenumber": "int",
+            "l_quantity": "double",
+            "l_extendedprice": "double",
+            "l_discount": "double",
+            "l_tax": "double",
+            "l_returnflag": "string",
+            "l_linestatus": "string",
+            "l_shipdate": "timestamp_ntz",
+        },
+        "events": {
+            "event_id": "bigint",
+            "ts": "timestamp",
+            "user_id": "bigint",
+            "event_type": "string",
+            "value": "double",
+            "props": "string",
+        },
+        "documents": {
+            "doc_id": "bigint",
+            "text": "string",
+            "lang": "string",
+            "source": "string",
+            "n_chars": "bigint",
+        },
+        "embeddings": {
+            "vec_id": "bigint",
+            "embedding": "array<float>",
+            "label": "int",
+        },
+    }
+    for t in io.TABLES:
+        got = dict(io.table(spark, sf_dir, t).dtypes)
+        assert got == expected[t], f"{t}: {got}"
+
+
+def test_streaming_loader_matches_batch(spark, sf_dir):
+    """events_stream must produce the identical schema to io.table — the
+    round-3 regression had the same bug duplicated in both loaders."""
+    from sqlite_to_clickhouse_spark.streaming.ops import events_stream
+
+    batch = io.table(spark, sf_dir, "events")
+    stream = events_stream(spark, sf_dir)
+    assert stream.schema == batch.schema

@@ -48,12 +48,28 @@ def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
 def assert_df_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?") -> None:
     """Compare a Spark DataFrame against DuckDB oracle SQL the way the
     driver does: count, sorted column names, order-insensitive values."""
-    duck_rel = duck_con.execute(oracle)
-    duck_cols = [d[0] for d in duck_rel.description]
+    duck_rel = duck_con.sql(oracle)
+    duck_cols = list(duck_rel.columns)
+    duck_types = [str(t).upper() for t in duck_rel.types]
     duck_rows = duck_rel.fetchall()
 
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
+
+    # The driver's value hash type-tags cells, so a DuckDB HUGEINT (e.g.
+    # SUM over any integer type, incl. window sums) hashes differently from
+    # Spark's bigint even when every value is equal. Local values compare
+    # as plain Python ints and would pass silently — so fail on the dtype
+    # itself and demand an explicit CAST in the oracle SQL.
+    spark_dtypes = dict(spark_df.dtypes)
+    for c, t in zip(duck_cols, duck_types):
+        if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
+            sdt = spark_dtypes.get(c, "")
+            assert sdt.startswith("decimal"), (
+                f"[{name}] oracle column {c!r} is DuckDB {t} but Spark {sdt!r}; "
+                f"the driver hash type-tags these differently — CAST the oracle "
+                f"expression to BIGINT/DOUBLE"
+            )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"[{name}] column mismatch: spark={sorted(spark_cols)} duck={sorted(duck_cols)}"
