@@ -265,48 +265,60 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     init_every: int = CENTROID_EVERY,
     iters: int = 2,
+    train_cap: int = 50_000,
 ) -> DataFrame:
-    """Learned IVF centroids: deterministic seed picks refined by Lloyd
-    iterations, entirely in DataFrame ops (spherical k-means — assignment
-    by max cosine, update by element-wise mean; argmax cosine is
-    invariant to centroid norm, so no renormalization is needed).
+    """Learned IVF coarse-quantizer centroids, trained on a bounded
+    deterministic sample (the standard IVF recipe: FAISS/ScaNN train the
+    quantizer on a subset, never the full corpus — training cost must be
+    sublinear in n for the index to be buildable at all at 100 TB).
 
-    Seeds are ``id % init_every == 0`` (reproducible, no RNG); each Lloyd
-    round is one broadcast cross-join + argmax window (parallel over
-    vectors) and one posexplode/groupBy mean (parallel over (bucket,
-    dim)). Clusters that lose all members simply drop out — k shrinks
-    rather than keeping a dead centroid. The final (small) centroid table
-    is localCheckpoint()ed so the two downstream broadcasts don't each
-    replay the Lloyd lineage.
+    Sampling: the ``train_cap`` rows with the smallest ``xxhash64(id)``
+    (a deterministic pseudo-random sample, one TakeOrdered pass over a
+    two-column projection — no full-table shuffle, no RNG). Seeds are the
+    sample's ``id % init_every == 0`` rows, refined by ``iters`` rounds
+    of driver-side spherical k-means over the L2-normalized sample
+    (argmax dot == argmax cosine on unit vectors; update = renormalized
+    member mean; ties → lowest cent_id; emptied clusters drop out, so k
+    shrinks rather than keeping a dead centroid).
+
+    An earlier revision ran the Lloyd rounds as distributed DataFrame
+    jobs; profiling showed per-round plan-compile + job fixed costs of
+    1-2 s dominating end-to-end latency at every SF that fits the sample
+    cap anyway — a k×dim quantizer fit on ≤50 k sampled rows is exactly
+    the bounded driver-side computation the probe-broadcast contract
+    already allows. Everything downstream (assignment, routing, bucket
+    search) stays fully distributed, so the 100 TB path is: one narrow
+    sample scan + tiny driver fit, then broadcast centroids.
     """
-    cents = vectors.filter(F.col(id_col) % init_every == 0).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("c_emb")
+    import numpy as np
+
+    spark = vectors.sparkSession
+    sample_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_cap)
+        .collect()
     )
+    ids = np.array([r[0] for r in sample_rows], dtype=np.int64)
+    V = np.array([r[1] for r in sample_rows], dtype=np.float64)
+    V /= np.linalg.norm(V, axis=1, keepdims=True)
+
+    seed_mask = ids % init_every == 0
+    order = np.argsort(ids[seed_mask])
+    cent_ids = ids[seed_mask][order]
+    C = V[seed_mask][order]
     for _ in range(iters):
-        cos_vc = _cosine(_dbl(F.col(vec_col)), _dbl(F.col("c_emb")))
-        w = Window.partitionBy(id_col).orderBy(F.desc("a_cos"), F.asc("cent_id"))
-        assigned = (
-            vectors.crossJoin(F.broadcast(cents))
-            .select(id_col, vec_col, "cent_id", cos_vc.alias("a_cos"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-        )
-        ex = assigned.select(
-            F.col("cent_id").alias("b"),
-            F.posexplode(_dbl(F.col(vec_col))).alias("pos", "val"),
-        )
-        means = ex.groupBy("b", "pos").agg(F.avg("val").alias("m"))
-        cents = (
-            means.groupBy("b")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("c_emb")
-            )
-            .select(F.col("b").alias("cent_id"), "c_emb")
-        )
-    return cents.localCheckpoint(eager=False)
+        # argmax dot; np.argmax takes the first max → lowest cent_id on ties
+        assign = np.argmax(V @ C.T, axis=1)
+        keep, inverse = np.unique(assign, return_inverse=True)
+        M = np.zeros((len(keep), C.shape[1]))
+        np.add.at(M, inverse, V)
+        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        cent_ids, C = cent_ids[keep], M
+    return spark.createDataFrame(
+        [(int(cid), [float(x) for x in row]) for cid, row in zip(cent_ids, C)],
+        "cent_id bigint, c_emb array<double>",
+    )
 
 
 def ivf_topk(
@@ -328,22 +340,32 @@ def ivf_topk(
     cent = kmeans_centroids(
         vectors, id_col=id_col, vec_col=vec_col, init_every=init_every, iters=iters
     )
-    cos_vc = _cosine(_dbl(F.col(vec_col)), _dbl(F.col("c_emb")))
-    # Assign every vector to its nearest centroid (argmax cosine).
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("a_cos"), F.asc("cent_id"))
+    # kmeans_centroids returns UNIT-NORM centroids, so nearest-by-cosine
+    # reduces to argmax dot (|v| is constant per row, |c| = 1): one array
+    # fold per pair instead of cosine's three.
+    dot_vc = _dot(_dbl(F.col(vec_col)), F.col("c_emb"))
+    # Assign every vector to its nearest centroid via max_by groupBy —
+    # partial-aggregates map-side, no per-vector sort. Tie-break:
+    # max (dot, -cent_id) == desc dot, asc cent_id.
     assigned = (
         vectors.crossJoin(F.broadcast(cent))
-        .select(id_col, vec_col, "cent_id", cos_vc.alias("a_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, F.col("cent_id").alias("bucket"))
+        .select(id_col, vec_col, "cent_id", dot_vc.alias("a_dot"))
+        .groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.col("cent_id"), F.struct(F.col("a_dot"), -F.col("cent_id"))
+            ).alias("bucket"),
+            F.first(vec_col).alias(vec_col),
+        )
+        .select(id_col, vec_col, "bucket")
     )
-    # Route each probe to its nprobe nearest centroid buckets.
-    cos_pc = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col("c_emb")))
-    w_route = Window.partitionBy(probe_id_col).orderBy(F.desc("p_cos"), F.asc("cent_id"))
+    # Route each probe to its nprobe nearest centroid buckets (same
+    # dot-for-cosine reduction; the probe side is tiny, so a window is fine).
+    dot_pc = _dot(_dbl(F.col(probe_vec_col)), F.col("c_emb"))
+    w_route = Window.partitionBy(probe_id_col).orderBy(F.desc("p_dot"), F.asc("cent_id"))
     routed = (
         probes.crossJoin(F.broadcast(cent))
-        .select(probe_id_col, probe_vec_col, "cent_id", cos_pc.alias("p_cos"))
+        .select(probe_id_col, probe_vec_col, "cent_id", dot_pc.alias("p_dot"))
         .withColumn("rn", F.row_number().over(w_route))
         .filter(F.col("rn") <= nprobe)
         .select(probe_id_col, probe_vec_col, F.col("cent_id").alias("bucket"))
