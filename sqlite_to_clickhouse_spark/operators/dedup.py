@@ -31,6 +31,9 @@ actually targets — at >99.9 % recall.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -317,18 +320,33 @@ def minhash_lsh_pairs(
     )
     # Affine minhash over the md5-derived base hash: per seed s,
     # min((2s+1)·(h mod M31) + b_s mod M31). One md5 per token total
-    # (shared with the verify stage's __tkh), the rest is codegen'd long
-    # arithmetic — ~48× less hashing than md5-per-seed-per-token.
-    def _affine_min(s: int):
-        b_s = (s * AFFINE_MULT) % MERSENNE31
-        return F.array_min(
-            F.transform(
-                F.col("__tkh"),
-                lambda h: ((2 * s + 1) * (h % MERSENNE31) + b_s) % MERSENNE31,
-            )
-        )
+    # (shared with the verify stage's __tkh); the n_hashes mins are an
+    # Arrow-batched pandas UDF doing the same exact int64 arithmetic as a
+    # (seeds × tokens) numpy broadcast. The previous JVM spelling — an
+    # n_hashes-wide array(array_min(transform(...))) tree — is evaluated
+    # as interpreted higher-order functions (never whole-stage codegen)
+    # and cost more to analyze+compile than to run at any SF; the kernel
+    # is bit-identical (intermediates < 2^38, no int64 overflow) so the
+    # DuckDB oracle is unchanged.
+    from pyspark.sql import types as T
 
-    sigs = toks.withColumn("sig", F.array(*[_affine_min(s) for s in range(n_hashes)]))
+    seeds = np.arange(n_hashes, dtype=np.int64)
+    mults = 2 * seeds + 1
+    offs = (seeds * AFFINE_MULT) % MERSENNE31
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig_kernel(tkh: pd.Series) -> pd.Series:
+        out = []
+        for arr in tkh:
+            h = np.asarray(arr, dtype=np.int64) % MERSENNE31
+            if h.size == 0:
+                out.append([None] * len(seeds))
+                continue
+            m = (mults[:, None] * h[None, :] + offs[:, None]) % MERSENNE31
+            out.append(m.min(axis=1))
+        return pd.Series(out)
+
+    sigs = toks.withColumn("sig", _sig_kernel(F.col("__tkh")))
     band_keys = F.array(
         *[
             F.conv(

@@ -425,3 +425,204 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)),
+                                   i -> tk[i] || ' ' || tk[i + 1])) AS g
+      FROM toks WHERE len(tk) >= 2
+    ),
+    cnts AS (
+      SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)   AS n_bigrams,
+           CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+           FLOOR((sum(c) - count(*)) / CAST(sum(c) AS DOUBLE) * 1000000)
+             / 1000000 AS dup_bigram_frac,
+           FLOOR(max(c) / CAST(sum(c) AS DOUBLE) * 1000000)
+             / 1000000 AS top_bigram_frac
+    FROM cnts GROUP BY doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: per document, the fraction
+    of token bigrams that are repeats and the share taken by the single
+    most frequent bigram. High values mark degenerate/templated text that
+    survives document-level dedup (the 'most frequent n-gram' and
+    'duplicate n-gram' rules from the Gopher/MassiveText filter set).
+
+    Plan: bigram explode → per-(doc, bigram) count → per-doc aggregate.
+    Both aggregations ride ONE hash exchange on doc_id (the second groupBy
+    reuses the first's partitioning), and what shuffles is bigram counts,
+    not raw text. Docs with <2 tokens have no bigrams and drop out, same
+    as the oracle's len(tk) >= 2 guard.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(tk, i), F.element_at(tk, i + F.lit(1))
+        ),
+    )
+    bg = (
+        d.filter(F.size(tk) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("g"))
+    )
+    cnts = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    total = F.sum("c")
+    return cnts.groupBy("doc_id").agg(
+        total.cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        (
+            F.floor(
+                (total - F.count(F.lit(1))) / total.cast("double") * 1_000_000
+            )
+            / 1_000_000
+        ).alias("dup_bigram_frac"),
+        (
+            F.floor(F.max("c") / total.cast("double") * 1_000_000) / 1_000_000
+        ).alias("top_bigram_frac"),
+    )
+
+
+_DECON_N = 13  # n-gram width: the GPT-3/PaLM decontamination standard
+
+
+def _decon_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, len(tk) - {_DECON_N - 2}),
+               i -> array_to_string(list_slice(tk, i, i + {_DECON_N - 1}), ' ')
+             ))) AS g
+      FROM toks WHERE len(tk) >= {_DECON_N}
+    )
+    SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+           CAST(count(*) AS BIGINT) AS n_shared_13grams
+    FROM grams t JOIN grams b ON t.g = b.g
+    WHERE t.doc_id % 50 <> 0 AND b.doc_id % 50 = 0
+    GROUP BY t.doc_id, b.doc_id
+    """
+
+
+@register("text_decontaminate", oracle=_decon_oracle(), tags=("llm", "text", "dedup"))
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing any
+    13-gram with a held-out benchmark set (the GPT-3/PaLM n-gram-overlap
+    rule; docs surfacing here get dropped or span-redacted before
+    training). The fixture's benchmark slice is doc_id % 50 == 0.
+
+    Plan: per side, DISTINCT 13-grams inside the array (array_distinct
+    before explode — no countDistinct shuffle later), explode, inner join
+    train grams to bench grams on the gram, count per (train, bench)
+    pair. The bench side is small by construction (2 % of docs), so the
+    gram join broadcasts at bench scale and degrades to a hash join on
+    the gram at cluster scale. At 100 TB, hash each gram to 64 bits
+    before the join (as minhash_lsh_pairs does for tokens) so the join
+    key is 8 bytes, not ~100 chars; kept as strings here because the
+    differential oracle joins the same strings.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - F.lit(_DECON_N - 1)),
+            lambda i: F.array_join(F.slice(tk, i, _DECON_N), " "),
+        )
+    )
+    g = (
+        d.filter(F.size(tk) >= _DECON_N)
+        .select("doc_id", F.explode(grams).alias("g"))
+    )
+    train = g.filter(F.col("doc_id") % 50 != 0).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    bench = g.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    return (
+        train.join(bench, "g")
+        .groupBy("train_doc", "bench_doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_13grams"))
+    )
+
+
+@register(
+    "text_idf_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_filter(string_split(text, ' '),
+                                              t -> t <> ''))) AS token
+      FROM documents
+    ),
+    df AS (
+      SELECT token, count(*) AS df FROM toks GROUP BY token
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(CASE WHEN df.df > n.n_docs * 0.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           FLOOR(sum(CASE WHEN df.df > n.n_docs * 0.5 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE) * 1000000) / 1000000
+             AS boilerplate_frac
+    FROM toks t JOIN df ON t.token = df.token CROSS JOIN n
+    GROUP BY t.doc_id
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_idf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency boilerplate profiling: tokens appearing in more
+    than half the corpus are boilerplate (navigation chrome, license
+    headers, templating); per document, the distinct-token count and the
+    boilerplate share. The C4-style cleanup this feeds either drops those
+    tokens or drops documents that are mostly boilerplate.
+
+    Plan: same shape as text_tfidf's document-frequency side — distinct
+    tokens per doc (array_distinct before the explode), token-level df
+    aggregate, broadcast df + corpus count back onto the token stream,
+    per-doc aggregate. The df table is vocabulary-sized (tiny vs the
+    corpus), so the join back is a broadcast at any realistic vocabulary.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
+    is_boiler = F.when(
+        F.col("df") > F.col("n_docs") * 0.5, 1
+    ).otherwise(0)
+    boiler = F.sum(is_boiler)
+    return (
+        tok.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+            boiler.cast("long").alias("n_boilerplate"),
+            (
+                F.floor(boiler / F.count(F.lit(1)).cast("double") * 1_000_000)
+                / 1_000_000
+            ).alias("boilerplate_frac"),
+        )
+    )

@@ -266,3 +266,29 @@ def test_window_ntile_no_global_single_partition_window(spark, sf_dir):
         if "SinglePartition" in l:
             ctx = "\n".join(lines[max(0, i - 6) : i + 6])
             assert "HashAggregate" in ctx or "count(1)" in ctx, ctx
+
+
+def test_text_repetition_reuses_doc_partitioning(spark, sf_dir):
+    """The per-(doc,bigram) count and the per-doc rollup must ride ONE
+    hash exchange on doc_id — the second groupBy reuses the first's
+    partitioning (hash(doc_id, g) does NOT satisfy hash(doc_id), so this
+    asserts the planner chose doc_id-compatible partitioning, not two
+    independent shuffles of bigram volume)."""
+    p = _plan(spark, sf_dir, "text_repetition")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) <= 2, regular  # explode→count shuffle + at most one rollup
+
+
+def test_text_idf_filter_broadcasts_df_table(spark, sf_dir):
+    """The document-frequency table is vocabulary-sized; the join back to
+    the token stream must be a broadcast, never a shuffle of the corpus."""
+    p = _plan(spark, sf_dir, "text_idf_filter")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_text_decontaminate_no_python_eval(spark, sf_dir):
+    """The 13-gram construction is pure column expressions — no Python
+    worker in the plan (slice/array_join/explode are JVM-side)."""
+    p = _plan(spark, sf_dir, "text_decontaminate")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
