@@ -74,6 +74,10 @@ HEADLINE = [
     "events_anomaly_zscore",
     "window_rolling_distinct",
     "text_line_dedup",
+    # Round-4 additions: training-data quality/decontamination family.
+    "text_repetition",
+    "text_decontaminate",
+    "text_idf_filter",
 ]
 
 

@@ -25,29 +25,60 @@ TABLES = (
 )
 
 
-def normalize_events_ts(df: DataFrame) -> DataFrame:
-    """Normalize ``events.ts`` to session-tz TIMESTAMP regardless of the
-    fixture's physical parquet type. The driver regenerates fixtures between
-    rounds and has already flipped between TIMESTAMP(NANOS) (read as long
-    under ``nanosAsLong``) and timestamp[us] (read as TIMESTAMP_NTZ), so
-    dispatch on the *read* dtype instead of assuming one:
+# Event-time columns per table. If the driver regenerates a fixture with a
+# different physical timestamp type, these are the columns that must be
+# re-normalized (everything else — int vs bigint key width, float vs double
+# — drifts identically on the Spark and DuckDB sides and needs no help).
+_TS_COLUMNS = {
+    "events": ("ts",),
+    "orders": ("o_orderdate",),
+    "lineitem": ("l_shipdate",),
+}
+
+
+def _normalize_ts(df: DataFrame, col: str) -> DataFrame:
+    """Normalize one event-time column to a session-tz TIMESTAMP regardless
+    of the fixture's physical parquet type. The driver regenerates fixtures
+    between rounds and has already flipped events.ts between
+    TIMESTAMP(NANOS) (read as long under ``nanosAsLong``) and timestamp[us]
+    (read as TIMESTAMP_NTZ), so dispatch on the *read* dtype:
 
     - LongType (nanos-as-long): integer ``div 1000`` then
       ``timestamp_micros`` — ns epoch values overflow double precision, so
       no float math.
+    - TIMESTAMP: already what we want.
     - TIMESTAMP_NTZ / anything else: plain cast. Under the pinned UTC
       session timezone this preserves the wall-clock value DuckDB sees,
       keeping oracle hash parity.
+
+    Exception: a column that reads as TIMESTAMP_NTZ today (o_orderdate,
+    l_shipdate) is left NTZ — every oracle was validated against that, and
+    NTZ vs UTC-timestamp hash identically only for columns the driver
+    serializes as naive. Normalization kicks in only on a long read, the
+    one shape Spark can't use directly.
     """
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType, TimestampType
+    from pyspark.sql.types import LongType
 
-    dt = df.schema["ts"].dataType
+    dt = df.schema[col].dataType
     if isinstance(dt, LongType):
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if isinstance(dt, TimestampType):
-        return df
-    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df.withColumn(
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
+        )
+    return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """events.ts: long → micros conversion as in ``_normalize_ts``, plus a
+    TIMESTAMP_NTZ → TIMESTAMP cast (the batch ops and streaming watermarks
+    were built and driver-validated against TimestampType)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    df = _normalize_ts(df, "ts")
+    if not isinstance(df.schema["ts"].dataType, TimestampType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -63,4 +94,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_events_ts(df)
+    else:
+        for col in _TS_COLUMNS.get(name, ()):
+            df = _normalize_ts(df, col)
     return df

@@ -136,3 +136,30 @@ def test_streaming_loader_matches_batch(spark, sf_dir):
     batch = io.table(spark, sf_dir, "events")
     stream = events_stream(spark, sf_dir)
     assert stream.schema == batch.schema
+
+
+@pytest.mark.parametrize("variant", ["nanos_as_long", "timestamp_us"])
+def test_orders_date_normalizes_long_reads(spark, tmp_path, variant):
+    """If the driver regenerates orders with TIMESTAMP(NANOS) (read as
+    long), the loader must convert it like events.ts; a timestamp[us]
+    fixture stays NTZ as today (oracles validated against that)."""
+    arrs = {
+        "nanos_as_long": pa.array([_EPOCH_US * 1000], pa.int64()),
+        "timestamp_us": pa.array([_EPOCH_US], pa.timestamp("us")),
+    }
+    table = pa.table(
+        {
+            "o_orderkey": pa.array([1], pa.int64()),
+            "o_custkey": pa.array([2], pa.int64()),
+            "o_orderstatus": pa.array(["O"], pa.string()),
+            "o_totalprice": pa.array([10.5], pa.float64()),
+            "o_orderdate": arrs[variant],
+            "o_orderpriority": pa.array(["1-URGENT"], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(tmp_path), "orders.parquet"))
+    df = io.table(spark, str(tmp_path), "orders")
+    dt = dict(df.dtypes)["o_orderdate"]
+    assert dt in ("timestamp", "timestamp_ntz"), (variant, dt)
+    [row] = df.collect()
+    assert row["o_orderdate"].replace(tzinfo=None) == _WALL, variant
