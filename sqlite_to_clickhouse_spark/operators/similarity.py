@@ -24,6 +24,9 @@ Scale paths:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -290,8 +293,6 @@ def kmeans_centroids(
     search) stays fully distributed, so the 100 TB path is: one narrow
     sample scan + tiny driver fit, then broadcast centroids.
     """
-    import numpy as np
-
     spark = vectors.sparkSession
     sample_rows = (
         vectors.select(id_col, vec_col)
@@ -336,39 +337,54 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF approximate top-k (library API): learned coarse quantizer
     (kmeans_centroids), per-probe routing to nprobe buckets, exact search
-    within routed buckets only."""
+    within routed buckets only.
+
+    Assignment and routing are Arrow-batched pandas UDFs doing one numpy
+    matmul per batch against the (tiny, closure-shipped) unit-norm
+    centroid matrix — argmax dot == argmax cosine on unit centroids, ties
+    to the lowest cent_id. An earlier revision spelled assignment as
+    crossJoin(broadcast(centroids)) + an interpreted array-fold dot per
+    (vector, centroid) pair; that is O(n·k) interpreted lambda evals, and
+    a 10× scale check (tools/scale_check.py: n and k both grow) measured
+    it ~15× — the matmul kernel does the identical O(n·k) flops in BLAS,
+    map-side, with zero shuffle before the bucket join.
+    """
+    from pyspark.sql import types as T
+
     cent = kmeans_centroids(
         vectors, id_col=id_col, vec_col=vec_col, init_every=init_every, iters=iters
     )
-    # kmeans_centroids returns UNIT-NORM centroids, so nearest-by-cosine
-    # reduces to argmax dot (|v| is constant per row, |c| = 1): one array
-    # fold per pair instead of cosine's three.
-    dot_vc = _dot(_dbl(F.col(vec_col)), F.col("c_emb"))
-    # Assign every vector to its nearest centroid via max_by groupBy —
-    # partial-aggregates map-side, no per-vector sort. Tie-break:
-    # max (dot, -cent_id) == desc dot, asc cent_id.
-    assigned = (
-        vectors.crossJoin(F.broadcast(cent))
-        .select(id_col, vec_col, "cent_id", dot_vc.alias("a_dot"))
-        .groupBy(id_col)
-        .agg(
-            F.max_by(
-                F.col("cent_id"), F.struct(F.col("a_dot"), -F.col("cent_id"))
-            ).alias("bucket"),
-            F.first(vec_col).alias(vec_col),
-        )
-        .select(id_col, vec_col, "bucket")
+    # The centroid table is the broadcast-small side by contract (bounded
+    # by train_cap/init_every); collect it once and ship it inside the
+    # kernels instead of broadcasting a JVM relation.
+    cent_rows = sorted(cent.collect(), key=lambda r: r[0])
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)  # unit-norm
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        # np.argmax takes the first max → lowest cent_id on ties (rows of
+        # C are sorted by cent_id).
+        return pd.Series(cent_ids[np.argmax(V @ C.T, axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _route(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        S = V @ C.T
+        out = []
+        for row in S:
+            idx = np.lexsort((cent_ids, -row))[:nprobe]  # desc dot, asc id
+            out.append(cent_ids[idx])
+        return pd.Series(out)
+
+    assigned = vectors.select(
+        id_col, vec_col, _bucket(F.col(vec_col)).alias("bucket")
     )
-    # Route each probe to its nprobe nearest centroid buckets (same
-    # dot-for-cosine reduction; the probe side is tiny, so a window is fine).
-    dot_pc = _dot(_dbl(F.col(probe_vec_col)), F.col("c_emb"))
-    w_route = Window.partitionBy(probe_id_col).orderBy(F.desc("p_dot"), F.asc("cent_id"))
-    routed = (
-        probes.crossJoin(F.broadcast(cent))
-        .select(probe_id_col, probe_vec_col, "cent_id", dot_pc.alias("p_dot"))
-        .withColumn("rn", F.row_number().over(w_route))
-        .filter(F.col("rn") <= nprobe)
-        .select(probe_id_col, probe_vec_col, F.col("cent_id").alias("bucket"))
+    routed = probes.select(
+        probe_id_col,
+        probe_vec_col,
+        F.explode(_route(F.col(probe_vec_col))).alias("bucket"),
     )
     # Search only within routed buckets.
     cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
@@ -431,8 +447,6 @@ def topk_cosine_blocked(
 
     The probe set is collected to the driver (it is the small side by
     contract — same assumption as the broadcast in topk_cosine)."""
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import types as T
 
     probe_rows = probes.select(probe_id_col, probe_vec_col).collect()

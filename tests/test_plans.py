@@ -93,7 +93,6 @@ def test_jvm_only_pipelines_have_no_python_eval(spark, sf_dir):
     nodes; Python appears only in the explicitly-UDF ops."""
     for name in (
         "pricing_summary",
-        "dedup_fuzzy_minhash",
         "text_tfidf",
         "join_asof",
         "sim_topk_cosine",
@@ -101,6 +100,17 @@ def test_jvm_only_pipelines_have_no_python_eval(spark, sf_dir):
     ):
         p = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, name
+
+
+def test_vectorized_kernels_are_arrow_not_row_python(spark, sf_dir):
+    """minhash signatures and IVF bucket assignment/routing are deliberate
+    Arrow-batched numpy kernels (the interpreted-HOF JVM spellings cost
+    more to compile than to run — see the op docstrings); they must appear
+    as ArrowEvalPython, and row-at-a-time BatchEvalPython must never."""
+    for name in ("dedup_fuzzy_minhash", "sim_ann_ivf"):
+        p = _plan(spark, sf_dir, name)
+        assert "ArrowEvalPython" in p, name
+        assert "BatchEvalPython" not in p, name
 
 
 def test_udf_ops_use_arrow_not_row_python(spark, sf_dir):

@@ -1,0 +1,86 @@
+"""Empirical scale validation: time representative operators at 1× (sf0.1)
+and K× (tools/make_scale.py output) and report the wall-clock ratio.
+
+An operator whose plan holds at scale should grow ≲ K (plus fixed
+overhead amortizing AWAY, so ratios well under K are normal on tiny 1×
+inputs); a ratio ≫ K flags a superlinear stage — an unbucketed pair join,
+a collapsed single-partition window, a driver-side materialization.
+
+Usage: python tools/scale_check.py [K] [ops...]   (default K=10, core set)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_OPS = [
+    "pricing_summary",
+    "agg_groupby_hash",
+    "join_inner_hash",
+    "join_broadcast",
+    "window_running",
+    "topk_per_group",
+    "events_sessionize",
+    "events_funnel",
+    "dedup_exact",
+    "dedup_fuzzy_minhash",
+    "sim_topk_cosine",
+    "sim_ann_ivf",
+    "text_tfidf",
+    "text_repetition",
+    "text_idf_filter",
+    "text_line_dedup",
+    "query_market_share",
+    "stream_tumbling",
+]
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    ops = sys.argv[2:] or DEFAULT_OPS
+    base = "/root/testdata/sf0.1"
+    scaled = os.path.join(REPO, ".scale", f"x{k}")
+    if not os.path.isdir(scaled):
+        sys.exit(f"run tools/make_scale.py {k} first ({scaled} missing)")
+
+    from sqlite_to_clickhouse_spark.registry import all_queries
+    from sqlite_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark("scale-check")
+    reg = all_queries()
+
+    def run(name: str, sf_dir: str) -> tuple[float, int]:
+        best, rows = float("inf"), 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            rows = reg[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        return best, rows
+
+    # Warm the JVM on both dirs before measuring anything.
+    reg[ops[0]].fn(spark, base).count()
+    reg[ops[0]].fn(spark, scaled).count()
+
+    print(f"{'op':28s} {'1x sec':>8s} {'%dx sec' % k:>9s} {'ratio':>7s} {'rows 1x':>9s} {'rows %dx' % k:>10s}")
+    flagged = []
+    for name in ops:
+        t1, r1 = run(name, base)
+        tk, rk = run(name, scaled)
+        ratio = tk / t1 if t1 > 0 else float("inf")
+        mark = ""
+        if ratio > k * 1.5:
+            mark = "  <-- SUPERLINEAR"
+            flagged.append(name)
+        print(f"{name:28s} {t1:8.2f} {tk:9.2f} {ratio:6.1f}x {r1:9d} {rk:10d}{mark}")
+    print(f"\nflagged: {flagged or 'none'}")
+    spark.stop()
+    sys.exit(1 if flagged else 0)
+
+
+if __name__ == "__main__":
+    main()
