@@ -278,15 +278,12 @@ def test_window_ntile_no_global_single_partition_window(spark, sf_dir):
             assert "HashAggregate" in ctx or "count(1)" in ctx, ctx
 
 
-def test_text_repetition_reuses_doc_partitioning(spark, sf_dir):
-    """The per-(doc,bigram) count and the per-doc rollup must ride ONE
-    hash exchange on doc_id — the second groupBy reuses the first's
-    partitioning (hash(doc_id, g) does NOT satisfy hash(doc_id), so this
-    asserts the planner chose doc_id-compatible partitioning, not two
-    independent shuffles of bigram volume)."""
+def test_text_repetition_is_shuffle_free(spark, sf_dir):
+    """Every repetition metric is a per-row array expression (sorted-run
+    fold for the top-bigram count) — the plan must contain NO exchange at
+    all; the whole op runs inside the scan stage."""
     p = _plan(spark, sf_dir, "text_repetition")
-    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
-    assert len(regular) <= 2, regular  # explode→count shuffle + at most one rollup
+    assert not _exchanges(p), _exchanges(p)
 
 
 def test_text_idf_filter_broadcasts_df_table(spark, sf_dir):
