@@ -674,3 +674,64 @@ def dedup_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev_type").isNull() | (F.col("event_type") != F.col("prev_type")))
         .select("event_id", "user_id", "event_type")
     )
+
+
+def _corpus_apply_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS peer FROM edges
+        UNION
+        SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    ),
+    comp AS (
+        SELECT node AS doc_id, least(node, min(peer)) AS component_id
+        FROM reach GROUP BY node
+    )
+    SELECT d.doc_id,
+           d.lang,
+           COALESCE(c.component_id, d.doc_id) AS cluster_id,
+           (c.component_id IS NULL OR c.component_id = d.doc_id) AS keep
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    """
+
+
+@register("dedup_corpus_apply", oracle=_corpus_apply_oracle(), tags=("llm", "dedup"))
+def dedup_corpus_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable end of the fuzzy-dedup pipeline: EVERY document of
+    the corpus labeled keep/drop. Near-dup clusters (MinHash-LSH pairs →
+    connected components) keep their min-id canonical; documents in no
+    cluster keep themselves. Downstream, ``filter(keep)`` IS the deduped
+    training corpus — this op is what a pipeline actually materializes,
+    where dedup_connected_components only reports cluster structure for
+    documents that appear in some pair.
+
+    Plan: the LSH + label-propagation subtree (see minhash_lsh_pairs /
+    connected_components) plus one left join of the full corpus to the
+    (much smaller) clustered-doc table — at 100 TB the join broadcasts
+    when the dup set is small and degrades to a hash join on doc_id
+    otherwise. Differentially verified end-to-end against the
+    recursive-CTE closure oracle over the identical pair set.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk"))
+    pairs = minhash_lsh_pairs(toks, "doc_id", "tk").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    return d.select("doc_id", "lang").join(comp, "doc_id", "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("cluster_id"),
+        (
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("doc_id"))
+        ).alias("keep"),
+    )
