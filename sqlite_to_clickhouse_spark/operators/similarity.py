@@ -529,3 +529,135 @@ def sim_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
         F.col("a.vec_id").alias("vec_id"), F.round(cos, 4).alias("cos_next")
     )
+
+
+# --- Product quantization (PQ): compact embedding codes for 100 TB ---
+
+PQ_M = 8              # sub-vectors per embedding (64 dims -> 8x8)
+PQ_K = 16             # centroids per sub-quantizer -> 4-bit codes
+PQ_ITERS = 4          # Lloyd rounds per sub-quantizer (driver-side, sampled)
+PQ_TRAIN_CAP = 50_000
+PQ_RECON_FLOOR = 0.35  # per-vector recon-cosine gate bound; measured mins
+# 0.50-0.54 across sf0.001-0.1 (synthetic near-random vectors, PQ's hard
+# case) -- the margin absorbs fixture regeneration, the tests pin the mean
+
+
+def pq_codebooks(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    train_cap: int = PQ_TRAIN_CAP,
+):
+    """Fit PQ sub-quantizer codebooks on a bounded deterministic sample
+    (same hash-ordered sampling contract as kmeans_centroids — quantizer
+    training is sublinear by design, everything downstream distributes).
+
+    Returns a numpy array of shape (m, k, d//m): for each of the m
+    sub-vector blocks, k centroids fit by k-means over that block of the
+    sampled rows (deterministic evenly-spaced seeds, empty clusters keep
+    their previous centroid so k stays fixed — codes must index a full
+    codebook)."""
+    rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_cap)
+        .collect()
+    )
+    V = np.array([r[1] for r in rows], dtype=np.float64)
+    n, d = V.shape
+    assert d % m == 0, f"dim {d} not divisible by m={m}"
+    sub = d // m
+    books = np.empty((m, k, sub))
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        C = X[np.linspace(0, n - 1, k).astype(np.int64)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def pq_encode(
+    vectors: DataFrame,
+    books,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its packed PQ code plus the reconstruction
+    cosine (library API). The code packs m 4-bit sub-quantizer indices
+    into one BIGINT — 64 floats become 4 bytes, a 64× compression that is
+    what makes billion-scale ANN indexes fit in memory at all (the IVF-PQ
+    layout: ivf_topk routes, codes rank). One Arrow-batched numpy kernel,
+    map-side, zero shuffle."""
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    m, k, sub = books.shape
+    B = books  # closure-shipped, m*k*sub doubles
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("pq_code", T.LongType()),
+                T.StructField("recon_cosine", T.DoubleType()),
+            ]
+        )
+    )
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        V = np.array(list(v), dtype=np.float64)
+        nrow = V.shape[0]
+        codes = np.zeros(nrow, dtype=np.int64)
+        recon = np.empty_like(V)
+        for j in range(m):
+            X = V[:, j * sub : (j + 1) * sub]
+            d2 = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            idx = np.argmin(d2, axis=1)
+            codes |= idx.astype(np.int64) << (4 * j)
+            recon[:, j * sub : (j + 1) * sub] = B[j][idx]
+        num = (V * recon).sum(axis=1)
+        den = np.linalg.norm(V, axis=1) * np.linalg.norm(recon, axis=1)
+        cos = np.where(den > 0, num / np.maximum(den, 1e-300), 0.0)
+        return _pd.DataFrame({"pq_code": codes, "recon_cosine": cos})
+
+    enc = _enc(F.col(vec_col)).alias("_pq")
+    return vectors.select(id_col, enc).select(
+        id_col, F.col("_pq.pq_code").alias("pq_code"),
+        F.col("_pq.recon_cosine").alias("recon_cosine"),
+    )
+
+
+@register(
+    "sim_pq_quantize",
+    oracle=f"""
+    SELECT vec_id, TRUE AS recon_ok FROM embeddings
+    """,
+    tags=("llm", "similarity", "approx"),
+)
+def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding column: 8 sub-vectors × 16
+    centroids → one 32-bit code per 64-dim vector (64× smaller), the
+    compression layer every billion-scale ANN index (IVF-PQ) rests on.
+
+    Gate rendering (same pattern as agg_approx_*): codes and
+    reconstructions are numpy-derived and engine-specific, so the op
+    emits the documented quality bound AS the result — ``recon_ok`` is
+    true iff cosine(vector, PQ reconstruction) ≥ {PQ_RECON_FLOOR}, and
+    the oracle asserts TRUE for every vector. Code/distortion semantics
+    are further pinned in tests/test_llm_ops.py (codes deterministic,
+    mean reconstruction cosine well above the floor).
+    """
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e)
+    return pq_encode(e, books).select(
+        "vec_id", (F.col("recon_cosine") >= PQ_RECON_FLOOR).alias("recon_ok")
+    )

@@ -214,3 +214,37 @@ def test_ivf_learned_centroids_recall_on_skewed_clusters(spark):
         exact |= {(o, int(j)) for j in top}
     recall = len(exact & got) / len(exact)
     assert recall >= 0.9, f"learned-centroid IVF recall {recall:.2f} < 0.9"
+
+
+def test_pq_codes_deterministic_and_low_distortion(spark, sf_dir):
+    """PQ encoding must be deterministic (same codebooks + codes across
+    invocations) and the reconstruction quality must sit well above the
+    gate floor on average — the per-vector floor the sim_pq_quantize op
+    itself asserts is deliberately loose (synthetic near-random vectors
+    are PQ's hard case)."""
+    from pyspark.sql import functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        PQ_RECON_FLOOR,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    books = pq_codebooks(e)
+    assert (books == pq_codebooks(e)).all()  # sampling + fit deterministic
+
+    enc = pq_encode(e, books)
+    first = {r["vec_id"]: r["pq_code"] for r in enc.collect()}
+    again = {r["vec_id"]: r["pq_code"] for r in pq_encode(e, books).collect()}
+    assert first == again
+
+    stats = enc.agg(
+        F.min("recon_cosine").alias("mn"), F.avg("recon_cosine").alias("avg")
+    ).collect()[0]
+    assert stats["mn"] >= PQ_RECON_FLOOR, stats
+    assert stats["avg"] >= 0.6, stats  # mean well above the per-vector floor
+
+    rows = _Q["sim_pq_quantize"].fn(spark, sf_dir).collect()
+    assert rows and all(r["recon_ok"] for r in rows)
