@@ -74,10 +74,12 @@ HEADLINE = [
     "events_anomaly_zscore",
     "window_rolling_distinct",
     "text_line_dedup",
-    # Round-4 additions: training-data quality/decontamination family.
+    # Round-4 additions: training-data quality/decontamination family +
+    # embedding compression.
     "text_repetition",
     "text_decontaminate",
     "text_idf_filter",
+    "sim_pq_quantize",
 ]
 
 
