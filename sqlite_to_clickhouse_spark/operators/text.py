@@ -555,11 +555,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     before explode — no countDistinct shuffle later), explode, inner join
     train grams to bench grams on the gram, count per (train, bench)
     pair. The bench side is small by construction (2 % of docs), so the
-    gram join broadcasts at bench scale and degrades to a hash join on
-    the gram at cluster scale. At 100 TB, hash each gram to 64 bits
-    before the join (as minhash_lsh_pairs does for tokens) so the join
-    key is 8 bytes, not ~100 chars; kept as strings here because the
-    differential oracle joins the same strings.
+    gram join broadcasts at bench scale and degrades to a hash join at
+    cluster scale. The join key is xxhash64 of the gram — 8 bytes on the
+    wire instead of ~100 chars (the same key-narrowing minhash_lsh_pairs
+    uses); at 64 bits a collision needs ~2³² distinct grams per bench
+    doc-pair bucket, so the overlap counts are exact in practice while
+    the oracle joins the full strings.
     """
     d = table(spark, sf_dir, "documents")
     tk = _tokens(F.col("text"))
@@ -571,7 +572,8 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     g = (
         d.filter(F.size(tk) >= _DECON_N)
-        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.explode(grams).alias("g_str"))
+        .select("doc_id", F.xxhash64("g_str").alias("g"))
     )
     train = g.filter(F.col("doc_id") % 50 != 0).select(
         F.col("doc_id").alias("train_doc"), "g"
