@@ -35,6 +35,9 @@ DEFAULT_OPS = [
     "text_repetition",
     "text_idf_filter",
     "text_line_dedup",
+    "text_decontaminate",
+    "sim_pq_quantize",
+    "dedup_corpus_apply",
     "query_market_share",
     "stream_tumbling",
 ]
