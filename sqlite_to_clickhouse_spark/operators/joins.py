@@ -294,22 +294,34 @@ def asof_join(
     right_time: str,
     right_payload: list[str],
     right_tiebreak: str,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic as-of join (library API): for every left row, attach the
-    right row with the greatest ``right_time`` <= the row's ``left_time``
-    within the same join key; at equal times the highest
-    ``right_tiebreak`` wins.
+    """Generic as-of join (library API), pandas-merge_asof directions:
 
-    One hash shuffle on the key, O(n log n) window scan, O(1) state per
-    row — see join_asof below for the full scale rationale. Returns the
-    left rows with ``asof_<payload>`` columns appended (NULL when no
-    right row precedes)."""
+    - ``backward`` (default): greatest ``right_time`` <= ``left_time``;
+    - ``forward``: smallest ``right_time`` >= ``left_time``;
+    - ``nearest``: whichever of the two is closer in time, ties to
+      backward (pandas semantics).
+
+    Within equal right times the highest ``right_tiebreak`` wins in every
+    direction. One hash shuffle on the key either way — backward/forward
+    are one O(n log n) in-partition sort + running first/last; nearest
+    runs BOTH window scans over the same hash partitioning (two sorts,
+    still a single Exchange) and picks per row. Returns the left rows
+    with ``asof_<payload>`` columns appended (NULL when no right row
+    qualifies)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown asof direction: {direction}")
     payload_cols = (
         right_payload
         if right_tiebreak in right_payload
         else right_payload + [right_tiebreak]
     )
-    payload = F.struct(*[F.col(c) for c in payload_cols])
+    # __rt (the matched right row's own time) rides inside the payload so
+    # the nearest-direction distance compare needs no extra column.
+    payload = F.struct(
+        *[F.col(c) for c in payload_cols], F.col(right_time).alias("__rt")
+    )
     r = right.select(
         F.col(right_on).alias("__k"),
         F.col(right_time).alias("__t"),
@@ -324,7 +336,10 @@ def asof_join(
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         F.lit(1).alias("__is_left"),
     )
-    w = (
+    merged = r.unionByName(l, allowMissingColumns=True)
+    # Backward: rights sort BEFORE lefts at equal __t (equal time counts),
+    # equal-time rights tiebreak-ascending so last() == highest tiebreak.
+    w_back = (
         Window.partitionBy("__k")
         .orderBy(
             "__t",
@@ -333,14 +348,49 @@ def asof_join(
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = r.unionByName(l, allowMissingColumns=True).withColumn(
-        "__last", F.last("__payload", ignorenulls=True).over(w)
+    # Forward: rights sort AFTER lefts at equal __t, tiebreak-descending
+    # so first() == highest tiebreak at the smallest qualifying time.
+    w_fwd = (
+        Window.partitionBy("__k")
+        .orderBy(
+            "__t",
+            F.col("__is_left").desc(),
+            F.col(f"__payload.{right_tiebreak}").desc_nulls_last(),
+        )
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    out = merged.filter(F.col("__is_left") == 1).select(
+    if direction == "backward":
+        merged = merged.withColumn(
+            "__hit", F.last("__payload", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        merged = merged.withColumn(
+            "__hit", F.first("__payload", ignorenulls=True).over(w_fwd)
+        )
+    else:
+        bwd = F.last("__payload", ignorenulls=True).over(w_back)
+        fwd = F.first("__payload", ignorenulls=True).over(w_fwd)
+        merged = merged.withColumn("__b", bwd).withColumn("__f", fwd)
+        # __rt may be TIMESTAMP_NTZ (not directly castable to long);
+        # route through TIMESTAMP — the pinned UTC session tz makes the
+        # epoch identical to the oracle's epoch() on the naive value.
+        def _epoch(c):
+            return c.cast("timestamp").cast("long")
+
+        back_wins = F.col("__b").isNotNull() & (
+            F.col("__f").isNull()
+            | (
+                _epoch(F.col("__t")) - _epoch(F.col("__b.__rt"))
+                <= _epoch(F.col("__f.__rt")) - _epoch(F.col("__t"))
+            )
+        )
+        merged = merged.withColumn(
+            "__hit", F.when(back_wins, F.col("__b")).otherwise(F.col("__f"))
+        )
+    return merged.filter(F.col("__is_left") == 1).select(
         *l_cols,
-        *[F.col(f"__last.{c}").alias(f"asof_{c}") for c in right_payload],
+        *[F.col(f"__hit.{c}").alias(f"asof_{c}") for c in right_payload],
     )
-    return out
 
 
 @register(
@@ -389,6 +439,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_time="o_orderdate",
         right_payload=["o_orderkey", "o_totalprice"],
         right_tiebreak="o_orderkey",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
+    )
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH r AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN b.o_orderdate IS NOT NULL AND (f.o_orderdate IS NULL OR
+                     epoch(e.ts) - epoch(b.o_orderdate)
+                     <= epoch(f.o_orderdate) - epoch(e.ts))
+                THEN b.o_orderkey ELSE f.o_orderkey END AS asof_orderkey,
+           CASE WHEN b.o_orderdate IS NOT NULL AND (f.o_orderdate IS NULL OR
+                     epoch(e.ts) - epoch(b.o_orderdate)
+                     <= epoch(f.o_orderdate) - epoch(e.ts))
+                THEN b.o_totalprice ELSE f.o_totalprice END AS asof_totalprice
+    FROM events e
+    ASOF LEFT JOIN r b ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate
+    ASOF LEFT JOIN r f ON e.user_id = f.o_custkey AND e.ts <= f.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction='nearest'):
+    for each event, the order closest in time on EITHER side, ties to the
+    past side. Same single-shuffle union-merge plan as join_asof, with
+    both the running-last (backward) and running-first (forward) window
+    scans over one hash partitioning and a per-row distance pick — the
+    oracle spells it as two DuckDB ASOF joins plus the same CASE.
+    """
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        direction="nearest",
     ).select(
         "event_id",
         "user_id",
