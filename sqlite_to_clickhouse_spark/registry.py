@@ -65,7 +65,16 @@ _PRIORITY: list[str] = [
     "window_time_range",
     "window_rolling_distinct",
     "window_fill_forward",
-    # -- never-verified: scalar function battery --
+    # -- round-4 new operators (first driver certification) --
+    "text_repetition",
+    "text_decontaminate",
+    "text_idf_filter",
+    "dedup_corpus_apply",
+    "sim_pq_quantize",
+    "join_asof_nearest",
+    # -- never-verified: scalar function battery (rest rotate in r5:
+    #    fn_date_extra fn_json_struct fn_math_advanced fn_regex fn_struct
+    #    fn_try_arith) --
     "fn_string",
     "fn_date",
     "fn_math",
@@ -79,12 +88,6 @@ _PRIORITY: list[str] = [
     "fn_time_bucket",
     "fn_editdistance",
     "fn_format",
-    "fn_date_extra",
-    "fn_json_struct",
-    "fn_math_advanced",
-    "fn_regex",
-    "fn_struct",
-    "fn_try_arith",
     # -- never-verified: streaming (oracle-bearing) --
     "stream_tumbling",
     "stream_sliding",
