@@ -48,15 +48,14 @@ def main() -> None:
         n = con.execute(f"SELECT count(*) FROM '{out}'").fetchone()[0]
         print(f"{table}: {n} rows")
 
-    emit("region", "r_regionkey, r_name")  # dims stay 1x-small in spirit but
-    emit("nation", "n_nationkey, n_name, n_regionkey")  # keep K copies out:
-    # region/nation are genuinely fixed-cardinality dims — overwrite with 1 copy
+    # region/nation are genuinely fixed-cardinality dims — 1 copy, no offset.
     for t, sel in (("region", "r_regionkey, r_name"),
                    ("nation", "n_nationkey, n_name, n_regionkey")):
         con.execute(
             f"COPY (SELECT {sel} FROM '{src}/{t}.parquet') "
             f"TO '{os.path.join(dest, t + '.parquet')}' (FORMAT PARQUET)"
         )
+        print(f"{t}: 1x (fixed-cardinality dim)")
 
     emit(
         "customer",

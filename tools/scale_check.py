@@ -54,6 +54,10 @@ def main() -> None:
     from sqlite_to_clickhouse_spark.registry import all_queries
     from sqlite_to_clickhouse_spark.session import get_spark
 
+    # A 20-op × 2-dir sweep accumulates persisted band tables, broadcast
+    # refs, and Arrow buffers in one JVM; 8g died with GCLocker thrash in
+    # the back half of the default list at 10×.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
     spark = get_spark("scale-check")
     reg = all_queries()
 
@@ -63,6 +67,9 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = reg[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+        # Drop persisted/cached state between ops so each measurement is
+        # the operator, not the session's accumulated residue.
+        spark.catalog.clearCache()
         return best, rows
 
     # Warm the JVM on both dirs before measuring anything.
