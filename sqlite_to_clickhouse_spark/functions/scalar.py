@@ -110,7 +110,7 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(LN(l_extendedprice), 6)                    AS price_ln,
            ROUND(LOG10(l_extendedprice), 6)                 AS price_log10,
            ((CAST(l_orderkey AS BIGINT) % 7) + 7) % 7       AS key_pmod7,
-           SIGN(l_discount - 0.05)                          AS disc_sign,
+           CAST(SIGN(l_discount - 0.05) AS DOUBLE)          AS disc_sign,
            GREATEST(l_tax, l_discount)                      AS max_rate,
            LEAST(l_tax, l_discount)                         AS min_rate
     FROM lineitem

@@ -41,72 +41,78 @@ _REGISTRY: dict[str, RegisteredQuery] = {}
 # The driver's correctness gate verifies the FIRST 50 entries of ``queries()``
 # (registration order).  To rotate driver-side verification across the whole
 # registry over successive rounds, ``all_queries()`` emits the names below
-# first, then the rest in registration order.  Round 1 verified the
-# relational/join/agg family (the natural first 50); rounds 2-3 the
-# LLM-pipeline family.  Round 4's window = the 15 ops that errored/failed in
-# CORRECTNESS_r03 (proving the events-ts loader fix and the two oracle int-
-# width casts) + 35 never-verified ops (fn_*, oracle-bearing stream_*,
-# udf_*/udtf_*, two sort/set).  The ~26 still-never-verified (scans/sinks,
-# rest of sort/set, no-oracle ops) rotate into round 5.
+# first, then the rest in registration order.  History: r1 verified the
+# relational/join/agg family; r2-r3 the LLM-pipeline family; r4 the r3
+# regressions + fn_*/stream_*/udf_* batteries (49/50 green).  Round 5's
+# window = ALL 32 never-driver-verified ops (scans/sinks, sort/limit/set
+# algebra, the remaining fn_* extensions, merge/migrate/maintenance, and the
+# three ⊘ rows-only ops) + the 3 rows whose latest driver record is red
+# (fn_math — oracle SIGN type-tag fixed this round; agg_approx_distinct /
+# agg_approx_percentile — r1 "no_oracle", reworked in r4 into bound-as-result
+# gates that have never been driver-exercised) + 15 freshness re-certs of the
+# oldest r1-green §2b rows (two fixture regenerations old).  After this
+# window, every registered op has been driver-checked at least once
+# (ever-verified 133 → 165/165).
 _PRIORITY: list[str] = [
-    # -- r3 failures, now fixed --
-    "agg_group_array",
-    "text_lang_filter",
-    "dedup_adjacent",
-    "events_funnel",
-    "events_retention",
-    "events_sequence_count",
-    "events_user_path",
-    "events_sessionize",
-    "events_anomaly_zscore",
-    "timeseries_gap_fill",
-    "window_running",
-    "dedup_replacing",
-    "window_time_range",
-    "window_rolling_distinct",
-    "window_fill_forward",
-    # -- round-4 new operators (first driver certification) --
-    "text_repetition",
-    "text_decontaminate",
-    "text_idf_filter",
-    "dedup_corpus_apply",
-    "sim_pq_quantize",
-    "join_asof_nearest",
-    # -- never-verified: scalar function battery (rest rotate in r5:
-    #    fn_date_extra fn_json_struct fn_math_advanced fn_regex fn_struct
-    #    fn_try_arith) --
-    "fn_string",
-    "fn_date",
+    # -- never-verified: sources / sinks / migrate --
+    "scan_jdbc",
+    "sink_parquet",
+    "migrate_sqlite_roundtrip",
+    "scan_csv",
+    "scan_json",
+    "scan_orc",
+    "scan_range",
+    "scan_schema_evolution",
+    "sink_partitioned_parquet",
+    "sink_sorted_clustered",
+    "catalog_scan",
+    "maintenance_delete_rows",
+    # -- never-verified: sort / limit / set algebra --
+    "limit_offset",
+    "topk",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "set_except_all",
+    # -- never-verified: scalar-function extensions --
+    "fn_date_extra",
+    "fn_json_struct",
+    "fn_math_advanced",
+    "fn_regex",
+    "fn_struct",
+    "fn_try_arith",
+    # -- never-verified: merge / CDC / keys / DPP --
+    "merge_upsert",
+    "merge_scd2",
+    "etl_surrogate_keys",
+    "join_dynamic_partition_pruning",
+    # -- never-verified: ⊘ rows-only (sim_ann_ivf recall-tested locally;
+    #    sink_jdbc_clickhouse = DDL manifest; watermark ⊘ by design) --
+    "sim_ann_ivf",
+    "sink_jdbc_clickhouse",
+    "stream_watermark_late",
+    # -- red re-certs: fn_math oracle SIGN→DOUBLE cast landed this round;
+    #    approx sketches' bound-as-result gates first driver exposure --
     "fn_math",
-    "fn_conditional",
-    "fn_json",
-    "fn_array",
-    "fn_map",
-    "fn_hash",
-    "fn_bitwise",
-    "fn_url",
-    "fn_time_bucket",
-    "fn_editdistance",
-    "fn_format",
-    # -- never-verified: streaming (oracle-bearing) --
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_dedup",
-    "stream_static_join",
-    "stream_foreach_sink",
-    "stream_stream_join",
-    "stream_custom_stateful",
-    # -- never-verified: UDF/UDTF family --
-    "udf_python",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udtf_explode",
-    "udtf_posexplode",
-    "udf_pandas_cogrouped",
-    # -- never-verified: sort/set picks --
-    "sort_multi",
-    "topk_per_group",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    # -- freshness re-certs: oldest r1-green §2b rows --
+    "scan_parquet",
+    "project_cast_typemap",
+    "filter_predicate",
+    "project_computed",
+    "join_inner_hash",
+    "join_broadcast",
+    "join_left",
+    "join_full",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "join_asof",
+    "agg_global",
+    "agg_groupby_hash",
+    "agg_distinct",
 ]
 
 

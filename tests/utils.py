@@ -45,6 +45,33 @@ def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
     return a == b
 
 
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BOOLEAN": "bool", "DATE": "date", "BLOB": "bytes",
+    "TIMESTAMP": "ts", "TIMESTAMP WITH TIME ZONE": "ts",
+    "TIMESTAMP_NS": "ts", "TIMESTAMP_MS": "ts", "TIMESTAMP_S": "ts",
+}
+
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "boolean": "bool", "date": "date", "binary": "bytes",
+}
+
+
+def _type_class(duck_type: str):
+    """Coarse type class of a DuckDB column type (None = don't check)."""
+    return _DUCK_CLASS.get(duck_type.upper())
+
+
+def _spark_type_class(spark_dtype: str):
+    if spark_dtype.startswith("timestamp"):
+        return "ts"
+    return _SPARK_CLASS.get(spark_dtype)
+
+
 def assert_df_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?") -> None:
     """Compare a Spark DataFrame against DuckDB oracle SQL the way the
     driver does: count, sorted column names, order-insensitive values."""
@@ -56,19 +83,30 @@ def assert_df_matches_oracle(spark_df, duck_con, oracle: str, name: str = "?") -
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
 
-    # The driver's value hash type-tags cells, so a DuckDB HUGEINT (e.g.
-    # SUM over any integer type, incl. window sums) hashes differently from
-    # Spark's bigint even when every value is equal. Local values compare
-    # as plain Python ints and would pass silently — so fail on the dtype
-    # itself and demand an explicit CAST in the oracle SQL.
+    # The driver's value hash type-tags cells, so any cross-engine dtype
+    # drift (DuckDB HUGEINT from SUM(int), TINYINT from SIGN(double), …)
+    # hashes differently from Spark's type even when every value is equal.
+    # Local values compare as plain Python scalars and would pass silently —
+    # so fail on the dtype itself and demand an explicit CAST in the oracle
+    # SQL (or in the Spark projection). 3 of the last 3 driver hash fails
+    # were exactly this class (session_no BIGINT, lang_filter, fn_math SIGN).
     spark_dtypes = dict(spark_df.dtypes)
     for c, t in zip(duck_cols, duck_types):
+        sdt = spark_dtypes.get(c, "")
         if t in ("HUGEINT", "UHUGEINT") or t.startswith("DECIMAL"):
-            sdt = spark_dtypes.get(c, "")
             assert sdt.startswith("decimal"), (
                 f"[{name}] oracle column {c!r} is DuckDB {t} but Spark {sdt!r}; "
                 f"the driver hash type-tags these differently — CAST the oracle "
                 f"expression to BIGINT/DOUBLE"
+            )
+            continue
+        dcls = _type_class(t)
+        scls = _spark_type_class(sdt)
+        if dcls is not None and scls is not None:
+            assert dcls == scls, (
+                f"[{name}] oracle column {c!r} is DuckDB {t} ({dcls}) but Spark "
+                f"{sdt!r} ({scls}); the driver hash type-tags these differently "
+                f"even when values are equal — CAST one side"
             )
 
     assert sorted(spark_cols) == sorted(duck_cols), (
