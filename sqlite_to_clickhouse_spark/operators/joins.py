@@ -373,9 +373,12 @@ def asof_join(
         merged = merged.withColumn("__b", bwd).withColumn("__f", fwd)
         # __rt may be TIMESTAMP_NTZ (not directly castable to long);
         # route through TIMESTAMP — the pinned UTC session tz makes the
-        # epoch identical to the oracle's epoch() on the naive value.
+        # epoch identical to the oracle's epoch_us() on the naive value.
+        # Compare in MICROseconds: cast('long') would truncate to whole
+        # seconds, silently flipping near-ties against any fractional-
+        # second oracle (events.ts is microsecond-precision).
         def _epoch(c):
-            return c.cast("timestamp").cast("long")
+            return F.unix_micros(c.cast("timestamp"))
 
         back_wins = F.col("__b").isNotNull() & (
             F.col("__f").isNull()
@@ -459,12 +462,12 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders) WHERE rn = 1)
     SELECT e.event_id, e.user_id, e.ts,
            CASE WHEN b.o_orderdate IS NOT NULL AND (f.o_orderdate IS NULL OR
-                     epoch(e.ts) - epoch(b.o_orderdate)
-                     <= epoch(f.o_orderdate) - epoch(e.ts))
+                     epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(b.o_orderdate AS TIMESTAMP))
+                     <= epoch_us(CAST(f.o_orderdate AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP)))
                 THEN b.o_orderkey ELSE f.o_orderkey END AS asof_orderkey,
            CASE WHEN b.o_orderdate IS NOT NULL AND (f.o_orderdate IS NULL OR
-                     epoch(e.ts) - epoch(b.o_orderdate)
-                     <= epoch(f.o_orderdate) - epoch(e.ts))
+                     epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(b.o_orderdate AS TIMESTAMP))
+                     <= epoch_us(CAST(f.o_orderdate AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP)))
                 THEN b.o_totalprice ELSE f.o_totalprice END AS asof_totalprice
     FROM events e
     ASOF LEFT JOIN r b ON e.user_id = b.o_custkey AND e.ts >= b.o_orderdate

@@ -39,6 +39,30 @@ NPROBE = 2        # IVF buckets searched per probe
 COSINE_T = 0.4    # near-dup threshold (data max pair cosine ≈ 0.51)
 CENTROID_EVERY = 100  # deterministic centroid choice: vec_id % 100 == 0
 
+# Driver-fit contract: every bounded driver-side fit (quantizer training on
+# a capped sample, probe-set broadcast) collects at most this many bytes of
+# vector data. The assertion runs BEFORE the collect, so a future cap/dim
+# change fails loudly instead of silently turning a bounded fit into a
+# driver OOM on a 100 TB corpus.
+DRIVER_FIT_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def _check_driver_fit(n_rows: int, dim: int, site: str) -> None:
+    need = n_rows * dim * 8
+    if need > DRIVER_FIT_BUDGET_BYTES:
+        raise ValueError(
+            f"{site}: driver-side fit would collect ~{need / 1e6:.0f} MB "
+            f"({n_rows} rows x {dim} dims x 8 B) exceeding the "
+            f"{DRIVER_FIT_BUDGET_BYTES / 1e6:.0f} MB driver-fit budget — "
+            f"lower the train/probe cap or move the fit distributed"
+        )
+
+
+def _probe_dim(vectors: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality from one row (cheap single-row job)."""
+    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row["d"]) if row is not None and row["d"] is not None else 0
+
 
 def _dbl(col) -> Column:
     return F.transform(col, lambda x: x.cast("double"))
@@ -294,27 +318,42 @@ def kmeans_centroids(
     sample scan + tiny driver fit, then broadcast centroids.
     """
     spark = vectors.sparkSession
+    _check_driver_fit(train_cap, _probe_dim(vectors, vec_col), "kmeans_centroids")
     sample_rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(train_cap)
         .collect()
     )
+    empty = spark.createDataFrame([], "cent_id bigint, c_emb array<double>")
+    if not sample_rows:
+        return empty
     ids = np.array([r[0] for r in sample_rows], dtype=np.int64)
     V = np.array([r[1] for r in sample_rows], dtype=np.float64)
-    V /= np.linalg.norm(V, axis=1, keepdims=True)
+    # Clamp, don't divide by, the norm: an all-zero embedding must stay a
+    # zero row — a bare divide yields NaN that propagates into centroids
+    # and poisons every downstream dot product.
+    V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
 
     seed_mask = ids % init_every == 0
-    order = np.argsort(ids[seed_mask])
-    cent_ids = ids[seed_mask][order]
-    C = V[seed_mask][order]
+    if seed_mask.any():
+        order = np.argsort(ids[seed_mask])
+        cent_ids = ids[seed_mask][order]
+        C = V[seed_mask][order]
+    else:
+        # Degenerate sample with no id % init_every == 0 rows: seed from
+        # the lowest-id sample rows instead of crashing on an empty C.
+        n_seed = max(1, len(ids) // init_every)
+        seed_idx = np.argsort(ids)[:n_seed]
+        cent_ids = ids[seed_idx]
+        C = V[seed_idx]
     for _ in range(iters):
         # argmax dot; np.argmax takes the first max → lowest cent_id on ties
         assign = np.argmax(V @ C.T, axis=1)
         keep, inverse = np.unique(assign, return_inverse=True)
         M = np.zeros((len(keep), C.shape[1]))
         np.add.at(M, inverse, V)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
+        M /= np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         cent_ids, C = cent_ids[keep], M
     return spark.createDataFrame(
         [(int(cid), [float(x) for x in row]) for cid, row in zip(cent_ids, C)],
@@ -561,6 +600,7 @@ def pq_codebooks(
     sampled rows (deterministic evenly-spaced seeds, empty clusters keep
     their previous centroid so k stays fixed — codes must index a full
     codebook)."""
+    _check_driver_fit(train_cap, _probe_dim(vectors, vec_col), "pq_codebooks")
     rows = (
         vectors.select(id_col, vec_col)
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))

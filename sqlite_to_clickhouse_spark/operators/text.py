@@ -530,10 +530,10 @@ def _decon_oracle() -> str:
     ),
     grams AS (
       SELECT doc_id,
-             unnest(list_distinct(list_transform(
+             CAST(concat('0x', substr(md5(unnest(list_distinct(list_transform(
                range(1, len(tk) - {_DECON_N - 2}),
                i -> array_to_string(list_slice(tk, i, i + {_DECON_N - 1}), ' ')
-             ))) AS g
+             )))), 1, 15)) AS BIGINT) AS g
       FROM toks WHERE len(tk) >= {_DECON_N}
     )
     SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
@@ -556,11 +556,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train grams to bench grams on the gram, count per (train, bench)
     pair. The bench side is small by construction (2 % of docs), so the
     gram join broadcasts at bench scale and degrades to a hash join at
-    cluster scale. The join key is xxhash64 of the gram — 8 bytes on the
-    wire instead of ~100 chars (the same key-narrowing minhash_lsh_pairs
-    uses); at 64 bits a collision needs ~2³² distinct grams per bench
-    doc-pair bucket, so the overlap counts are exact in practice while
-    the oracle joins the full strings.
+    cluster scale. The join key is a 60-bit md5-prefix of the gram —
+    8 bytes on the wire instead of ~100 chars (the same key-narrowing
+    minhash_lsh_pairs uses). md5, not xxhash64: the oracle computes the
+    IDENTICAL key (conv/CAST of the same 15 hex chars), so any hash
+    collision hits both sides equally and the differential gate can
+    never diverge on a collision lottery.
     """
     d = table(spark, sf_dir, "documents")
     tk = _tokens(F.col("text"))
@@ -573,7 +574,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         d.filter(F.size(tk) >= _DECON_N)
         .select("doc_id", F.explode(grams).alias("g_str"))
-        .select("doc_id", F.xxhash64("g_str").alias("g"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("g_str"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("g"),
+        )
     )
     train = g.filter(F.col("doc_id") % 50 != 0).select(
         F.col("doc_id").alias("train_doc"), "g"

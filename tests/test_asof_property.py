@@ -1,17 +1,21 @@
 """Property-based check of the sort-merge as-of join: on random small
-inputs, the windowed union implementation must agree with the obvious
-brute-force definition (for each left row, the right row with the greatest
-time <= left time, ties broken by highest payload id)."""
+inputs with interleaved left/right times, the windowed union implementation
+must agree with the obvious brute-force definition for every direction —
+
+- backward: right row with the greatest time <= left time;
+- forward:  right row with the smallest time >= left time;
+- nearest:  whichever of those two is closer, ties to backward
+  (pandas merge_asof semantics);
+
+ties within equal right times always break to the highest payload id."""
 
 from __future__ import annotations
 
 import pytest
 from hypothesis import given, settings, strategies as st
-from pyspark.sql import Window
-from pyspark.sql import functions as F
 
 
-def _asof_union_impl(spark, left_rows, right_rows):
+def _asof_union_impl(spark, left_rows, right_rows, direction):
     """The REAL library operator (operators.joins.asof_join) on generic
     data: left (k, t, lid), right (k, t, rid) → {lid: asof_rid}."""
     from sqlite_to_clickhouse_spark.operators.joins import asof_join
@@ -27,18 +31,45 @@ def _asof_union_impl(spark, left_rows, right_rows):
         right_time="rt",
         right_payload=["rid"],
         right_tiebreak="rid",
+        direction=direction,
     )
     return {r["lid"]: r["asof_rid"] for r in out.collect()}
 
 
-def _asof_brute(left_rows, right_rows):
+def _pick_backward(cands, t):
+    back = [(rt, rid) for rt, rid in cands if rt <= t]
+    return max(back) if back else None  # greatest rt, then greatest rid
+
+
+def _pick_forward(cands, t):
+    fwd = [(rt, rid) for rt, rid in cands if rt >= t]
+    if not fwd:
+        return None
+    min_rt = min(rt for rt, _ in fwd)
+    return (min_rt, max(rid for rt, rid in fwd if rt == min_rt))
+
+
+def _asof_brute(left_rows, right_rows, direction):
     out = {}
     for k, t, lid in left_rows:
-        cands = [(rt, rid) for rk, rt, rid in right_rows if rk == k and rt <= t]
-        out[lid] = max(cands)[1] if cands else None
+        cands = [(rt, rid) for rk, rt, rid in right_rows if rk == k]
+        b, f = _pick_backward(cands, t), _pick_forward(cands, t)
+        if direction == "backward":
+            hit = b
+        elif direction == "forward":
+            hit = f
+        else:  # nearest, ties to backward
+            if b is None:
+                hit = f
+            elif f is None:
+                hit = b
+            else:
+                hit = b if (t - b[0]) <= (f[0] - t) else f
+        out[lid] = hit[1] if hit else None
     return out
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
 @settings(max_examples=15, deadline=None)
 @given(
     st.lists(
@@ -48,12 +79,12 @@ def _asof_brute(left_rows, right_rows):
         st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=12
     ),
 )
-def test_asof_union_equals_brute_force(spark_session_holder, left, right):
+def test_asof_union_equals_brute_force(spark_session_holder, direction, left, right):
     spark = spark_session_holder
     left_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
     right_rows = [(k, t, 100 + i) for i, (k, t) in enumerate(right)]
-    got = _asof_union_impl(spark, left_rows, right_rows)
-    want = _asof_brute(left_rows, right_rows)
+    got = _asof_union_impl(spark, left_rows, right_rows, direction)
+    want = _asof_brute(left_rows, right_rows, direction)
     assert got == want
 
 
