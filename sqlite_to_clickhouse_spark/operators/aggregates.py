@@ -686,3 +686,47 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias("nations"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+      FROM lineitem
+      GROUP BY l_returnflag, l_quantity
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, CAST(cnt AS BIGINT) AS n
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY cnt DESC, l_quantity) AS rn
+      FROM counted
+    )
+    WHERE rn = 1
+    """,
+    tags=("aggregate",),
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode (most frequent value, ties to the
+    lowest value). Built-in mode() is tie-nondeterministic in both
+    engines, so this is the two-stage spelling every engine reduces to:
+    count per (group, value) — a mergeable partial aggregate — then a
+    top-1 window over the tiny counted table. The second stage's input
+    is |distinct values| rows per group, not raw rows, so at 100 TB the
+    heavy shuffle is the first-stage map-side-combined count only."""
+    li = table(spark, sf_dir, "lineitem")
+    counted = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_quantity")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("cnt").cast("long").alias("n"),
+        )
+    )

@@ -222,6 +222,11 @@ def _minhash_oracle() -> str:
                t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)) AS tkh
       FROM toks
     ),
+    hashed32 AS (
+      SELECT doc_id, tkh,
+             list_distinct(list_transform(tkh, h -> h & 2147483647)) AS tk32
+      FROM hashed
+    ),
     sigs AS (
       SELECT doc_id, tkh,
              list_transform(range({N_HASHES}),
@@ -234,12 +239,12 @@ def _minhash_oracle() -> str:
       FROM hashed
     ),
     bands AS (
-      SELECT doc_id, tkh, unnest([{band_pairs}]) AS bk
-      FROM sigs
+      SELECT s.doc_id, h.tk32, unnest([{band_pairs}]) AS bk
+      FROM sigs s JOIN hashed32 h ON s.doc_id = h.doc_id
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             a.tkh AS tk_a, b.tkh AS tk_b
+             a.tk32 AS tk_a, b.tk32 AS tk_b
       FROM bands a JOIN bands b
         ON a.bk = b.bk AND a.doc_id < b.doc_id
     )
@@ -276,10 +281,13 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
        (tiny vs. the pair list — the planner broadcasts it at bench
        scale, and at cluster scale it degrades to a clean shuffle join
        on doc_id) and compute exact token-set Jaccard, threshold 0.95.
-       The verify intersects 60-bit md5-derived token hashes, not
-       strings — |intersect| is identical (tokens are distinct; at 2⁶⁰
-       collisions are negligible and the oracle hashes identically),
-       and long compares make the 4M-pair intersect stage ~3× cheaper.
+       The verify intersects md5-derived token hashes masked to 31
+       bits and held as array<int> — not strings, not longs: int
+       arrays pack at 4 B/element in Tungsten, halving the per-pair
+       bytes hauled through the verify join's shuffle (the stage that
+       spilled at the 100× scale check). The mask + distinct is
+       mirrored in the oracle, so any in-doc collision (P ≈ 1e-5 per
+       doc) merges identically on both sides.
 
     The oracle runs the SAME md5-minhash construction in DuckDB, so the
     candidate sets match bit-for-bit and the whole LSH path — not just
@@ -390,14 +398,29 @@ def minhash_lsh_pairs(
             (F.col("pair") % F.lit(2**32)).alias("id_b"),
         )
     )
-    tokh = toks.select("__id", "__tkh")
+    # Verify on 31-bit-masked token hashes held as array<int>: Tungsten
+    # packs int arrays at 4 B/element vs 8 B for the 60-bit longs, halving
+    # the per-pair haul through the verify join's shuffle (the one stage
+    # that spilled at the 100× scale check, SURVEY §6.1). The mask +
+    # distinct is applied IDENTICALLY in the DuckDB oracle (hashed32 CTE),
+    # so a rare in-doc 31-bit collision merges the same tokens on both
+    # sides — no fixture lottery. persist(): both sides of the verify join
+    # read this table; without it the md5 forest is computed twice.
+    tokh = toks.select(
+        "__id",
+        F.array_distinct(
+            F.transform(
+                "__tkh", lambda h: h.bitwiseAND(F.lit(MERSENNE31)).cast("int")
+            )
+        ).alias("__tk32"),
+    ).persist()
     ta, tb = tokh.alias("ta"), tokh.alias("tb")
     pairs = (
         cand.join(ta, F.col("id_a") == F.col("ta.__id"))
         .join(tb, F.col("id_b") == F.col("tb.__id"))
         .select(
             "id_a", "id_b",
-            F.col("ta.__tkh").alias("tk_a"), F.col("tb.__tkh").alias("tk_b"),
+            F.col("ta.__tk32").alias("tk_a"), F.col("tb.__tk32").alias("tk_b"),
         )
     )
     n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")

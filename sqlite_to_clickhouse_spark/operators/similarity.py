@@ -701,3 +701,189 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_encode(e, books).select(
         "vec_id", (F.col("recon_cosine") >= PQ_RECON_FLOOR).alias("recon_ok")
     )
+
+
+@register(
+    "embedding_normalize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 6)
+             AS l2_norm,
+           list_transform(emb,
+             x -> ROUND(x / sqrt(list_aggregate(
+                    list_transform(emb, y -> y * y), 'sum')), 6)) AS unit
+    FROM d
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize the embedding column (unit vectors + the norm itself) —
+    the prep step before any cosine-based dedup/search, done once so every
+    downstream distance is a plain dot product.
+
+    All math is Catalyst higher-order lambdas over the array after a
+    float→double widen (exact), folding left-to-right exactly like the
+    oracle's list_aggregate — bit-identical sums, so the differential gate
+    holds without tolerance. Per-row projection only: no shuffle, scan-bound
+    at any scale. (A zero vector would yield IEEE NaN identically in both
+    engines; the fixture has none, and callers that might see one should
+    pre-filter on l2_norm > 0.)"""
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ss = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
+    norm = F.sqrt(ss)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(norm, 6).alias("l2_norm"),
+        F.transform(emb, lambda x: F.round(x / norm, 6)).alias("unit"),
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    rerank: int = 100,
+    init_every: int = CENTROID_EVERY,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "p_emb",
+) -> DataFrame:
+    """IVF-PQ approximate top-k with ADC ranking and exact rerank (library
+    API) — the full billion-scale ANN layout (the FAISS IVFPQ shape:
+    coarse quantizer routes, 4-bit PQ codes rank, a small exact rerank
+    restores precision).
+
+    Plan, in 100 TB order of importance:
+    1. One map-side pass over the vector table produces (id, bucket,
+       pq_code): bucket = argmax dot against the closure-shipped unit
+       centroid matrix, code = per-block argmin against the PQ codebooks —
+       both Arrow-batched numpy matmuls, zero shuffle. The 512-byte float
+       vector is DROPPED here; everything that crosses the bucket join's
+       wire is an 8-byte code.
+    2. Probes explode to their nprobe nearest buckets and join the coded
+       table on bucket. Candidate ranking is ADC: per probe the m×k table
+       of (probe sub-vector · centroid) dots and the per-centroid sqnorms
+       are precomputed driver-side (m·k doubles per probe — tiny), so
+       scoring a candidate is m table gathers, vectorized over the whole
+       Arrow batch after unpacking the 4-bit fields.
+    3. Per-probe ADC top-`rerank` (window, per-partition top-k — only
+       rerank rows per probe cross the final shuffles), then join those
+       few ids back to the vector table for exact cosines and keep top-k
+       (ties to lowest id, same contract as ivf_topk).
+
+    Recall vs brute force is asserted in tests/test_llm_ops.py; results
+    carry TRUE cosines for every returned pair (the rerank is exact)."""
+    from pyspark.sql import types as T
+
+    books = pq_codebooks(vectors, id_col=id_col, vec_col=vec_col)
+    m, kk, sub = books.shape
+    # Per-centroid squared norms: |recon(v)|^2 = sum_j |B[j][code_j]|^2
+    # (blocks concatenate), so the ADC cosine denominator is m gathers too.
+    bsq = (books**2).sum(axis=2)  # (m, k)
+
+    cent = kmeans_centroids(vectors, id_col=id_col, vec_col=vec_col,
+                            init_every=init_every)
+    cent_rows = sorted(cent.collect(), key=lambda r: r[0])
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+
+    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    P = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    pnorm = np.linalg.norm(P, axis=1)
+    # ADC dot tables: DT[p, j, c] = P[p, j-th block] . books[j, c]
+    DT = np.einsum("pjs,jcs->pjc", P.reshape(len(P), m, sub), books)
+    prow = {int(p): i for i, p in enumerate(pids)}
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmax(V @ C.T, axis=1)])
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _route(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        S = V @ C.T
+        out = []
+        for row in S:
+            idx = np.lexsort((cent_ids, -row))[:nprobe]
+            out.append(cent_ids[idx])
+        return pd.Series(out)
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(probe_id: pd.Series, code: pd.Series) -> pd.Series:
+        pi = np.array([prow[int(p)] for p in probe_id], dtype=np.int64)
+        codes = code.to_numpy(dtype=np.int64)
+        dot = np.zeros(len(codes))
+        rsq = np.zeros(len(codes))
+        for j in range(m):
+            cj = (codes >> (4 * j)) & (kk - 1)
+            dot += DT[pi, j, cj]
+            rsq += bsq[j, cj]
+        den = pnorm[pi] * np.sqrt(np.maximum(rsq, 1e-300))
+        return pd.Series(dot / den)
+
+    coded = pq_encode(vectors, books, id_col=id_col, vec_col=vec_col).select(
+        id_col, "pq_code"
+    )
+    assigned = (
+        vectors.select(id_col, _bucket(F.col(vec_col)).alias("bucket"))
+        .join(coded, id_col)
+    )
+    routed = probes.select(
+        probe_id_col, F.explode(_route(F.col(probe_vec_col))).alias("bucket")
+    )
+    w_rerank = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    shortlist = (
+        routed.join(assigned, "bucket")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col, id_col,
+            _adc(F.col(probe_id_col), F.col("pq_code")).alias("adc"),
+        )
+        .withColumn("rn", F.row_number().over(w_rerank))
+        .filter(F.col("rn") <= rerank)
+        .select(probe_id_col, id_col)
+    )
+    # Exact rerank: only |probes|·rerank ids come back for true vectors.
+    cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    w_topk = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        shortlist.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
+        .select(probe_id_col, id_col, cos_pv.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select(probe_id_col, id_col, F.round("cos", 6).alias("cosine"))
+    )
+
+
+@register(
+    "sim_ivfpq_search",
+    oracle=None,  # routing+ADC are quantizer-dependent — recall vs brute
+    # force asserted in tests/test_llm_ops.py::test_ivfpq_recall.
+    tags=("llm", "similarity", "approx"),
+)
+def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF-PQ ANN search: IVF routing (nprobe buckets) + 4-bit
+    PQ codes ranked by asymmetric distance (ADC) + exact top-k rerank —
+    the composition of sim_ann_ivf's coarse quantizer and
+    sim_pq_quantize's codes into the memory-resident index layout used at
+    billion-vector scale. See ivfpq_topk for the plan."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    return ivfpq_topk(e, probes, k=TOP_K, nprobe=NPROBE)

@@ -655,3 +655,78 @@ def text_idf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_frac"),
         )
     )
+
+
+# PII scrubbing patterns — shared verbatim between the Spark expressions and
+# the DuckDB oracle so both engines run the exact same regexes. The syntax
+# subset used (char classes, {m,n}, non-capturing groups, \b) behaves
+# identically in Java regex and RE2.
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PII_IPV4 = "\\b[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}\\b"
+_PII_PHONE = "\\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail.example reach +' || CAST(10 + doc_id % 90 AS VARCHAR)
+                  || '-' || CAST(100 + doc_id % 900 AS VARCHAR)
+                  || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.0.' || CAST(1 + doc_id % 254 AS VARCHAR) AS raw_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw_text, '{_PII_EMAIL}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(raw_text, '{_PII_PHONE}')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(raw_text, '{_PII_IPV4}')) AS BIGINT)  AS n_ip,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw_text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+             '{_PII_IPV4}', '<IP>', 'g') AS scrubbed
+    FROM raw
+    """,
+    tags=("llm", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rule-based PII redaction (emails, phone numbers, IPv4 addresses) with
+    per-class match counts — the standard scrub pass a public-web corpus gets
+    before LLM training (the CCNet/RedPajama-style cleanup stage).
+
+    The fixture vocabulary contains no PII, so the query first materializes a
+    deterministic PII-bearing variant of each document from its own doc_id
+    (identically in the oracle) and then scrubs it — the regex path is
+    exercised non-vacuously on every row and stays differentially tested.
+
+    Plan: pure per-row regexp projections — whole-stage codegen, no shuffle,
+    embarrassingly parallel at any corpus size. Patterns are applied
+    email→phone→IP so a replacement token can never be re-matched by a later
+    class. At 100 TB this is scan-bound, exactly what a scrub should be.
+    """
+    d = table(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), doc.cast("string"),
+        F.lit("@mail.example reach +"), (doc % 90 + 10).cast("string"),
+        F.lit("-"), (doc % 900 + 100).cast("string"),
+        F.lit("-"), (doc % 9000 + 1000).cast("string"),
+        F.lit(" from 10."), (doc % 256).cast("string"),
+        F.lit(".0."), (doc % 254 + 1).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE, "<PHONE>"),
+        _PII_IPV4, "<IP>")
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_PII_EMAIL)).cast("long").alias("n_email"),
+        F.regexp_count(raw, F.lit(_PII_PHONE)).cast("long").alias("n_phone"),
+        F.regexp_count(raw, F.lit(_PII_IPV4)).cast("long").alias("n_ip"),
+        scrubbed.alias("scrubbed"),
+    )

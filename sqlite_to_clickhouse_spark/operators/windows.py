@@ -467,3 +467,41 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000
         ).alias("seg_share"),
     )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           ntile(4) OVER w                              AS qtile,
+           ROUND(percent_rank() OVER w, 6)              AS pct_rank,
+           ROUND(cume_dist() OVER w, 6)                 AS cum_dist
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag
+                 ORDER BY l_quantity, l_orderkey, l_linenumber)
+    """,
+    tags=("window",),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile quartiles, percent_rank,
+    cume_dist per return-flag partition.
+
+    ntile's bucket assignment depends on ROW order (not just key order),
+    so the window orders by (l_quantity, l_orderkey, l_linenumber) — a
+    unique composite — making every function here deterministic and
+    engine-identical under ties. One hash shuffle on the partition key,
+    then a per-partition sort scan; rank family never materializes the
+    partition, so a skewed flag degrades to spill-sort, not OOM."""
+    li = table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity", "l_orderkey", "l_linenumber")
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.ntile(4).over(w).alias("qtile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
+    )

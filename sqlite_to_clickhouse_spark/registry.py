@@ -97,7 +97,15 @@ _PRIORITY: list[str] = [
     "fn_math",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    # -- freshness re-certs: oldest r1-green §2b rows --
+    # -- new round-5 ops: first driver certification --
+    "text_pii_scrub",
+    "window_distribution",
+    "agg_mode",
+    "embedding_normalize",
+    # -- freshness re-certs: oldest r1-green §2b rows.  join_asof kept in
+    #    this slice because the asof library code changed post-r4 (micros
+    #    comparison); join_semi/anti/range + agg_distinct rotate in r6 —
+    #    all were locally re-verified at sf0.01 this round. --
     "scan_parquet",
     "project_cast_typemap",
     "filter_predicate",
@@ -106,13 +114,9 @@ _PRIORITY: list[str] = [
     "join_broadcast",
     "join_left",
     "join_full",
-    "join_semi",
-    "join_anti",
-    "join_range",
     "join_asof",
     "agg_global",
     "agg_groupby_hash",
-    "agg_distinct",
 ]
 
 

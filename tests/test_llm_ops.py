@@ -29,6 +29,29 @@ def test_ivf_recall(spark, sf_dir):
         assert abs(exact[k] - approx[k]) < 1e-9  # same pair ⇒ same cosine
 
 
+def test_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ (routing + ADC shortlist + exact rerank) must hold a recall
+    floor vs brute force, and — because the rerank is exact — every
+    returned pair must carry the true cosine. PQ quantization on
+    near-random vectors is ANN's hard case, so the floor sits slightly
+    below plain IVF's (the ADC shortlist can drop a true neighbor that
+    IVF alone would keep)."""
+    exact = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in _Q["sim_topk_cosine"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in _Q["sim_ivfpq_search"].fn(spark, sf_dir).collect()
+    }
+    assert approx, "IVF-PQ returned nothing"
+    hits = set(exact) & set(approx)
+    recall = len(hits) / len(exact)
+    assert recall >= 0.35, f"IVF-PQ recall {recall:.2f} too low"
+    for key in hits:
+        assert abs(exact[key] - approx[key]) < 1e-9
+
+
 def test_minhash_recall_floor_on_high_jaccard(spark, sf_dir):
     """LSH is probabilistic: with 4 bands × 12 rows a J=0.95 pair is
     caught with P ≈ 0.955 (J=0.99 with ≈ 0.9998), so assert a recall

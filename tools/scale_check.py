@@ -40,6 +40,18 @@ DEFAULT_OPS = [
     "dedup_corpus_apply",
     "query_market_share",
     "stream_tumbling",
+    # Round-5 additions (VERDICT r4 item 5): the remaining heavy/pair-wise
+    # ops, plus the new r5 family.
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_simhash",
+    "merge_scd2",
+    "stream_stream_join",
+    "join_asof",
+    "text_pii_scrub",
+    "embedding_normalize",
+    "window_distribution",
+    "agg_mode",
 ]
 
 
