@@ -80,6 +80,13 @@ HEADLINE = [
     "text_decontaminate",
     "text_idf_filter",
     "sim_pq_quantize",
+    # Round-5 additions: scrub/quality/mixing stages + the composed IVF-PQ
+    # ANN search.
+    "text_pii_scrub",
+    "text_quality_score",
+    "sample_temperature",
+    "embedding_normalize",
+    "sim_ivfpq_search",
 ]
 
 

@@ -378,11 +378,14 @@ def minhash_lsh_pairs(
             for i in range(n_bands)
         ]
     )
-    # persist(): the band table feeds BOTH sides of the self-join; without
-    # it Spark recomputes the whole signature subtree (n_hashes md5s ×
-    # tokens × rows) twice. 16 bytes × bands × rows, MEMORY_AND_DISK — the
-    # standard LSH practice at any scale (measured: candidates 16 s → 4 s).
-    bands = sigs.select("__id", F.explode(band_keys).alias("bk")).persist()
+    # No persist: the band table feeds both sides of the self-join, and the
+    # r1-era persist here was a 4× win when signatures were an interpreted
+    # md5-per-seed expression tree. After the affine+Arrow kernel rework the
+    # subtree is cheap to recompute, and an r5 A/B at 10× measured the
+    # persist at 73 s vs 32 s without (materialization + InMemoryRelation
+    # scan costs dominate recompute; at 1× the difference is noise). Let
+    # both join branches pipeline from the scan.
+    bands = sigs.select("__id", F.explode(band_keys).alias("bk"))
     a, b = bands.alias("a"), bands.alias("b")
     # Pack the pair into one long so the dedup shuffle hashes a single
     # 8-byte key.
@@ -404,8 +407,10 @@ def minhash_lsh_pairs(
     # that spilled at the 100× scale check, SURVEY §6.1). The mask +
     # distinct is applied IDENTICALLY in the DuckDB oracle (hashed32 CTE),
     # so a rare in-doc 31-bit collision merges the same tokens on both
-    # sides — no fixture lottery. persist(): both sides of the verify join
-    # read this table; without it the md5 forest is computed twice.
+    # sides — no fixture lottery. Not persisted: recomputing the md5 forest
+    # for each verify-join side pipelines from the scan and measured faster
+    # than materializing at both 1× and 10× (same finding as the band
+    # table above).
     tokh = toks.select(
         "__id",
         F.array_distinct(
@@ -413,7 +418,7 @@ def minhash_lsh_pairs(
                 "__tkh", lambda h: h.bitwiseAND(F.lit(MERSENNE31)).cast("int")
             )
         ).alias("__tk32"),
-    ).persist()
+    )
     ta, tb = tokh.alias("ta"), tokh.alias("tb")
     pairs = (
         cand.join(ta, F.col("id_a") == F.col("ta.__id"))

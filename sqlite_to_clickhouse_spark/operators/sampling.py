@@ -257,3 +257,92 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("pack_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# Temperature-sampling parameters: alpha=0.5 source reweighting (the
+# multilingual/multi-source rebalancing exponent), target corpus = half the
+# input. Thresholds are derived in EXACT integer arithmetic (isqrt + integer
+# div) so both engines compute bit-identical keep sets — no libm pow() in
+# the decision path.
+_TEMP_TARGET_DEN = 2  # target size = total_docs / 2
+
+
+@register(
+    "sample_temperature",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt,
+             CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS isq
+      FROM documents GROUP BY lang
+    ),
+    tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_total,
+             CAST(SUM(isq) AS BIGINT) AS sum_isq
+      FROM counts
+    ),
+    thresh AS (
+      SELECT c.lang, c.cnt,
+             LEAST(4294967296,
+                   (4294967296 * (t.n_total // {_TEMP_TARGET_DEN}) * c.isq)
+                     // (t.sum_isq * c.cnt)) AS keep_below
+      FROM counts c, tot t
+    )
+    SELECT d.lang,
+           CAST(MIN(th.cnt) AS BIGINT)  AS n_orig,
+           CAST(MIN(th.keep_below) AS BIGINT) AS keep_below,
+           CAST(COUNT(*) FILTER (
+             CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               < th.keep_below) AS BIGINT) AS n_kept
+    FROM documents d JOIN thresh th USING (lang)
+    GROUP BY d.lang
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (the multi-source data-recipe
+    op: upweight small sources, downweight huge ones with an alpha=0.5
+    exponent, then hash-threshold sample each source to hit a global
+    budget of 1/{_TEMP_TARGET_DEN} of the corpus).
+
+    Per-source keep probability p_s = T·√cnt_s / (Σ√cnt · cnt_s) is
+    materialized as an integer threshold keep_below = ⌊2³²·p_s⌋ computed
+    entirely in BIGINT arithmetic (isqrt is exact; no libm pow in the
+    decision path), and a doc survives iff its 32-bit md5 prefix is below
+    its language's threshold — deterministic, append-stable, identical in
+    any engine with md5. Plan: one tiny per-language count aggregate,
+    thresholds broadcast back onto the scan, one filter — the corpus
+    itself is never shuffled. Output is the per-language audit table
+    (original count, threshold, kept count)."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.withColumn(
+        "isq", F.floor(F.sqrt(F.col("cnt"))).cast("long")
+    )
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n_total"),
+        F.sum("isq").cast("long").alias("sum_isq"),
+    )
+    # Integer-exact threshold: (2^32 * (n_total // DEN) * isq) // (sum_isq * cnt)
+    thresh = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "cnt",
+        F.least(
+            F.lit(4294967296).cast("long"),
+            F.expr(
+                f"(4294967296 * (n_total div {_TEMP_TARGET_DEN}) * isq)"
+                f" div (sum_isq * cnt)"
+            ),
+        ).alias("keep_below"),
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        d.join(F.broadcast(thresh), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("cnt").cast("long").alias("n_orig"),
+            F.min("keep_below").cast("long").alias("keep_below"),
+            F.sum((u32 < F.col("keep_below")).cast("long")).cast("long").alias("n_kept"),
+        )
+    )

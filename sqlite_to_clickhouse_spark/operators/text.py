@@ -730,3 +730,71 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_PII_IPV4)).cast("long").alias("n_ip"),
         scrubbed.alias("scrubbed"),
     )
+
+
+# Linear quality-classifier weights (a fasttext-style scorer distilled to a
+# fixed linear model over cheap signals). Chosen so the fixture population
+# spreads across keep/drop; the exact values are part of the op's contract
+# and are mirrored verbatim in the oracle.
+_QS_W_STOP = 1.5
+_QS_W_DISTINCT = 1.0
+_QS_W_LEN = 0.05
+_QS_LEN_CENTER = 4.5
+_QS_KEEP_T = 0.55
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '),
+                      t -> t IN ({', '.join(repr(s) for s in _STOPWORDS)}))) AS DOUBLE)
+               / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+               AS stop_r,
+             CAST(len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS DOUBLE)
+               / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+               AS distinct_r,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / GREATEST(len(list_filter(string_split(text, ' '), t -> t <> '')), 1)
+               AS avg_len
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND({_QS_W_STOP} * stop_r + {_QS_W_DISTINCT} * distinct_r
+                 - {_QS_W_LEN} * abs(avg_len - {_QS_LEN_CENTER}), 6) AS quality,
+           ({_QS_W_STOP} * stop_r + {_QS_W_DISTINCT} * distinct_r
+                 - {_QS_W_LEN} * abs(avg_len - {_QS_LEN_CENTER})) >= {_QS_KEEP_T}
+             AS keep
+    FROM feats
+    """,
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score: a fixed linear model over the
+    cheap signals (stopword ratio, lexical diversity, token-length
+    centering) with a keep/drop threshold — the classifier-style filter
+    stage (GPT-3/CCNet quality model analog) distilled to a deterministic
+    linear scorer so it stays differentially testable.
+
+    The score expression is built with the SAME association order as the
+    oracle SQL (left-to-right weighted sum), and every ratio is the same
+    int/int division — IEEE doubles come out bit-identical, so keep/drop
+    decisions can never straddle the threshold differently across engines.
+    Pure projection: scan-bound, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.greatest(F.size(toks), F.lit(1)).cast("double")
+    stop_r = F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).cast("double") / n_tok
+    distinct_r = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    avg_len = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_tok
+    score = (
+        F.lit(_QS_W_STOP) * stop_r
+        + F.lit(_QS_W_DISTINCT) * distinct_r
+        - F.lit(_QS_W_LEN) * F.abs(avg_len - F.lit(_QS_LEN_CENTER))
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 6).alias("quality"),
+        (score >= F.lit(_QS_KEEP_T)).alias("keep"),
+    )

@@ -52,6 +52,9 @@ DEFAULT_OPS = [
     "embedding_normalize",
     "window_distribution",
     "agg_mode",
+    "text_quality_score",
+    "sample_temperature",
+    "sim_ivfpq_search",
 ]
 
 
