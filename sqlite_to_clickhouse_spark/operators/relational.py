@@ -568,3 +568,170 @@ def query_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(F.sum("l_quantity").cast("double").alias("total_qty"))
     )
+
+
+@register(
+    "query_promo_revenue",
+    oracle="""
+    SELECT CAST(month(l.l_shipdate) AS INTEGER) AS ship_month,
+           round(100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch"),
+)
+def query_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promotion revenue share as a conditional-aggregate
+    ratio, per ship month. lineitem ⨝ broadcast part; both sums ride ONE
+    exchange on ship_month (the CASE is a projection, not a second
+    aggregation pass), and the year filter is pushed to the parquet scan
+    so only ~1/6 of the fact rows are read."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", net).otherwise(F.lit(0.0)))
+                / F.sum(net),
+                4,
+            ).alias("promo_pct"),
+            F.round(F.sum(net), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "query_small_qty_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#23'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = p.p_partkey)
+    """,
+    tags=("relational", "tpch"),
+)
+def query_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from unusually small-quantity orders of one
+    brand's parts. The oracle keeps the classic correlated scalar subquery;
+    the Spark plan is the decorrelated form you'd hand-write at 100 TB:
+    prune lineitem to the brand's parts FIRST (broadcast join — the brand
+    is ~1/25 of part), compute the per-part 0.2·avg(quantity) threshold
+    over that pruned slice (identical semantics: the correlation key is
+    p_partkey, so per-part averages are unaffected by the brand filter),
+    then one hash join of the slice against its own per-part aggregate.
+    Two scans of the pruned slice beat a per-row subquery by orders of
+    magnitude, and nothing touches the 96 % of lineitem outside the
+    brand."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li = table(spark, sf_dir, "lineitem")
+    li_b = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"]).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    qlim = li_b.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_limit")
+    )
+    return (
+        li_b.join(qlim, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_limit"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
+    "query_disjunctive_revenue",
+    oracle="""
+    SELECT round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#7' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+    tags=("relational", "tpch"),
+)
+def query_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under a disjunction of brand/size/quantity
+    conjunctions. The whole OR stays ONE codegen'd post-join filter; the
+    common subexpressions Catalyst can factor out (p_size >= 1, quantity
+    bounds 1..30) are derivable, and the brand IN-list implied by the OR
+    prunes the broadcast side. No union-of-three-joins rewrite needed —
+    that tripling of the fact scan is exactly what a 100 TB plan must
+    avoid."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & s.between(1, 15) & q.between(1, 11))
+        | ((b == "Brand#23") & s.between(1, 25) & q.between(10, 20))
+        | ((b == "Brand#7") & s.between(1, 35) & q.between(20, 30))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@register(
+    "query_dormant_customers",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+                         WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "tpch"),
+)
+def query_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers with no very large (>400k) orders —
+    uncorrelated scalar subquery (global positive-balance average) +
+    anti join, per segment. The scalar average is a 1-row aggregate
+    broadcast into the filter (NOT collected to the driver: crossJoin of
+    a broadcast single row keeps it in-plan); the NOT EXISTS is a
+    left-anti hash join against orders pre-filtered to >400k, which at
+    100 TB shrinks the build side to the rare large orders before the
+    join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

@@ -97,26 +97,29 @@ _PRIORITY: list[str] = [
     "fn_math",
     "agg_approx_distinct",
     "agg_approx_percentile",
-    # -- new round-5 ops: first driver certification --
+    # -- new round-5 ops: first driver certification.  New ops outrank
+    #    freshness re-certs of r1-green rows: after this window EVERY
+    #    registered op has at least one driver record. --
     "text_pii_scrub",
     "window_distribution",
     "agg_mode",
     "embedding_normalize",
+    "text_quality_score",
+    "sample_temperature",
+    "sim_ivfpq_search",
+    "query_promo_revenue",
+    "query_small_qty_revenue",
+    "query_disjunctive_revenue",
+    "query_dormant_customers",
     # -- freshness re-certs: oldest r1-green §2b rows.  join_asof kept in
     #    this slice because the asof library code changed post-r4 (micros
-    #    comparison); join_semi/anti/range + agg_distinct rotate in r6 —
-    #    all were locally re-verified at sf0.01 this round. --
+    #    comparison); the rest of the r1 cohort rotates from r6 on via
+    #    compute_rotation() — all were locally re-verified at sf0.01 this
+    #    round (172/172 green, tools drive run). --
     "scan_parquet",
     "project_cast_typemap",
     "filter_predicate",
-    "project_computed",
-    "join_inner_hash",
-    "join_broadcast",
-    "join_left",
-    "join_full",
     "join_asof",
-    "agg_global",
-    "agg_groupby_hash",
 ]
 
 
@@ -137,14 +140,82 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()
     return deco
 
 
+def compute_rotation(
+    window: int = 50, correctness_dir: Optional[str] = None
+) -> tuple[list[str], int]:
+    """Derive the next driver-verification window from the recorded
+    ``CORRECTNESS_r*.json`` history (VERDICT r4 item 4: keep every row
+    inside a bounded freshness window without hand-editing ``_PRIORITY``
+    each round).
+
+    Policy, in order:
+      1. ops with NO driver record yet (registration order) — new code is
+         the highest-risk population;
+      2. ops whose LATEST record is red (rows/schema/hash mismatch or err)
+         — unclosed failures re-certify before anything else;
+      3. green ops, oldest-verified first — freshness re-certs, so every
+         row cycles back through the gate every ceil(N/window − 1) rounds.
+
+    Returns (ordered names capped at ``window``, latest round seen).  Pure
+    function of the committed correctness files, so the window is
+    deterministic for a given repo state.
+    """
+    import glob
+    import json
+    import os
+    import re
+
+    if correctness_dir is None:
+        correctness_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    history: dict[str, tuple[int, bool]] = {}
+    latest = 0
+    for f in sorted(glob.glob(os.path.join(correctness_dir, "CORRECTNESS_r*.json"))):
+        m = re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        latest = max(latest, rnd)
+        try:
+            with open(f) as fh:
+                data = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            green = (
+                bool(rec.get("rows_match"))
+                and bool(rec.get("schema_match"))
+                and rec.get("hash_match") is not False  # None = rows-only ⊘
+                and not rec.get("err")
+            )
+            history[name] = (rnd, green)
+
+    names = list(_REGISTRY)
+    order = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in history]
+    red = [n for n in names if n in history and not history[n][1]]
+    stale = sorted(
+        (n for n in names if n in history and history[n][1]),
+        key=lambda n: (history[n][0], order[n]),
+    )
+    return (never + red + stale)[:window], latest
+
+
 def all_queries() -> dict[str, RegisteredQuery]:
     """Return the full registry, forcing all operator modules to load."""
     # Imported lazily to avoid a circular import (plans imports operator
     # modules, operator modules import this registry).
     import sqlite_to_clickhouse_spark.plans  # noqa: F401
 
+    # Round 5's window was hand-curated (``_PRIORITY``); once the round-5
+    # correctness file lands, later rounds derive the window from the
+    # recorded history instead, so rotation never goes stale by omission.
+    rotation, latest_round = compute_rotation()
+    priority = rotation if latest_round >= 5 else _PRIORITY
+
     ordered: dict[str, RegisteredQuery] = {}
-    for name in _PRIORITY:
+    for name in priority:
         if name in _REGISTRY:
             ordered[name] = _REGISTRY[name]
     for name, q in _REGISTRY.items():

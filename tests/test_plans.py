@@ -299,3 +299,42 @@ def test_text_decontaminate_no_python_eval(spark, sf_dir):
     worker in the plan (slice/array_join/explode are JVM-side)."""
     p = _plan(spark, sf_dir, "text_decontaminate")
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_promo_revenue_broadcast_and_year_pushdown(spark, sf_dir):
+    p = _plan(spark, sf_dir, "query_promo_revenue")
+    assert "BroadcastHashJoin" in p  # part is the broadcast side
+    pf = next(l for l in p.splitlines() if "PushedFilters" in l and "l_shipdate" in l)
+    assert "GreaterThanOrEqual(l_shipdate" in pf and "LessThan(l_shipdate" in pf
+    # both conditional sums ride ONE groupBy exchange
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) <= 1, regular
+
+
+def test_small_qty_revenue_brand_prunes_before_agg(spark, sf_dir):
+    p = _plan(spark, sf_dir, "query_small_qty_revenue")
+    # brand filter pushed to the part scan, not applied post-join
+    pf = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("EqualTo(p_brand,Brand#23)" in l for l in pf), pf
+    assert "BroadcastHashJoin" in p
+
+
+def test_disjunctive_revenue_single_scan_no_union(spark, sf_dir):
+    p = _plan(spark, sf_dir, "query_disjunctive_revenue")
+    # ONE lineitem scan — the OR must not be rewritten into a union of
+    # three per-branch scans.
+    scans = [l for l in p.splitlines() if "InMemoryFileIndex" in l and "lineitem" in l]
+    assert len(scans) == 1, scans
+    assert "Union" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_dormant_customers_anti_join_in_plan(spark, sf_dir):
+    p = _plan(spark, sf_dir, "query_dormant_customers")
+    assert "LeftAnti" in p
+    # the >400k order filter is pushed to the orders scan (shrinks the
+    # anti-join build side before the exchange)
+    pf = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert any("GreaterThan(o_totalprice,400000" in l for l in pf), pf
+    # scalar avg enters as a broadcast, never a driver collect
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p

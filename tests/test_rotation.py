@@ -1,0 +1,109 @@
+"""Rotation-window policy tests (pure Python — no SparkSession).
+
+The driver's correctness gate verifies the FIRST 50 entries of
+``queries()``; ``compute_rotation`` derives that window from the committed
+CORRECTNESS_r*.json history.  These tests pin the policy: never-verified
+first, latest-red second, then greens oldest-first; deterministic; every
+emitted name registered.
+"""
+
+from __future__ import annotations
+
+import json
+
+import sqlite_to_clickhouse_spark.registry as R
+from sqlite_to_clickhouse_spark.registry import all_queries, compute_rotation
+
+
+def _write(tmp_path, rnd: int, recs: dict) -> None:
+    (tmp_path / f"CORRECTNESS_r{rnd:02d}.json").write_text(json.dumps(recs))
+
+
+GREEN = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+RED_HASH = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+RED_ERR = {"rows_match": False, "schema_match": False, "hash_match": None, "err": "boom"}
+ROWS_ONLY = {"rows_match": True, "schema_match": True, "hash_match": None, "err": None}
+
+
+def test_rotation_orders_never_red_stale(tmp_path):
+    all_queries()  # force registration
+    names = list(R._REGISTRY)
+    a, b, c, d = names[0], names[1], names[2], names[3]
+    _write(tmp_path, 1, {a: GREEN, b: GREEN})
+    _write(tmp_path, 2, {b: GREEN, c: RED_HASH})
+    rotation, latest = compute_rotation(window=10, correctness_dir=str(tmp_path))
+    assert latest == 2
+    # d (and everything else unseen) precedes red c, which precedes greens.
+    assert rotation.index(d) < rotation.index(c) if c in rotation else True
+    assert c not in rotation or all(
+        rotation.index(n) < rotation.index(c) for n in rotation if n not in (a, b, c)
+    )
+    # never-seen fill the window before any seen op appears
+    seen_positions = [rotation.index(n) for n in (a, b, c) if n in rotation]
+    unseen_in = [n for n in rotation if n not in (a, b, c)]
+    assert len(unseen_in) >= 7
+    if seen_positions:
+        assert min(seen_positions) >= len(unseen_in) - len(seen_positions)
+
+
+def test_rotation_green_ordered_oldest_first(tmp_path):
+    all_queries()
+    names = list(R._REGISTRY)
+    # everything green, at staggered rounds: window should re-certify the
+    # oldest-verified rows first, in registration order within a round.
+    recs_r1 = {n: GREEN for n in names[: len(names) // 2]}
+    recs_r2 = {n: GREEN for n in names[len(names) // 2 :]}
+    _write(tmp_path, 1, recs_r2)  # second half verified FIRST (r1)
+    _write(tmp_path, 2, recs_r1)
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    half = len(names) - len(names) // 2
+    assert rotation[:half] == names[len(names) // 2 :]
+    assert rotation[half:] == names[: len(names) // 2]
+
+
+def test_rotation_latest_record_wins(tmp_path):
+    all_queries()
+    names = list(R._REGISTRY)
+    a = names[0]
+    _write(tmp_path, 1, {a: RED_ERR})
+    _write(tmp_path, 2, {a: GREEN})
+    _write(tmp_path, 3, {n: GREEN for n in names if n != a})
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    # a went green in r2 and is now just the stalest green — first of them.
+    assert rotation[0] == a
+
+
+def test_rows_only_counts_as_green(tmp_path):
+    all_queries()
+    names = list(R._REGISTRY)
+    a = names[0]
+    _write(tmp_path, 1, {n: GREEN for n in names})
+    _write(tmp_path, 2, {a: ROWS_ONLY})
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    # a's newest record is rows-only green (hash_match None ≠ False): it
+    # rotates to the BACK, not into the red slice.
+    assert rotation[-1] == a
+
+
+def test_rotation_names_all_registered_and_unique(tmp_path):
+    q = all_queries()
+    rotation, _ = compute_rotation(window=50, correctness_dir=str(tmp_path))
+    assert len(rotation) == min(50, len(q))
+    assert len(set(rotation)) == len(rotation)
+    assert all(n in q for n in rotation)
+
+
+def test_repo_window_covers_all_never_verified():
+    """With the real committed history, the first-50 window must contain
+    every op that has never had a driver record (the r5 contract)."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        seen.update(json.load(open(f)))
+    names = list(all_queries())
+    never = [n for n in names if n not in seen]
+    missing = [n for n in never if n not in names[:50]]
+    assert not missing, f"never-driver-verified ops outside the window: {missing}"
