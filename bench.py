@@ -87,6 +87,16 @@ HEADLINE = [
     "sample_temperature",
     "embedding_normalize",
     "sim_ivfpq_search",
+    # Round-5 additions, second batch: TPC-H Q14/Q17/Q19/Q22 shapes +
+    # mixture sampling + per-class outlier mining (dedup_keep_best is
+    # excluded: it re-times the minhash subtree dedup_fuzzy_minhash
+    # already covers).
+    "query_promo_revenue",
+    "query_small_qty_revenue",
+    "query_disjunctive_revenue",
+    "query_dormant_customers",
+    "sample_domain_mix",
+    "embedding_outlier",
 ]
 
 

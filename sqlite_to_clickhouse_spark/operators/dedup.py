@@ -763,3 +763,69 @@ def dedup_corpus_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("component_id") == F.col("doc_id"))
         ).alias("keep"),
     )
+
+
+def _keep_best_oracle() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle()}),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS peer FROM edges
+        UNION
+        SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    ),
+    comp AS (
+        SELECT node AS doc_id, least(node, min(peer)) AS component_id
+        FROM reach GROUP BY node
+    ),
+    lab AS (
+        SELECT d.doc_id, d.n_chars,
+               COALESCE(c.component_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, cluster_id, n_chars,
+           (row_number() OVER (PARTITION BY cluster_id
+                               ORDER BY n_chars DESC, doc_id) = 1) AS keep
+    FROM lab
+    """
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle(), tags=("llm", "dedup"))
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering with a QUALITY-chosen representative: where
+    dedup_corpus_apply keeps each cluster's min doc_id, this keeps its
+    LONGEST member (n_chars, doc_id tiebreak) — the policy a training
+    pipeline actually wants, since the min-id member of a near-dup cluster
+    is often the truncated variant. Same LSH → connected-components
+    subtree; representative election is one row_number window over
+    cluster_id, so swapping the quality metric (model score, fetch date)
+    is a one-line ORDER BY change. Cluster cardinality is bounded by dup
+    structure, not corpus size — the window never sees a giant partition
+    unless the corpus genuinely contains a giant dup cluster, which is
+    exactly the case you want surfaced."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk"))
+    pairs = minhash_lsh_pairs(toks, "doc_id", "tk").select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component_id"
+    )
+    lab = d.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "n_chars",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -346,3 +346,49 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((u32 < F.col("keep_below")).cast("long")).cast("long").alias("n_kept"),
         )
     )
+
+
+_DOMAIN_MIX_ORACLE = """
+    WITH quota AS (
+        SELECT CAST(CEIL(0.4 * count(*) / count(DISTINCT source)) AS BIGINT)
+                   AS q
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS mix_rank
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, CAST(r.mix_rank AS BIGINT) AS mix_rank
+    FROM ranked r, quota WHERE r.mix_rank <= quota.q
+"""
+
+
+@register("sample_domain_mix", oracle=_DOMAIN_MIX_ORACLE, tags=("sampling", "llm"))
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture quota sampling: cap every source at an equal share of
+    a 40 % corpus budget (uniform target mixture — the knob a pretraining
+    pipeline turns when one crawl dominates the corpus). Per-source quota
+    = ceil(0.4·N/S) is an in-plan broadcast scalar (count + countDistinct,
+    never a driver collect); which docs fill the quota is decided by
+    md5-hash order with doc_id tiebreak, so the selection is reproducible
+    under repartitioning and append-stable for existing docs — the same
+    properties as the split/sample ops above. One shuffle (window by
+    source); sources are few, so AQE's skew split handles a hot domain."""
+    d = table(spark, sf_dir, "documents")
+    quota = d.agg(
+        F.ceil(0.4 * F.count(F.lit(1)) / F.countDistinct("source")).alias("q")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source")
+        .withColumn("mix_rank", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(quota))
+        .filter(F.col("mix_rank") <= F.col("q"))
+        .select("doc_id", "source", "mix_rank")
+    )

@@ -887,3 +887,97 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
     return ivfpq_topk(e, probes, k=TOP_K, nprobe=NPROBE)
+
+
+_OUTLIER_SCALE = 10_000  # floor(v·1e4): exact-integer distance arithmetic
+_OUTLIER_TOPK = 5
+
+_OUTLIER_ORACLE = f"""
+    WITH flat AS (
+        SELECT vec_id, label,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * {_OUTLIER_SCALE})
+                    AS BIGINT) AS v,
+               generate_subscripts(embedding, 1) AS pos
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, pos,
+               CAST(sum(v) AS BIGINT) AS s1,
+               CAST(count(*) AS BIGINT) AS n
+        FROM flat GROUP BY label, pos
+    ),
+    dist AS (
+        SELECT f.vec_id, f.label,
+               CAST(sum((c.n * f.v - c.s1) * (c.n * f.v - c.s1)) AS BIGINT)
+                   AS dist2_scaled
+        FROM flat f
+        JOIN cent c ON f.label = c.label AND f.pos = c.pos
+        GROUP BY f.vec_id, f.label
+    )
+    SELECT label, vec_id, dist2_scaled
+    FROM (SELECT label, vec_id, dist2_scaled,
+                 row_number() OVER (PARTITION BY label
+                                    ORDER BY dist2_scaled DESC, vec_id) AS rn
+          FROM dist)
+    WHERE rn <= {_OUTLIER_TOPK}
+"""
+
+
+@register("embedding_outlier", oracle=_OUTLIER_ORACLE, tags=("llm", "similarity"))
+def embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outliers: the top-k vectors farthest
+    from their label's centroid — mislabeled/noisy-sample mining over a
+    training corpus. All arithmetic is EXACT integer: vectors are floored
+    to 1e-4 grid, and instead of comparing ‖v − s1/n‖² (a float whose
+    summation order differs across engines) both sides compare the
+    integer n²·d² = Σ(n·vᵢ − s1ᵢ)², identical under any addition order.
+    Exactness bound: |n·v − s1| ≤ 2n·max|v|·1e4, so 64·(2n·5.3e3·…)² must
+    stay < 2⁶³ — holds to ~2·10⁵ vectors per label (100× the sf0.1
+    fixture); beyond that, drop _OUTLIER_SCALE a decade.
+
+    Plan: centroids via ONE posexplode + partial-aggregated groupBy
+    (label, pos) — the exploded stream collapses to labels×64 rows
+    map-side before the exchange; the per-label s1 arrays re-assemble via
+    collect_list and broadcast back to the UN-exploded vectors, where
+    zip_with/aggregate compute the distance per row in codegen (no second
+    explode, no Python). Final top-k is a window over label — k rows per
+    label survive."""
+    emb = table(spark, sf_dir, "embeddings")
+    ints = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * _OUTLIER_SCALE).cast("long"),
+        ).alias("iv"),
+    )
+    cent = (
+        ints.select("label", F.posexplode("iv").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s1"), F.count(F.lit(1)).alias("n"))
+        .groupBy("label", "n")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s1"))),
+                lambda s: s["s1"],
+            ).alias("s1_arr")
+        )
+    )
+    diff = F.zip_with(
+        F.col("iv"),
+        F.col("s1_arr"),
+        lambda v, s: F.col("n") * v - s,
+    )
+    dist2 = F.aggregate(
+        diff, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    ).alias("dist2_scaled")
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2_scaled").desc(), F.col("vec_id")
+    )
+    return (
+        ints.join(F.broadcast(cent), "label")
+        .select("label", "vec_id", dist2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _OUTLIER_TOPK)
+        .select("label", "vec_id", "dist2_scaled")
+    )

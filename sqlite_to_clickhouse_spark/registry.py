@@ -111,14 +111,14 @@ _PRIORITY: list[str] = [
     "query_small_qty_revenue",
     "query_disjunctive_revenue",
     "query_dormant_customers",
-    # -- freshness re-certs: oldest r1-green §2b rows.  join_asof kept in
-    #    this slice because the asof library code changed post-r4 (micros
-    #    comparison); the rest of the r1 cohort rotates from r6 on via
-    #    compute_rotation() — all were locally re-verified at sf0.01 this
-    #    round (172/172 green, tools drive run). --
-    "scan_parquet",
-    "project_cast_typemap",
-    "filter_predicate",
+    "sample_domain_mix",
+    "dedup_keep_best",
+    "embedding_outlier",
+    # -- freshness re-cert: join_asof, because the asof library code
+    #    changed post-r4 (micros comparison).  The rest of the r1-green
+    #    cohort rotates from r6 on via compute_rotation() — all were
+    #    locally re-verified at sf0.01 this round (full-registry drive
+    #    run, 172/172 green). --
     "join_asof",
 ]
 

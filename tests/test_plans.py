@@ -338,3 +338,31 @@ def test_dormant_customers_anti_join_in_plan(spark, sf_dir):
     assert any("GreaterThan(o_totalprice,400000" in l for l in pf), pf
     # scalar avg enters as a broadcast, never a driver collect
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_embedding_outlier_broadcast_centroids_no_python(spark, sf_dir):
+    p = _plan(spark, sf_dir, "embedding_outlier")
+    # centroid table broadcasts back to the un-exploded vectors
+    assert "BroadcastHashJoin" in p
+    # distance math is codegen'd higher-order expressions, never Python
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # exactly one Generate (the centroid posexplode) — the distance pass
+    # must NOT re-explode the vectors
+    assert p.count("Generate") <= 2  # node + its detail section
+
+
+def test_sample_domain_mix_single_window_exchange(spark, sf_dir):
+    p = _plan(spark, sf_dir, "sample_domain_mix")
+    # The DOCUMENT side crosses the wire once (the per-source window); the
+    # two extra exchanges belong to the quota scalar's count-distinct
+    # subtree, which scans only the 1-column source projection.
+    windows = [
+        l
+        for l in p.splitlines()
+        if l.strip().startswith("(") and l.strip().endswith("Window")
+    ]
+    assert len(windows) == 1, windows
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) <= 3, regular
+    # quota joins in as a broadcast scalar, never a driver collect
+    assert "BroadcastNestedLoopJoin" in p

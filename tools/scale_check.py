@@ -55,6 +55,13 @@ DEFAULT_OPS = [
     "text_quality_score",
     "sample_temperature",
     "sim_ivfpq_search",
+    "query_promo_revenue",
+    "query_small_qty_revenue",
+    "query_disjunctive_revenue",
+    "query_dormant_customers",
+    "sample_domain_mix",
+    "dedup_keep_best",
+    "embedding_outlier",
 ]
 
 
