@@ -97,6 +97,9 @@ HEADLINE = [
     "query_dormant_customers",
     "sample_domain_mix",
     "embedding_outlier",
+    "agg_sketch_union",
+    "fn_variant",
+    "join_runtime_bloom",
 ]
 
 

@@ -610,3 +610,57 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("flag_as_int"),
         F.col("l_quantity").try_cast("int").alias("qty_int"),
     )
+
+
+@register(
+    "fn_variant",
+    oracle="""
+    WITH j AS (
+        SELECT event_id,
+               '{"user":{"id":' || CAST(user_id AS VARCHAR)
+                   || ',"type":"' || event_type || '"},"m":['
+                   || CAST(CAST(FLOOR(value) AS BIGINT) AS VARCHAR) || ','
+                   || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+                   || ']}' AS doc
+        FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract(doc, '$.user.id') AS BIGINT)   AS uid,
+           json_extract_string(doc, '$.user.type')          AS utype,
+           CAST(json_extract(doc, '$.m[1]') AS BIGINT)      AS m1,
+           (json_extract(doc, '$.user.email') IS NULL)      AS email_is_null
+    FROM j
+    """,
+    tags=("function", "json", "variant"),
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType: semi-structured JSON parsed ONCE into the
+    binary variant encoding, then extracted many times with typed paths —
+    the engine analog of ClickHouse's JSON/Dynamic column. Contrast with
+    fn_json's get_json_object, which re-parses the string per extraction:
+    at 100 TB with k extracted fields, parse_json + variant_get does one
+    parse + k O(log n) binary probes per row instead of k full parses.
+    The fixture's props is a one-key object, so the query synthesizes a
+    nested document (object + array) from row values — built CHAR-FOR-CHAR
+    identically in the oracle, which extracts with DuckDB's JSON pointers
+    from the same string."""
+    ev = table(spark, sf_dir, "events")
+    doc = F.concat(
+        F.lit('{"user":{"id":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"type":"'),
+        F.col("event_type"),
+        F.lit('"},"m":['),
+        F.floor("value").cast("long").cast("string"),
+        F.lit(","),
+        F.get_json_object("props", "$.k").cast("long").cast("string"),
+        F.lit("]}"),
+    )
+    v = F.parse_json(doc)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.user.id", "bigint").alias("uid"),
+        F.variant_get(v, "$.user.type", "string").alias("utype"),
+        F.variant_get(v, "$.m[1]", "bigint").alias("m1"),
+        F.try_variant_get(v, "$.user.email", "string").isNull().alias("email_is_null"),
+    )

@@ -730,3 +730,70 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("long").alias("n"),
         )
     )
+
+
+@register(
+    "agg_sketch_union",
+    oracle="""
+    SELECT r.r_name AS region,
+           CAST(COUNT(DISTINCT l.l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_5rsd
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("aggregate", "approx"),
+)
+def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Datasketches HLL): distinct parts sold per
+    supplier NATION are sketched once, then the region level is computed
+    by UNIONING the nation sketches — never re-reading the fact table.
+    This is the re-aggregation property a 100 TB metrics store is built
+    on: daily/per-shard sketches persist as binary columns, and any
+    coarser rollup (week, region, all-time) is a cheap sketch union.
+    Parts are sold in MANY nations, so the union genuinely dedups across
+    inputs — a region's estimate is far below the sum of its nations'.
+
+    Gate rendering (same contract as agg_approx_distinct): sketches
+    differ across engines, so the op emits |estimate − exact| ≤ 5·rsd
+    ·exact as a boolean the DuckDB exact-count oracle asserts TRUE
+    (lgConfigK=12 ⇒ rsd ≈ 1.04/√4096 ≈ 1.6 %). The exact count is
+    gate-only scaffolding; production keeps just the sketches.
+    """
+    li = table(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    fact = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+    )
+    # Level 1: one fixed-size sketch per nation.
+    nation_sk = fact.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("l_partkey", 12).alias("sk")
+    )
+    # Level 2: region = union of its nations' sketches; no fact re-read.
+    rsd = 1.04 / (2**12) ** 0.5
+    region_est = nation_sk.groupBy("n_regionkey").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    # Gate-only exact counterpart: ordinary partial-distinct aggregate
+    # (bounded memory — this is scaffolding, but scaffolding that would
+    # itself survive 100 TB).
+    region_exact = fact.groupBy("n_regionkey").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        region_est.join(region_exact, "n_regionkey")
+        .join(F.broadcast(r), F.col("n_regionkey") == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region"),
+            "exact_parts",
+            (
+                F.abs(F.col("est") - F.col("exact_parts"))
+                <= F.lit(5 * rsd) * F.col("exact_parts")
+            ).alias("hll_within_5rsd"),
+        )
+    )

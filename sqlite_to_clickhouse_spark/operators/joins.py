@@ -568,3 +568,48 @@ def join_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
         )
     )
+
+
+@register(
+    "join_runtime_bloom",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 1
+    GROUP BY l.l_returnflag
+    """,
+    tags=("join", "optimizer"),
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join (Spark's row-level analog of dynamic
+    partition pruning): a selective dim-side predicate (p_size = 1, ~2 %
+    of part) is condensed into a bloom filter at runtime and pushed into
+    the FACT scan, so ~98 % of lineitem rows die at the scan instead of
+    crossing the shuffle. The SHUFFLE_HASH hint makes this the shuffle
+    join the feature targets (a broadcast join already filters during
+    probe). Injection is governed by
+    spark.sql.optimizer.runtime.bloomFilter.{enabled,
+    applicationSideScanSizeThreshold (10 GB default),
+    creationSideThreshold (10 MB default)}, and injection is skipped
+    while the creation side is broadcastable (a broadcast hash join
+    already filters during probe).  At bench scale the fact side is
+    below the application threshold, so the local plan is a plain
+    shuffle join; tests/test_plans.py recreates the 100 TB condition
+    (dim above broadcast threshold, fact above application threshold)
+    and asserts the might_contain runtime filter lands on the fact
+    scan."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    return (
+        li.join(p.hint("shuffle_hash"), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )

@@ -87,11 +87,12 @@ _PRIORITY: list[str] = [
     "merge_scd2",
     "etl_surrogate_keys",
     "join_dynamic_partition_pruning",
-    # -- never-verified: ⊘ rows-only (sim_ann_ivf recall-tested locally;
-    #    sink_jdbc_clickhouse = DDL manifest; watermark ⊘ by design) --
+    # -- never-verified: ⊘ rows-only.  sim_ann_ivf (recall-tested locally)
+    #    takes a slot; sink_jdbc_clickhouse / stream_watermark_late are the
+    #    two BY-DESIGN ⊘ rows the r4 verdict exempts from driver-green —
+    #    their slots go to oracle-bearing round-5 ops instead and they
+    #    rotate in r6. --
     "sim_ann_ivf",
-    "sink_jdbc_clickhouse",
-    "stream_watermark_late",
     # -- red re-certs: fn_math oracle SIGN→DOUBLE cast landed this round;
     #    approx sketches' bound-as-result gates first driver exposure --
     "fn_math",
@@ -114,12 +115,16 @@ _PRIORITY: list[str] = [
     "sample_domain_mix",
     "dedup_keep_best",
     "embedding_outlier",
-    # -- freshness re-cert: join_asof, because the asof library code
-    #    changed post-r4 (micros comparison).  The rest of the r1-green
-    #    cohort rotates from r6 on via compute_rotation() — all were
-    #    locally re-verified at sf0.01 this round (full-registry drive
-    #    run, 172/172 green). --
-    "join_asof",
+    "agg_sketch_union",
+    "fn_variant",
+    "join_runtime_bloom",
+    # The round-5 window = 37 never-driver-verified backlog ops + the 3
+    # latest-red rows + the 10 new round-5 ops = 50.  The two by-design ⊘
+    # rows and the freshness re-certs of the r1-green cohort (join_asof
+    # first — its library code changed post-r4) rotate from r6 on via
+    # compute_rotation(); all were locally re-verified at sf0.01 this
+    # round (full-registry drive, 172/172 green before the round-5
+    # additions).
 ]
 
 

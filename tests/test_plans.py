@@ -366,3 +366,28 @@ def test_sample_domain_mix_single_window_exchange(spark, sf_dir):
     assert len(regular) <= 3, regular
     # quota joins in as a broadcast scalar, never a driver collect
     assert "BroadcastNestedLoopJoin" in p
+
+
+def test_join_runtime_bloom_injects_at_scale_condition(spark, sf_dir):
+    """Recreate the 100 TB condition locally (dim not broadcastable, fact
+    above the application-side threshold) and assert the runtime bloom
+    filter is injected into the fact scan's filter condition."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        p = _plan(spark, sf_dir, "join_runtime_bloom")
+        assert "might_contain" in p, "runtime bloom filter not injected"
+        assert "bloom_filter_agg" in p
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -94,8 +94,11 @@ def test_rotation_names_all_registered_and_unique(tmp_path):
 
 
 def test_repo_window_covers_all_never_verified():
-    """With the real committed history, the first-50 window must contain
-    every op that has never had a driver record (the r5 contract)."""
+    """With the real committed history, every op that has never had a
+    driver record must sit in the first-50 window — except by-design
+    rows-only (⊘, oracle=None) ops, which may wait when oracle-bearing
+    ops would otherwise lose their slot (the driver's hash gate extracts
+    strictly more signal per slot)."""
     import glob
     import os
 
@@ -103,7 +106,8 @@ def test_repo_window_covers_all_never_verified():
     seen: set[str] = set()
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         seen.update(json.load(open(f)))
-    names = list(all_queries())
+    q = all_queries()
+    names = list(q)
     never = [n for n in names if n not in seen]
-    missing = [n for n in never if n not in names[:50]]
-    assert not missing, f"never-driver-verified ops outside the window: {missing}"
+    missing = [n for n in never if n not in names[:50] and q[n].oracle is not None]
+    assert not missing, f"never-driver-verified oracle ops outside the window: {missing}"

@@ -62,6 +62,9 @@ DEFAULT_OPS = [
     "sample_domain_mix",
     "dedup_keep_best",
     "embedding_outlier",
+    "agg_sketch_union",
+    "fn_variant",
+    "join_runtime_bloom",
 ]
 
 
