@@ -1,0 +1,529 @@
+"""Remaining TPC-H query shapes (Q2, Q4, Q5, Q7, Q11, Q12, Q13, Q16, Q20,
+Q21 analogs), adapted to the synthetic star schema (no partsupp table and
+no commit/receipt dates — the part↔supplier relation is derived from
+lineitem, and "late" is defined as shipping > N days after the order
+date).
+
+These complete the declarative-query surface beyond the reference's ETL
+scope (the reference, /root/reference/main.py:56-178, issues no
+JOIN/WHERE/GROUP BY at all — this family exists because a user of a
+ClickHouse-backed warehouse runs exactly these shapes against the
+migrated tables).
+
+Every query here is a pure DataFrame plan: dimension joins are broadcast,
+correlated subqueries are decorrelated into aggregate-then-join (the only
+form that survives 100 TB — a per-row subquery is a driver-side loop in
+disguise), and scalar subqueries ride a broadcast single-row crossJoin so
+nothing is collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+
+@register(
+    "query_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l.l_partkey, l.l_suppkey,
+               min(l.l_extendedprice / l.l_quantity) AS unit_cost
+        FROM lineitem l
+        GROUP BY 1, 2
+    ),
+    reg AS (
+        SELECT s.s_suppkey, s.s_name, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+    ),
+    ranked AS (
+        SELECT p.p_partkey, p.p_name, reg.s_name, reg.n_name,
+               ps.unit_cost,
+               min(ps.unit_cost) OVER (PARTITION BY p.p_partkey) AS min_cost
+        FROM ps
+        JOIN reg ON ps.l_suppkey = reg.s_suppkey
+        JOIN part p ON ps.l_partkey = p.p_partkey
+        WHERE p.p_size BETWEEN 40 AND 50 AND p.p_type = 'STANDARD'
+    )
+    SELECT p_partkey, p_name, s_name, n_name,
+           round(unit_cost, 4) AS unit_cost
+    FROM ranked
+    WHERE unit_cost = min_cost
+    """,
+    tags=("relational", "tpch"),
+)
+def query_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) in one
+    region offering the minimum unit cost. partsupp does not exist in
+    this schema, so the part↔supplier cost relation is derived as
+    min(l_extendedprice/l_quantity) per (part, supplier) — one hash
+    aggregation over the fact.
+
+    The classic correlated `cost = (SELECT min(...) WHERE partkey = ...)`
+    is decorrelated into a window-min over the already-filtered slice:
+    region suppliers and the part filter are broadcast-pruned BEFORE the
+    window, so the min runs over ~(parts-in-filter × suppliers-in-region)
+    rows, not the whole fact. Ties (several suppliers at the min) are kept
+    on both sides."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_size").between(40, 50) & (F.col("p_type") == "STANDARD")
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    reg = (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        ps.join(F.broadcast(reg), ps["l_suppkey"] == reg["s_suppkey"])
+        .join(F.broadcast(p), ps["l_partkey"] == p["p_partkey"])
+        .withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
+@register(
+    "query_priority_late",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch"),
+)
+def query_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of one quarter's orders that had
+    at least one line ship more than 60 days after the order date (the
+    schema has no commit/receipt dates, so lateness is ship-vs-order).
+
+    EXISTS compiles to a LEFT SEMI hash join with the non-equi lateness
+    predicate folded into the join condition — the semi join
+    short-circuits per order, and the quarter filter prunes the probe
+    side at the parquet scan before any shuffle."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cond = (o["o_orderkey"] == li["l_orderkey"]) & (
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "query_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "tpch"),
+)
+def query_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue from orders where supplier and customer
+    share a nation, per nation in one region and one year.
+
+    Join-order matters at 100 TB: lineitem (the only big table) joins
+    orders on the SAME key family, then the supplier/customer/nation/
+    region dims are all broadcast; the same-nation constraint
+    (s_nationkey = c_nationkey) is a cheap post-broadcast filter, never a
+    shuffle. One exchange total (lineitem↔orders)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "query_nation_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("relational", "tpch"),
+)
+def query_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between two nations, per direction and
+    ship year. The two-nation disjunction is applied AFTER the broadcast
+    dim joins as a single codegen'd filter — rewriting it as a union of
+    two pipelines would double the fact scan, the classic 100 TB
+    anti-pattern (same reasoning as query_disjunctive_revenue)."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n1 = table(spark, sf_dir, "nation").alias("n1")
+    n2 = table(spark, sf_dir, "nation").alias("n2")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1.n_nationkey"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2.n_nationkey"))
+    )
+    sn, cn = F.col("n1.n_name"), F.col("n2.n_name")
+    pair = ((sn == "NATION_3") & (cn == "NATION_7")) | (
+        (sn == "NATION_7") & (cn == "NATION_3")
+    )
+    return (
+        j.filter(pair)
+        .groupBy(
+            sn.alias("supp_nation"),
+            cn.alias("cust_nation"),
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "query_important_parts",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey,
+               sum(l_extendedprice * l_quantity) AS part_value
+        FROM lineitem
+        GROUP BY 1
+    )
+    SELECT l_partkey, round(part_value, 2) AS part_value
+    FROM pv
+    WHERE part_value > (SELECT sum(part_value) * 0.0002 FROM pv)
+    """,
+    tags=("relational", "tpch"),
+)
+def query_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose inventory value exceeds a fraction of
+    the global total (HAVING against a scalar subquery). partsupp does
+    not exist, so value = sum(extendedprice × quantity) per part.
+
+    The global total is RE-AGGREGATED FROM THE PER-PART AGGREGATE (a few
+    million rows at 100 TB), not from a second fact scan — the scalar
+    rides a broadcast single-row crossJoin, so the fact is read exactly
+    once and nothing hits the driver."""
+    li = table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
+    )
+    total = pv.agg((F.sum("part_value") * 0.0002).alias("threshold"))
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+@register(
+    "query_priority_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("relational", "tpch"),
+)
+def query_priority_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: high/low-priority line counts per linestatus (the
+    schema has no shipmode, so linestatus is the grouping dimension).
+    Both conditional counts ride one exchange; the year filter reaches
+    the parquet scan."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "query_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey,
+               CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    tags=("relational", "tpch"),
+)
+def query_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts, with a
+    join-level predicate (the filter belongs in the LEFT JOIN's ON
+    clause — in WHERE it would silently turn the join inner and drop the
+    zero-order customers that ARE the point of the query).
+
+    Two-level aggregation: the first groupBy is on the join key, so AQE
+    coalesces it into the join's own exchange; the second groups a
+    ~customer-count row set by a tiny-cardinality integer — negligible."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c["c_custkey"] == o["o_custkey"])
+            & (o["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy(c["c_custkey"])
+        .agg(F.count(o["o_orderkey"]).alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "query_supplier_cnt",
+    oracle="""
+    SELECT p.p_brand, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#23'
+      AND p.p_size IN (1, 7, 14, 23, 36, 45, 49, 50)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2
+    """,
+    tags=("relational", "tpch"),
+)
+def query_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, size) bucket, excluding flagged suppliers (negative account
+    balance stands in for the comment-based complaints filter).
+
+    NOT IN over a provably non-null key column compiles to a broadcast
+    LEFT ANTI join (the null-aware trap doesn't apply: s_suppkey is a
+    key). The distinct count shuffles (brand, size, suppkey) once —
+    partial distinct on the map side keeps the exchange small."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#23")
+        & F.col("p_size").isin(1, 7, 14, 23, 36, 45, 49, 50)
+    )
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "query_part_promotion_suppliers",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'red%'
+          AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l.l_suppkey
+        HAVING sum(l.l_quantity) > 300
+    )
+    """,
+    tags=("relational", "tpch"),
+)
+def query_part_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped a substantial quantity of
+    'red…' parts in one year (no partsupp availability to halve against,
+    so the threshold is an absolute quantity).
+
+    The IN-subquery decorrelates to aggregate-then-SEMI-join: the fact is
+    pruned by the broadcast part filter and the year scan filter first,
+    the per-supplier sum is a small aggregate, and the semi join against
+    supplier is broadcast. Nothing in this plan grows with anything but
+    the pruned fact slice."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").startswith("red"))
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    qualified = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(qualified), s["s_suppkey"] == qualified["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("s_name", "n_name")
+    )
+
+
+@register(
+    "query_waiting_suppliers",
+    oracle="""
+    WITH per_supp AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY 1, 2
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+               count(*)     AS n_supp,
+               sum(is_late) AS n_late
+        FROM per_supp
+        GROUP BY 1
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+    JOIN supplier s   ON ps.l_suppkey = s.s_suppkey
+    WHERE ps.is_late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+    tags=("relational", "tpch"),
+)
+def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order ("kept orders waiting"). Late = shipped
+    > 60 days after the order date (no receipt/commit dates in this
+    schema).
+
+    The classic EXISTS/NOT-EXISTS double self-join decorrelates into two
+    stacked aggregations over ONE (orderkey, suppkey) partial: per-
+    (order, supplier) lateness, then per-order supplier/late counts —
+    both ride the same orderkey hash partitioning, so the self-join back
+    (per_supp ⨝ per_order on orderkey) reuses the exchange instead of
+    re-scanning lineitem three times as the literal SQL would."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    late = F.when(
+        li["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 60 DAYS"), 1
+    ).otherwise(0)
+    per_supp = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
+    )
+    return (
+        per_supp.filter(F.col("is_late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

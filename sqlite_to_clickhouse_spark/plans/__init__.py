@@ -8,6 +8,7 @@ import importlib
 
 _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.relational",
+    "sqlite_to_clickhouse_spark.operators.tpch_extra",
     "sqlite_to_clickhouse_spark.operators.joins",
     "sqlite_to_clickhouse_spark.operators.aggregates",
     "sqlite_to_clickhouse_spark.operators.windows",
@@ -22,6 +23,7 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.multimodal",
     "sqlite_to_clickhouse_spark.operators.eventsops",
     "sqlite_to_clickhouse_spark.operators.sampling",
+    "sqlite_to_clickhouse_spark.operators.llm_extra",
 ]
 
 for _mod in _OPERATOR_MODULES:
