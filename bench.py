@@ -100,6 +100,23 @@ HEADLINE = [
     "agg_sketch_union",
     "fn_variant",
     "join_runtime_bloom",
+    # Round-5 additions, third batch: the remaining TPC-H shapes (the
+    # heavier ones — Q5's 6-way star, Q21's stacked self-aggregation) +
+    # vocab/chunk/LM-score/pair-geometry training-data ops.
+    "query_local_supplier_volume",
+    "query_waiting_suppliers",
+    "query_order_count_distribution",
+    "text_vocab_build",
+    "text_doc_chunk",
+    "text_unigram_logprob",
+    "sim_pair_distance_stats",
+    # Round-5 additions, fourth batch: ClickHouse-semantics joins,
+    # incremental rollup merge, gap interpolation, file compaction.
+    "join_any_left",
+    "agg_incremental_merge",
+    "window_interpolate_linear",
+    "maintenance_compact_files",
+    "multimodal_audio_window",
 ]
 
 

@@ -797,3 +797,56 @@ def agg_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hll_within_5rsd"),
         )
     )
+
+
+@register(
+    "agg_incremental_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(sum(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "clickhouse", "incremental"),
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SummingMergeTree/AggregatingMergeTree-style incremental rollup
+    (reference context: the ClickHouse table the reference migrates INTO
+    is a MergeTree whose parts merge asynchronously — /root/reference/
+    main.py:65 picks the engine): the aggregate state computed over
+    yesterday's data MERGES with today's delta by re-aggregation of
+    partials — sum of sums, sum of counts — WITHOUT re-reading the
+    history. The differential gate proves merged-partials == one-pass
+    aggregate over everything (the mergeability law).
+
+    The partial split is a date predicate (< / >= 1999-01-01), both
+    partials aggregate with map-side combine, and the merge aggregates
+    the UNION of two already-tiny state tables. Money rides exact
+    integer cents, so partial+merge is bit-equal to single-pass — no
+    float associativity hazard. At 100 TB this is the pattern that turns
+    a daily full-table rollup into an append-only delta job."""
+    o = table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    split = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df):
+        return df.groupBy(
+            "o_orderstatus", F.year("o_orderdate").alias("o_year")
+        ).agg(
+            F.sum(cents).alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < split))
+    delta = partial(o.filter(F.col("o_orderdate") >= split))
+    return (
+        base.unionByName(delta)
+        .groupBy("o_orderstatus", "o_year")
+        .agg(
+            F.sum("revenue_cents").alias("revenue_cents"),
+            F.sum("n_orders").alias("n_orders"),
+        )
+    )

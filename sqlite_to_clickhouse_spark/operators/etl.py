@@ -605,3 +605,58 @@ def etl_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey", "l_linenumber", sk.alias("sk"), psk.alias("part_sk")
     )
+
+
+@register(
+    "maintenance_compact_files",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+    tags=("etl", "maintenance"),
+)
+def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (the #1 operational chore of a streaming
+    ingest at 100 TB: thousands of KB-sized files per partition destroy
+    scan throughput via per-file open/footer costs and task scheduling
+    overhead). A year slice of lineitem is first written as 64 tiny
+    files (simulating micro-batch ingest), then compacted by rewriting
+    with a row-group-sized target; the returned aggregate is computed
+    from the COMPACTED copy, so the differential gate proves the rewrite
+    is content-preserving — the property a compaction job must never
+    silently break.
+
+    The compaction itself is repartition-by-nothing-smart: a plain
+    rewrite sized by maxRecordsPerFile. In a partitioned production
+    layout the same rewrite runs per partition, embarrassingly parallel;
+    file-count collapse (64 → few) is asserted in tests/test_etl.py."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    base = tempfile.mkdtemp(prefix="compact_")
+    small = os.path.join(base, "small")
+    compacted = os.path.join(base, "compacted")
+    li.repartition(64).write.mode("overwrite").parquet(small)
+    (
+        spark.read.parquet(small)
+        .repartition(2)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 500_000)
+        .parquet(compacted)
+    )
+    out = spark.read.parquet(compacted)
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "price_cents"
+        ),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )

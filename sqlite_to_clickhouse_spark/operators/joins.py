@@ -613,3 +613,55 @@ def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
         )
     )
+
+
+@register(
+    "join_any_left",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT c.c_custkey, c.c_name,
+           r.o_orderkey   AS first_orderkey,
+           r.o_orderdate  AS first_orderdate,
+           round(r.o_totalprice, 2) AS first_totalprice
+    FROM customer c
+    LEFT JOIN ranked r ON r.o_custkey = c.c_custkey AND r.rn = 1
+    """,
+    tags=("join", "clickhouse"),
+)
+def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ANY LEFT JOIN semantics: each left row matches AT MOST
+    ONE right row. ClickHouse picks an arbitrary match; this engine makes
+    the pick deterministic — the minimum (o_orderdate, o_orderkey) order
+    per customer — because an arbitrary pick can never pass a
+    differential gate and is a reproducibility bug in a pipeline anyway.
+
+    The right side is reduced FIRST with min(struct(...)) — a mergeable
+    aggregate with map-side partial combine — then joined; the
+    window+filter form the oracle uses would shuffle every order row
+    unreduced. After the reduction the right side is ≤ one row per key,
+    so the join itself can never explode (the property ANY JOIN exists
+    to guarantee)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    first = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.struct("o_orderdate", "o_orderkey", "o_totalprice")
+            ).alias("f")
+        )
+        .select(
+            "o_custkey",
+            F.col("f.o_orderkey").alias("first_orderkey"),
+            F.col("f.o_orderdate").alias("first_orderdate"),
+            F.round(F.col("f.o_totalprice"), 2).alias("first_totalprice"),
+        )
+    )
+    return c.join(first, c["c_custkey"] == first["o_custkey"], "left").select(
+        "c_custkey", "c_name", "first_orderkey", "first_orderdate", "first_totalprice"
+    )

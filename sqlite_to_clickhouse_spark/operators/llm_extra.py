@@ -66,8 +66,11 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     The explode collapses to vocab-sized counts via map-side combine; the
     rank/cumulative window is unpartitioned but runs over the VOCAB (≤ a
     few million rows at 100 TB, after the aggregate), never the corpus.
-    The grand total re-aggregates the vocab table and rides a broadcast
-    single-row crossJoin — one corpus read total. Ties break on the token
+    The grand total is an unbounded-frame sum over the SAME unpartitioned
+    window — a separate `tf.agg(...)` + crossJoin would make Spark
+    recompute the whole corpus-scan→tf subtree a second time (plans are
+    trees; common subplans are not shared), so the window form halves the
+    corpus reads: one scan, two exchanges total. Ties break on the token
     string so both engines pick the same top-K prefix."""
     d = table(spark, sf_dir, "documents")
     tf = (
@@ -75,13 +78,24 @@ def text_vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    total = tf.agg(F.sum("tf").cast("double").alias("total"))
     w = Window.orderBy(F.desc("tf"), F.asc("token"))
     return (
         tf.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn("cum_tf", F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn(
+            "cum_tf",
+            F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "total",
+            F.sum("tf")
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .cast("double"),
+        )
         .filter(F.col("rank") <= VOCAB_TOP_K)
-        .crossJoin(F.broadcast(total))
         .select(
             "token",
             "tf",
@@ -169,10 +183,12 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest perplexity proxy, a standard quality-filter feature (gibberish
     and boilerplate both sit in the tails).
 
-    Two aggregates over one exploded token stream: the frequency table is
-    vocab-sized and broadcast back onto the stream (at 100 TB the vocab
-    still fits a broadcast; if not, it degrades to a hash join on the
-    8-byte-hashable token), and the grand total is a broadcast scalar.
+    Two passes over the corpus (the unavoidable shape: the LM must be
+    fitted before it can score): pass 1 collapses the token stream to the
+    vocab-sized frequency table, pass 2 re-streams tokens and joins the
+    frequencies back — broadcast at any realistic vocab size, degrading
+    to a hash join on the 8-byte-hashable token otherwise; the grand
+    total is a broadcast scalar off the small tf table.
     ln() on identical double inputs is engine-stable (same precedent as
     text_tfidf's LN, driver-green since r3)."""
     d = table(spark, sf_dir, "documents")

@@ -225,3 +225,94 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").alias("n_bytes"),
         F.md5("content").alias("content_md5"),
     )
+
+
+AUDIO_WIN = 256   # samples per analysis window
+AUDIO_HOP = 128   # hop between window starts
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("w_idx", T.IntegerType()),
+        T.StructField("w_start", T.IntegerType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_window",
+    oracle=f"""
+    WITH codes AS (
+        SELECT doc_id, CAST(u.i AS INTEGER) AS i,
+               ascii(substr(text, CAST(u.i AS INTEGER), 1)) - 100 AS c
+        FROM documents, unnest(generate_series(1, strlen(text))) AS u(i)
+    ),
+    starts AS (
+        SELECT doc_id, CAST(u.s AS INTEGER) AS w_start
+        FROM documents,
+             unnest(generate_series(0, strlen(text) - {AUDIO_WIN}, {AUDIO_HOP}))
+                 AS u(s)
+    )
+    SELECT s.doc_id,
+           CAST(s.w_start / {AUDIO_HOP} AS INTEGER) AS w_idx,
+           s.w_start,
+           CAST(sum(c.c * c.c) AS BIGINT) AS energy
+    FROM starts s
+    JOIN codes c ON c.doc_id = s.doc_id
+                AND c.i > s.w_start AND c.i <= s.w_start + {AUDIO_WIN}
+    GROUP BY 1, 2, 3
+    """,
+    tags=("multimodal", "udf", "audio"),
+)
+def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style fixed-rate windowing over the binary payload: the
+    payload bytes stand in for 8-bit PCM samples (centered at 100), framed
+    into 256-sample windows at hop 128, per-window energy (Σ sample²)
+    emitted — the framing layer under any spectral/VAD/fingerprint
+    pipeline. As with the other multimodal ops the DECODE is the
+    deterministic byte fake; the windowing math, Arrow batch shape, and
+    fan-out schema are the real production plumbing.
+
+    Inside the Pandas UDF the framing is a numpy sliding-window view
+    (as_strided, zero-copy) + one vectorized square-sum per batch — no
+    per-sample Python. Windows fan out as rows, not byte copies: a doc
+    carries ~n/128 narrow rows downstream, payload dropped at the UDF
+    boundary. Integer energy ⇒ engine-exact, so the whole path is
+    hash-differential against a SQL re-derivation."""
+    import numpy as np
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+
+    def window_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, widx, wstart, energy = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                    - 100
+                )
+                n = samples.shape[0]
+                if n < AUDIO_WIN:
+                    continue
+                n_win = (n - AUDIO_WIN) // AUDIO_HOP + 1
+                view = np.lib.stride_tricks.as_strided(
+                    samples,
+                    shape=(n_win, AUDIO_WIN),
+                    strides=(samples.strides[0] * AUDIO_HOP, samples.strides[0]),
+                )
+                e = (view * view).sum(axis=1)
+                ids.extend([doc_id] * n_win)
+                widx.extend(range(n_win))
+                wstart.extend(range(0, n_win * AUDIO_HOP, AUDIO_HOP))
+                energy.extend(e.tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "w_idx": pd.Series(widx, dtype="int32"),
+                    "w_start": pd.Series(wstart, dtype="int32"),
+                    "energy": pd.Series(energy, dtype="int64"),
+                }
+            )
+
+    return m.mapInPandas(window_batches, _AUDIO_SCHEMA)

@@ -269,26 +269,30 @@ def query_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l_partkey, round(part_value, 2) AS part_value
     FROM pv
-    WHERE part_value > (SELECT sum(part_value) * 0.0002 FROM pv)
+    WHERE part_value > (SELECT avg(part_value) * 1.2 FROM pv)
     """,
     tags=("relational", "tpch"),
 )
 def query_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q11 shape: parts whose inventory value exceeds a fraction of
-    the global total (HAVING against a scalar subquery). partsupp does
-    not exist, so value = sum(extendedprice × quantity) per part.
+    """TPC-H Q11 shape: parts whose inventory value exceeds a threshold
+    derived from a scalar subquery (HAVING shape). partsupp does not
+    exist, so value = sum(extendedprice × quantity) per part; the
+    threshold is 1.2× the mean part value — selectivity (~20% of parts)
+    holds at every scale factor, unlike Q11's literal total-fraction
+    which empties as the part count grows.
 
-    The global total is RE-AGGREGATED FROM THE PER-PART AGGREGATE (a few
-    million rows at 100 TB), not from a second fact scan — the scalar
-    rides a broadcast single-row crossJoin, so the fact is read exactly
-    once and nothing hits the driver."""
+    The threshold is an unbounded-frame window average over the PER-PART
+    AGGREGATE (a few million narrow rows at 100 TB), not a separate
+    agg+crossJoin — that form would recompute the whole fact-scan→pv
+    subtree a second time (plans are trees; subplans are not shared).
+    One fact scan, one global window over the small aggregate."""
     li = table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value")
     )
-    total = pv.agg((F.sum("part_value") * 0.0002).alias("threshold"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
-        pv.crossJoin(F.broadcast(total))
+        pv.withColumn("threshold", F.avg("part_value").over(w) * 1.2)
         .filter(F.col("part_value") > F.col("threshold"))
         .select("l_partkey", F.round("part_value", 2).alias("part_value"))
     )
@@ -499,12 +503,13 @@ def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     > 60 days after the order date (no receipt/commit dates in this
     schema).
 
-    The classic EXISTS/NOT-EXISTS double self-join decorrelates into two
-    stacked aggregations over ONE (orderkey, suppkey) partial: per-
-    (order, supplier) lateness, then per-order supplier/late counts —
-    both ride the same orderkey hash partitioning, so the self-join back
-    (per_supp ⨝ per_order on orderkey) reuses the exchange instead of
-    re-scanning lineitem three times as the literal SQL would."""
+    The classic EXISTS/NOT-EXISTS double self-join decorrelates into ONE
+    (orderkey, suppkey) aggregation plus a per-order WINDOW for the
+    supplier/late counts — a self-join back (per_supp ⨝ per_order) would
+    make Spark recompute the whole fact⨝orders subtree a second time
+    (plans are trees, not DAGs: common subplans are not shared), doubling
+    the 100 TB scan. The window instead rides a single orderkey
+    repartition of the already-aggregated (small) per-supplier rows."""
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = table(spark, sf_dir, "supplier")
@@ -516,13 +521,15 @@ def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("is_late"))
     )
-    per_order = per_supp.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("is_late").alias("n_late")
-    )
+    w = Window.partitionBy("l_orderkey")
     return (
-        per_supp.filter(F.col("is_late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late") == 1)
+        )
         .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

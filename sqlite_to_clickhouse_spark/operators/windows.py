@@ -505,3 +505,104 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cum_dist"),
     )
+
+
+@register(
+    "window_interpolate_linear",
+    oracle="""
+    WITH gapped AS (
+        SELECT event_id, user_id,
+               CASE WHEN CAST(FLOOR(value * 100) AS BIGINT) % 7 = 0 THEN NULL
+                    ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS v
+        FROM events
+    ),
+    bounded AS (
+        SELECT event_id, user_id, v,
+               last_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN event_id END
+                          IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+               first_value(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN event_id END
+                           IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        FROM gapped
+    )
+    SELECT event_id, user_id, v,
+           round(CASE
+               WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+               WHEN px IS NOT NULL AND nx IS NOT NULL THEN
+                   CAST(pv AS DOUBLE)
+                   + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                     * (CAST(event_id AS DOUBLE) - CAST(px AS DOUBLE))
+                     / (CAST(nx AS DOUBLE) - CAST(px AS DOUBLE))
+               WHEN px IS NULL THEN CAST(nv AS DOUBLE)
+               ELSE CAST(pv AS DOUBLE)
+           END, 6) AS v_interp
+    FROM bounded
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over a gappy per-user series (nulls
+    synthesized as every cents%7==0 reading, same scheme as
+    window_fill_forward): each null takes the straight line between its
+    nearest non-null neighbors on the event_id axis; leading/trailing
+    gaps clamp to the nearest known value. Non-null rows short-circuit
+    to their own value (they'd otherwise hit 0/0: both neighbors are the
+    row itself).
+
+    Four running-frame windows over ONE user_id partitioning — Spark
+    evaluates all four in a single Window node pair (forward + backward
+    frame), so the cost is one shuffle and two linear passes per
+    partition regardless of gap width; a per-gap subquery would be
+    quadratic in gap length. The arithmetic is integer-cents promoted to
+    double in the identical expression order as the oracle."""
+    ev = table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    gapped = ev.select(
+        "event_id",
+        "user_id",
+        F.when(cents % 7 == 0, F.lit(None).cast("long")).otherwise(cents).alias("v"),
+    )
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    x_if_known = F.when(F.col("v").isNotNull(), F.col("event_id"))
+    b = gapped.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(x_if_known, ignorenulls=True).over(wb).alias("px"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(x_if_known, ignorenulls=True).over(wf).alias("nx"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v").cast("double"))
+        .when(
+            F.col("px").isNotNull() & F.col("nx").isNotNull(),
+            F.col("pv").cast("double")
+            + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+            * (F.col("event_id").cast("double") - F.col("px").cast("double"))
+            / (F.col("nx").cast("double") - F.col("px").cast("double")),
+        )
+        .when(F.col("px").isNull(), F.col("nv").cast("double"))
+        .otherwise(F.col("pv").cast("double"))
+    )
+    return b.select(
+        "event_id", "user_id", "v", F.round(interp, 6).alias("v_interp")
+    )

@@ -246,3 +246,34 @@ def test_cli_requires_a_sink(capsys):
     from sqlite_to_clickhouse_spark.__main__ import main
 
     assert main(["--sqlite", "x.db"]) == 2
+
+
+def test_compact_files_collapses_file_count(spark, sf_dir, tmp_path):
+    """Compaction must actually reduce the file count (64 micro-batch
+    files → a handful) while preserving content row-for-row."""
+    import glob as _glob
+
+    from sqlite_to_clickhouse_spark.io import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").limit(10_000)
+    small = str(tmp_path / "small")
+    compacted = str(tmp_path / "compacted")
+    li.repartition(64).write.parquet(small)
+    (
+        spark.read.parquet(small)
+        .repartition(2)
+        .write.option("maxRecordsPerFile", 500_000)
+        .parquet(compacted)
+    )
+    n_small = len(_glob.glob(f"{small}/part-*.parquet"))
+    n_comp = len(_glob.glob(f"{compacted}/part-*.parquet"))
+    assert n_small == 64
+    assert n_comp <= 4, n_comp
+    a = spark.read.parquet(small).agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber))")
+    ).collect()[0]
+    b = spark.read.parquet(compacted).agg(
+        F.count(F.lit(1)), F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber))")
+    ).collect()[0]
+    assert tuple(a) == tuple(b)

@@ -271,3 +271,32 @@ def test_pq_codes_deterministic_and_low_distortion(spark, sf_dir):
 
     rows = _Q["sim_pq_quantize"].fn(spark, sf_dir).collect()
     assert rows and all(r["recon_ok"] for r in rows)
+
+
+def test_doc_chunk_covers_every_token(spark, sf_dir):
+    """Chunk-grid invariants: chunks start at 0 on a stride grid, the last
+    chunk ends exactly at n_tokens (every token covered), and the chunk
+    count matches the stride arithmetic."""
+    from sqlite_to_clickhouse_spark.operators.llm_extra import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    chunks = _Q["text_doc_chunk"].fn(spark, sf_dir)
+    toks = _Q["text_tokens"].fn(spark, sf_dir).select("doc_id", "n_tokens")
+    agg = chunks.groupBy("doc_id").agg(
+        F.min("chunk_start").alias("first_start"),
+        F.max(F.col("chunk_start") + F.col("chunk_len")).alias("covered"),
+        F.max("chunk_len").alias("max_len"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    rows = toks.join(agg, "doc_id", "left").collect()
+    assert rows
+    for r in rows:
+        if r.n_tokens == 0:
+            assert r.n_chunks is None  # empty docs produce no chunks
+            continue
+        assert r.first_start == 0
+        assert r.covered == r.n_tokens, (r.doc_id, r.covered, r.n_tokens)
+        assert r.max_len <= CHUNK_SIZE
+        assert r.n_chunks == (r.n_tokens - 1) // CHUNK_STRIDE + 1

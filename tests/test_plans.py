@@ -391,3 +391,67 @@ def test_join_runtime_bloom_injects_at_scale_condition(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+# ---- round-5 additions: TPC-H extra shapes + LLM extras ----------------
+
+
+def test_q5_star_single_fact_exchange(spark, sf_dir):
+    """Q5 shape: all four dims broadcast; the only non-broadcast exchange
+    is the final per-nation aggregation."""
+    p = _plan(spark, sf_dir, "query_local_supplier_volume")
+    assert p.count("BroadcastHashJoin") >= 5
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular
+
+
+def test_q21_no_self_join_recompute(spark, sf_dir):
+    """Q21 shape: the per-order counts come from a window over the
+    aggregated per-(order, supplier) rows — a self-join back would make
+    Spark recompute the fact⨝orders subtree (visible as SortMergeJoins
+    and >3 exchanges)."""
+    p = _plan(spark, sf_dir, "query_waiting_suppliers")
+    assert "SortMergeJoin" not in p
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) <= 3, regular
+
+
+def test_q4_semi_join_single_exchange(spark, sf_dir):
+    """Q4 shape: EXISTS compiles to a semi join; one regular exchange for
+    the final priority aggregation."""
+    p = _plan(spark, sf_dir, "query_priority_late")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) <= 2, regular
+
+
+def test_doc_chunk_is_narrow(spark, sf_dir):
+    """Sequence chunking must be a pure narrow transformation — zero
+    exchanges of any kind (scan → explode → project)."""
+    p = _plan(spark, sf_dir, "text_doc_chunk")
+    assert not _exchanges(p), _exchanges(p)
+    assert "Exchange" not in p
+
+
+def test_vocab_build_single_corpus_scan(spark, sf_dir):
+    """Vocab build: the grand total rides the same unpartitioned window as
+    the rank — a separate agg+crossJoin would re-scan the corpus (plans
+    are trees, subplans are not shared)."""
+    p = _plan(spark, sf_dir, "text_vocab_build")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) <= 2, regular
+    # one parquet scan of documents, not two (count the numbered detail
+    # entries; the tree section repeats each node once more)
+    scans = [
+        l
+        for l in p.splitlines()
+        if l.strip().startswith("(") and "Scan parquet" in l
+    ]
+    assert len(scans) == 1, scans
+
+
+def test_pair_distance_no_cartesian(spark, sf_dir):
+    """The pair sample is an equi self-join on a shifted key — never a
+    cross/nested-loop product."""
+    p = _plan(spark, sf_dir, "sim_pair_distance_stats")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p

@@ -65,6 +65,21 @@ DEFAULT_OPS = [
     "agg_sketch_union",
     "fn_variant",
     "join_runtime_bloom",
+    # Round-5 third batch: remaining TPC-H shapes + vocab/chunk/LM-score/
+    # pair-geometry ops.
+    "query_local_supplier_volume",
+    "query_waiting_suppliers",
+    "query_order_count_distribution",
+    "query_min_cost_supplier",
+    "text_vocab_build",
+    "text_doc_chunk",
+    "text_unigram_logprob",
+    "sim_pair_distance_stats",
+    "join_any_left",
+    "agg_incremental_merge",
+    "window_interpolate_linear",
+    "maintenance_compact_files",
+    "multimodal_audio_window",
 ]
 
 
