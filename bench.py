@@ -117,6 +117,10 @@ HEADLINE = [
     "window_interpolate_linear",
     "maintenance_compact_files",
     "multimodal_audio_window",
+    "fn_timezone",
+    "migrate_verify_diff",
+    "window_ewma",
+    "join_interval_overlap",
 ]
 
 

@@ -664,3 +664,48 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.m[1]", "bigint").alias("m1"),
         F.try_variant_get(v, "$.user.email", "string").isNull().alias("email_is_null"),
     )
+
+
+@register(
+    "fn_timezone",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(timezone('America/New_York',
+                         CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP)
+               AS ts_ny,
+           CAST(timezone('Asia/Tokyo',
+                         CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP)
+               AS ts_tokyo,
+           CAST(timezone('UTC',
+                timezone('Asia/Tokyo',
+                         CAST(timezone('Asia/Tokyo',
+                                       CAST(o_orderdate AS TIMESTAMPTZ))
+                              AS TIMESTAMP))) AS TIMESTAMP) AS roundtrip
+    FROM orders
+    """,
+    tags=("fn", "date"),
+)
+def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timezone conversion battery (ClickHouse toTimeZone analog): UTC
+    order timestamps rendered as New York / Tokyo wall-clock (DST-aware —
+    the fixture's date range crosses both EST and EDT), plus a Tokyo
+    round-trip (to zone and back) that must be the identity. The
+    round-trip deliberately uses a DST-free zone: on a fall-back day a
+    wall-clock hour is AMBIGUOUS and engines legitimately disagree on
+    which offset to pick (Spark takes the earlier, DuckDB the later —
+    observed on Europe/Paris 1999-10-31), so only unambiguous zones
+    round-trip portably.
+
+    from_utc_timestamp/to_utc_timestamp are pure codegen'd expressions
+    over the same IANA tzdata both engines ship — no shuffle, no UDF.
+    The session timezone is pinned UTC on both sides, so naive
+    timestamps agree by construction."""
+    o = table(spark, sf_dir, "orders")
+    ts = F.col("o_orderdate")
+    tokyo = F.from_utc_timestamp(ts, "Asia/Tokyo")
+    return o.select(
+        "o_orderkey",
+        F.from_utc_timestamp(ts, "America/New_York").alias("ts_ny"),
+        F.from_utc_timestamp(ts, "Asia/Tokyo").alias("ts_tokyo"),
+        F.to_utc_timestamp(tokyo, "Asia/Tokyo").alias("roundtrip"),
+    )

@@ -660,3 +660,100 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.countDistinct("l_orderkey").alias("n_orders"),
     )
+
+
+@register(
+    "migrate_verify_diff",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
+               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS h
+        FROM orders
+    ),
+    migrated AS (
+        SELECT o_orderkey,
+               CASE WHEN h >= '08' AND h < '10' THEN cents + 100
+                    ELSE cents END AS cents
+        FROM base WHERE h >= '08'
+        UNION ALL
+        SELECT o_orderkey + 100000000, cents FROM base WHERE h >= 'f8'
+    ),
+    diff AS (
+        SELECT CASE
+                   WHEN m.o_orderkey IS NULL THEN 'missing_in_target'
+                   WHEN b.o_orderkey IS NULL THEN 'extra_in_target'
+                   WHEN b.cents <> m.cents   THEN 'changed'
+                   ELSE 'equal'
+               END AS status,
+               COALESCE(abs(b.cents - m.cents), 0) AS delta
+        FROM base b
+        FULL OUTER JOIN migrated m ON b.o_orderkey = m.o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(delta) AS BIGINT) AS abs_delta_cents
+    FROM diff
+    GROUP BY status
+    """,
+    tags=("etl", "migrate", "maintenance"),
+)
+def migrate_verify_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration reconciliation — the verification step every
+    source→warehouse migration (the reference's whole job,
+    /root/reference/main.py:139-181) needs but the reference never runs:
+    key-level full-outer diff of source vs migrated copy, classifying
+    every key as equal / changed / missing_in_target / extra_in_target
+    with the absolute value drift. The "migrated" side here is a
+    deterministic corruption of orders (3% dropped, 3% value-shifted,
+    3% spurious extra keys by md5 slice), round-tripped through a real
+    parquet sink so the comparison reads what a target would actually
+    contain.
+
+    The diff is ONE full-outer hash join on the key with both sides
+    reduced to (key, comparison-cents) first — at 100 TB you shuffle
+    16 bytes/row, not the row; comparing on exact integer cents makes
+    'changed' engine-exact. Per-column diffs generalize by packing more
+    comparison hashes into the slim projection, not by hauling rows."""
+    o = table(spark, sf_dir, "orders")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        h.alias("h"),
+    )
+    kept = base.filter(F.col("h") >= "08").select(
+        "o_orderkey",
+        F.when(
+            (F.col("h") >= "08") & (F.col("h") < "10"), F.col("cents") + 100
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    extra = base.filter(F.col("h") >= "f8").select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"), "cents"
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="verify_diff_"), "orders")
+    kept.unionByName(extra).write.mode("overwrite").parquet(path)
+    m = spark.read.parquet(path)
+
+    b = base.select("o_orderkey", "cents").alias("b")
+    mm = m.alias("m")
+    status = (
+        F.when(F.col("m.o_orderkey").isNull(), "missing_in_target")
+        .when(F.col("b.o_orderkey").isNull(), "extra_in_target")
+        .when(F.col("b.cents") != F.col("m.cents"), "changed")
+        .otherwise("equal")
+    )
+    delta = F.coalesce(
+        F.abs(F.col("b.cents") - F.col("m.cents")), F.lit(0)
+    )
+    return (
+        b.join(mm, F.col("b.o_orderkey") == F.col("m.o_orderkey"), "full_outer")
+        .select(status.alias("status"), delta.alias("delta"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("delta").alias("abs_delta_cents"),
+        )
+    )

@@ -665,3 +665,93 @@ def join_any_left(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(first, c["c_custkey"] == first["o_custkey"], "left").select(
         "c_custkey", "c_name", "first_orderkey", "first_orderdate", "first_totalprice"
     )
+
+
+INTERVAL_BUCKET_DAYS = 7  # overlap-join bucket width (≥ max interval len / k)
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    WITH a AS (
+        SELECT o_orderkey AS a_key,
+               CAST(o_orderdate AS DATE) AS a_start,
+               CAST(o_orderdate AS DATE)
+                   + CAST(o_orderkey % 20 + 1 AS INTEGER) AS a_end
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'
+    ),
+    b AS (
+        SELECT o_orderkey AS b_key,
+               CAST(o_orderdate AS DATE) + 5  AS b_start,
+               CAST(o_orderdate AS DATE) + 12 AS b_end
+        FROM orders
+        WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = 'f'
+    )
+    SELECT a.a_key, b.b_key,
+           CAST(datediff('day', greatest(a.a_start, b.b_start),
+                         least(a.a_end, b.b_end)) + 1 AS BIGINT)
+               AS overlap_days
+    FROM a JOIN b ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+    tags=("join", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (two interval sets, emit overlapping pairs +
+    overlap length): the temporal-join workhorse for sessions × outages,
+    promos × orders, shifts × incidents. The oracle states it as the
+    direct theta join; a theta join at 100 TB is a cross product, so the
+    engine's plan is the BUCKETED form: each interval explodes to the
+    7-day grid cells it touches (bounded fan-out: interval length is
+    capped, so ≤ 4 cells here), pairs equi-join per cell, the exact
+    overlap predicate filters false bucket-mates, and a distinct
+    collapses pairs that co-occur in several cells. Shuffle volume is
+    O(intervals × cells-per-interval), never |A|×|B|.
+
+    Interval endpoints and overlap lengths are integer DAYS end-to-end —
+    engine-exact."""
+    o = table(spark, sf_dir, "orders")
+    h1 = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    d0 = F.col("o_orderdate").cast("date")
+    a = o.filter(h1 == "0").select(
+        F.col("o_orderkey").alias("a_key"),
+        d0.alias("a_start"),
+        F.date_add(d0, (F.col("o_orderkey") % 20 + 1).cast("int")).alias("a_end"),
+    )
+    b = o.filter(h1 == "f").select(
+        F.col("o_orderkey").alias("b_key"),
+        F.date_add(d0, 5).alias("b_start"),
+        F.date_add(d0, 12).alias("b_end"),
+    )
+
+    def with_cells(df, start, end):
+        day = F.datediff(F.col(start), F.lit("1995-01-01").cast("date"))
+        day_end = F.datediff(F.col(end), F.lit("1995-01-01").cast("date"))
+        cells = F.sequence(
+            F.floor(day / INTERVAL_BUCKET_DAYS),
+            F.floor(day_end / INTERVAL_BUCKET_DAYS),
+        )
+        return df.withColumn("cell", F.explode(cells))
+
+    pairs = (
+        with_cells(a, "a_start", "a_end")
+        .join(with_cells(b, "b_start", "b_end"), "cell")
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("a_key", "b_key", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    return pairs.select(
+        "a_key",
+        "b_key",
+        (
+            F.datediff(
+                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+            )
+            + 1
+        )
+        .cast("long")
+        .alias("overlap_days"),
+    )

@@ -606,3 +606,58 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     return b.select(
         "event_id", "user_id", "v", F.round(interp, 6).alias("v_interp")
     )
+
+
+EWMA_FRAME = 16  # truncation depth: weights below 2^-16 are dropped
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+    SELECT event_id, user_id,
+           FLOOR(list_aggregate(list_transform(
+               list_reverse(list(value) OVER (
+                   PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING AND CURRENT ROW)),
+               (v, k) -> v * 0.5 ** k), 'sum') * 1000000) / 1000000 AS ewma
+    FROM events
+    """,
+    tags=("window", "events", "timeseries"),
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α = 1/2) per user series —
+    the streaming-metrics smoother ClickHouse spells
+    exponentialMovingAverage. EWMA is recursive (y_i depends on y_{i-1}),
+    which plain SQL windows can't express; the closed form
+    y_i = Σ_k α(1−α)^k·x_{i−k} CAN be, truncated at 16 terms (the dropped
+    tail is < 2^-16 of the signal).
+
+    α = 1/2 is deliberate: the weights 2^-k are exact binary powers, so
+    each product is exact (exponent shift) and both engines fold the same
+    16 doubles in the same order — the differential gate gets bit-equal
+    sums, where an arbitrary α would drift in the last ulp (the output
+    truncates via FLOOR·1e6, not round(…, 6) — four fixture rows land
+    EXACTLY on the 6-decimal rounding boundary, where Spark rounds
+    half-up and DuckDB half-even). The frame's
+    collect_list is bounded (16 elements), so memory per row is constant
+    and the only shuffle is the user_id partitioning."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(-(EWMA_FRAME - 1), Window.currentRow)
+    )
+    frame_rev = F.reverse(F.collect_list("value").over(w))
+    ewma = F.aggregate(
+        F.transform(
+            frame_rev,
+            lambda v, k: v * F.pow(F.lit(0.5), k.cast("double") + 1.0),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(ewma * 1000000) / 1000000).alias("ewma"),
+    )

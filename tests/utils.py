@@ -1,6 +1,9 @@
 """Differential-comparison helpers mirroring the driver's t2 check:
-row count + column names + order-insensitive values (with float tolerance
-locally; the driver hashes, which is why queries round their floats)."""
+row count + column names + order-insensitive values. Floats compare by
+the driver's exact normalization (f"{v:.9g}" string equality, the same
+formatting its value hash applies) — an isclose() tolerance here let a
+round-half-up vs round-half-even boundary slip through locally and fail
+the driver gate (window_ewma, round 5)."""
 
 from __future__ import annotations
 
@@ -35,11 +38,11 @@ def _sort_key(row: tuple) -> tuple:
     return tuple((x is None, str(type(x)), str(x)) for x in row)
 
 
-def _cells_equal(a: Any, b: Any, rel: float = 1e-9, abs_: float = 1e-9) -> bool:
+def _cells_equal(a: Any, b: Any) -> bool:
     if isinstance(a, float) and isinstance(b, (float, int)):
-        return math.isclose(a, float(b), rel_tol=rel, abs_tol=abs_)
+        return f"{a:.9g}" == f"{float(b):.9g}"
     if isinstance(b, float) and isinstance(a, (float, int)):
-        return math.isclose(float(a), b, rel_tol=rel, abs_tol=abs_)
+        return f"{float(a):.9g}" == f"{b:.9g}"
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(_cells_equal(x, y) for x, y in zip(a, b))
     return a == b

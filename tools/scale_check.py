@@ -80,6 +80,9 @@ DEFAULT_OPS = [
     "window_interpolate_linear",
     "maintenance_compact_files",
     "multimodal_audio_window",
+    "migrate_verify_diff",
+    "window_ewma",
+    "join_interval_overlap",
 ]
 
 
