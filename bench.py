@@ -121,6 +121,7 @@ HEADLINE = [
     "migrate_verify_diff",
     "window_ewma",
     "join_interval_overlap",
+    "events_cohort_matrix",
 ]
 
 

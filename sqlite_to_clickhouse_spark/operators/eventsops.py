@@ -405,3 +405,49 @@ def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("d.n_events"), F.lit(0)).alias("n_events"),
         F.col("d.user_id").isNull().alias("filled"),
     )
+
+
+@register(
+    "events_cohort_matrix",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, min(ts) AS first_ts
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT strftime(f.first_ts, '%Y-%m') AS cohort_month,
+           CAST((year(e.ts) * 12 + month(e.ts))
+                - (year(f.first_ts) * 12 + month(f.first_ts)) AS INTEGER)
+               AS months_since,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e
+    JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("events", "analytics"),
+)
+def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    bucketed by first-seen month (their cohort), counted as active in
+    each subsequent month offset. Each matrix cell (cohort, months-since)
+    is the distinct active users; dividing by the cohort's month-0 cell
+    downstream yields the classic retention curve.
+
+    Two aggregations on the SAME user_id partitioning: the per-user min
+    timestamp, then the join back to the event stream — both ride one
+    hash family, so AQE plans a single user_id exchange for the heavy
+    side. Month arithmetic is pure integers (y·12+m), engine-exact, and
+    the cohort label a fixed-format string on both sides."""
+    ev = table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    ym = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        ev.join(firsts, "user_id")
+        .groupBy(
+            F.date_format("first_ts", "yyyy-MM").alias("cohort_month"),
+            (ym(F.col("ts")) - ym(F.col("first_ts")))
+            .cast("int")
+            .alias("months_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -300,3 +300,34 @@ def test_doc_chunk_covers_every_token(spark, sf_dir):
         assert r.covered == r.n_tokens, (r.doc_id, r.covered, r.n_tokens)
         assert r.max_len <= CHUNK_SIZE
         assert r.n_chunks == (r.n_tokens - 1) // CHUNK_STRIDE + 1
+
+
+def test_ewma_matches_recursive_definition(spark, sf_dir):
+    """window_ewma's closed form must agree with the textbook recursion
+    y_i = alpha*x_i + (1-alpha)*y_{i-1} up to the documented 2^-16
+    truncation tail."""
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in _Q["window_ewma"].fn(spark, sf_dir).collect()
+    }
+    from sqlite_to_clickhouse_spark.io import table as _table
+
+    rows = (
+        _table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value")
+        .collect()
+    )
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.event_id)):
+        series.setdefault(r.user_id, []).append((r.event_id, r.value))
+    checked = 0
+    for uid, evs in series.items():
+        y = None
+        for eid, x in evs:
+            y = 0.5 * x if y is None else 0.5 * x + 0.5 * y
+            # closed form truncates at 16 terms; recursion carries the full
+            # tail — bound the gap by the dropped mass (max |x| * 2^-16)
+            tail = max(abs(v) for _, v in evs) * 2 ** -16
+            assert abs(got[(uid, eid)] - y) <= tail + 1e-6, (uid, eid)
+            checked += 1
+    assert checked >= 1000

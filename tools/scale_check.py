@@ -83,6 +83,7 @@ DEFAULT_OPS = [
     "migrate_verify_diff",
     "window_ewma",
     "join_interval_overlap",
+    "events_cohort_matrix",
 ]
 
 
