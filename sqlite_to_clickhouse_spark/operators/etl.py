@@ -668,7 +668,7 @@ def maintenance_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
         SELECT o_orderkey,
                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS cents,
-               substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) AS h
+               substr(md5(CAST(o_orderkey AS STRING)), 1, 2) AS h
         FROM orders
     ),
     migrated AS (

@@ -68,6 +68,21 @@ _ANSI_OPS = [
     "join_merge_hint",
     "filter_exists_subquery",
     "join_lateral",
+    # Round-5 TPC-H shapes + reconciliation ops whose oracles are pure ANSI
+    # (the rest use DuckDB list_*/strftime/timezone spellings).
+    "query_min_cost_supplier",
+    "query_priority_late",
+    "query_local_supplier_volume",
+    "query_nation_volume_shipping",
+    "query_important_parts",
+    "query_priority_linestatus",
+    "query_order_count_distribution",
+    "query_supplier_cnt",
+    "query_part_promotion_suppliers",
+    "query_waiting_suppliers",
+    "join_any_left",
+    "agg_incremental_merge",
+    "migrate_verify_diff",
 ]
 
 
