@@ -122,6 +122,8 @@ HEADLINE = [
     "window_ewma",
     "join_interval_overlap",
     "events_cohort_matrix",
+    "fn_ip",
+    "fn_encoding",
 ]
 
 

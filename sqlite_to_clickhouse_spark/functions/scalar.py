@@ -709,3 +709,97 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.from_utc_timestamp(ts, "Asia/Tokyo").alias("ts_tokyo"),
         F.to_utc_timestamp(tokyo, "Asia/Tokyo").alias("roundtrip"),
     )
+
+
+@register(
+    "fn_ip",
+    oracle="""
+    WITH ips AS (
+        SELECT o_orderkey,
+               ((o_orderkey            % 223) + 1) AS o1,
+               ((o_orderkey // 256)    % 256)      AS o2,
+               ((o_orderkey // 65536)  % 256)      AS o3,
+               (o_orderkey             % 256)      AS o4
+        FROM orders
+    )
+    SELECT o_orderkey,
+           o1 || '.' || o2 || '.' || o3 || '.' || o4 AS ip_str,
+           CAST(o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 AS BIGINT)
+               AS ip_num,
+           CAST((o1 * 16777216 + o2 * 65536 + o3 * 256 + o4)
+                // 65536 * 65536 AS BIGINT) AS subnet16,
+           o1 || '.' || o2 || '.0.0/16' AS subnet16_cidr,
+           (o1 = 10 OR (o1 = 192 AND o2 = 168)) AS is_private
+    FROM ips
+    """,
+    tags=("fn", "clickhouse"),
+)
+def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 function battery (ClickHouse IPv4StringToNum /
+    IPv4NumToString / range analogs): render a synthetic-but-deterministic
+    IPv4 per order, convert dotted-quad ↔ numeric, mask to the /16
+    subnet in both representations, and classify RFC-1918 private space —
+    the log-analytics staple. All integer/string expressions, codegen'd
+    end to end; the synthesis is mirrored digit-for-digit in the oracle
+    so the conversion logic (not the fake data) is what's differential."""
+    o = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    o1 = (k % 223 + 1).cast("long")
+    o2 = F.floor(k / 256).cast("long") % 256
+    o3 = F.floor(k / 65536).cast("long") % 256
+    o4 = (k % 256).cast("long")
+    ip_num = o1 * 16777216 + o2 * 65536 + o3 * 256 + o4
+    dq = F.concat_ws(
+        ".",
+        o1.cast("string"),
+        o2.cast("string"),
+        o3.cast("string"),
+        o4.cast("string"),
+    )
+    return o.select(
+        "o_orderkey",
+        dq.alias("ip_str"),
+        ip_num.cast("long").alias("ip_num"),
+        (F.floor(ip_num / 65536) * 65536).cast("long").alias("subnet16"),
+        F.concat_ws(
+            ".", o1.cast("string"), o2.cast("string"), F.lit("0.0/16")
+        ).alias("subnet16_cidr"),
+        ((o1 == 10) | ((o1 == 192) & (o2 == 168))).alias("is_private"),
+    )
+
+
+@register(
+    "fn_encoding",
+    oracle="""
+    SELECT doc_id,
+           base64(encode(substr(text, 1, 24)))            AS b64,
+           decode(from_base64(base64(encode(text))))      AS b64_roundtrip,
+           lower(hex(encode(substr(text, 1, 12))))        AS hex_prefix,
+           md5(text)                                      AS digest_md5,
+           lower(hex(sha256(text)))                       AS digest_sha256
+    FROM documents
+    """,
+    tags=("fn", "clickhouse"),
+)
+def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary encoding battery (ClickHouse base64Encode/hex/MD5/SHA256
+    analogs): base64 of a prefix, a full encode→decode round-trip that
+    must be the identity, lowercase hex, and the two digest functions —
+    the content-addressing toolkit every artifact store and dedup layer
+    leans on. Spark's base64/unbase64/hex/sha2 are JVM codegen; DuckDB
+    spells sha256 as a hex string natively and Spark as binary, so both
+    sides normalize to lowercase hex."""
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        F.base64(F.encode(F.substring(t, 1, 24), "utf-8")).alias("b64"),
+        F.decode(F.unbase64(F.base64(F.encode(t, "utf-8"))), "utf-8").alias(
+            "b64_roundtrip"
+        ),
+        F.lower(F.hex(F.encode(F.substring(t, 1, 12), "utf-8"))).alias(
+            "hex_prefix"
+        ),
+        F.md5(t).alias("digest_md5"),
+        F.lower(F.hex(F.sha2(t, 256))).alias("digest_sha256"),
+    )
