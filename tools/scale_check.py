@@ -126,10 +126,18 @@ def main() -> None:
         t1, r1 = run(name, base)
         tk, rk = run(name, scaled)
         ratio = tk / t1 if t1 > 0 else float("inf")
+        # An op whose OUTPUT grows faster than K (pair-producing joins over
+        # densified fixtures: K× rows in the same key/time range ⇒ ~K²×
+        # pairs) is allowed wall clock linear in its output, not its input —
+        # flagging it against K would punish the result size, not the plan.
+        out_ratio = rk / r1 if r1 > 0 else 1.0
+        allowed = max(k, out_ratio) * 1.5
         mark = ""
-        if ratio > k * 1.5:
+        if ratio > allowed:
             mark = "  <-- SUPERLINEAR"
             flagged.append(name)
+        elif ratio > k * 1.5:
+            mark = "  (output-bound: rows grew %.0fx)" % out_ratio
         print(f"{name:28s} {t1:8.2f} {tk:9.2f} {ratio:6.1f}x {r1:9d} {rk:10d}{mark}")
     print(f"\nflagged: {flagged or 'none'}")
     spark.stop()
