@@ -124,6 +124,8 @@ HEADLINE = [
     "events_cohort_matrix",
     "fn_ip",
     "fn_encoding",
+    "sim_index_build",
+    "sim_index_query",
 ]
 
 

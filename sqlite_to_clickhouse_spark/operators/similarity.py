@@ -24,6 +24,8 @@ Scale paths:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -981,3 +983,255 @@ def embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _OUTLIER_TOPK)
         .select("label", "vec_id", "dist2_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index: build once, query many — the production serving
+# layout (ivfpq_topk above refits the quantizers on every call, which is
+# the right shape for a one-shot batch query but wrong for a serving
+# path: at 100 TB the index is built by a scheduled job and queried by
+# everything else).
+# ---------------------------------------------------------------------------
+
+
+def ann_index_build(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init_every: int = CENTROID_EVERY,
+) -> DataFrame:
+    """Build and PERSIST the IVF-PQ index at ``path``: quantizers are
+    sample-fit (bounded driver work, same contract as ivfpq_topk), then
+    ONE map-side pass encodes every vector to (id, pq_code) and writes it
+    as parquet PARTITIONED BY bucket — the on-disk inverted-list layout.
+    A routed query then reads only its nprobe bucket directories via
+    static partition pruning; the other ~98% of the index is never
+    opened (PartitionFilters, asserted in tests/test_llm_ops.py).
+
+    Persisted components: codes/ (bucket-partitioned), centroids/,
+    codebooks/ (one row per (block j, centroid c) with the sub-vector).
+    Returns the manifest (component, n_rows) the build job would log."""
+    from pyspark.sql import types as T
+
+    books = pq_codebooks(vectors, id_col=id_col, vec_col=vec_col)
+    m, kk, sub = books.shape
+    cent = kmeans_centroids(
+        vectors, id_col=id_col, vec_col=vec_col, init_every=init_every
+    )
+    cent_rows = sorted(cent.collect(), key=lambda r: r[0])
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmax(V @ C.T, axis=1)])
+
+    coded = (
+        pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
+        .select(id_col, "pq_code")
+        .join(vectors.select(id_col, _bucket(F.col(vec_col)).alias("bucket")), id_col)
+    )
+    coded.write.mode("overwrite").partitionBy("bucket").parquet(
+        os.path.join(path, "codes")
+    )
+    cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    book_rows = [
+        (j, c, [float(x) for x in books[j, c]])
+        for j in range(m)
+        for c in range(kk)
+    ]
+    spark.createDataFrame(
+        book_rows, "j INT, c INT, sub ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "codebooks"))
+
+    manifest = [
+        ("codes", spark.read.parquet(os.path.join(path, "codes")).count()),
+        ("centroids", len(cent_rows)),
+        ("codebooks", len(book_rows)),
+    ]
+    return spark.createDataFrame(manifest, "component STRING, n_rows BIGINT")
+
+
+def ann_index_query(
+    spark: SparkSession,
+    vectors: DataFrame,
+    path: str,
+    probes: DataFrame,
+    *,
+    k: int,
+    nprobe: int,
+    rerank: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    probe_id_col: str = "probe_id",
+    probe_vec_col: str = "p_emb",
+) -> DataFrame:
+    """Query a persisted IVF-PQ index: route each probe to its nprobe
+    buckets driver-side (probes are bounded by contract — the same
+    assumption every probe-broadcast op here makes), read ONLY those
+    bucket partitions of the codes table (static IN-filter on the
+    partition column → directory-level pruning), ADC-rank the codes, and
+    exact-rerank the shortlist against the true vectors. Identical
+    result contract to ivfpq_topk; the difference is WHERE the quantizer
+    state comes from — parquet, not a per-call refit."""
+    from pyspark.sql import types as T
+
+    brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    m = 1 + max(r["j"] for r in brows)
+    kk = 1 + max(r["c"] for r in brows)
+    sub = len(brows[0]["sub"])
+    books = np.empty((m, kk, sub))
+    for r in brows:
+        books[r["j"], r["c"]] = r["sub"]
+    bsq = (books**2).sum(axis=2)
+
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r[0],
+    )
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+
+    probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
+    pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
+    P = np.array([r[1] for r in probe_rows], dtype=np.float64)
+    pnorm = np.linalg.norm(P, axis=1)
+    DT = np.einsum("pjs,jcs->pjc", P.reshape(len(P), m, sub), books)
+    prow = {int(p): i for i, p in enumerate(pids)}
+
+    S = P @ C.T
+    routed_pairs = []
+    wanted: set = set()
+    for i, row in enumerate(S):
+        idx = np.lexsort((cent_ids, -row))[:nprobe]
+        for b in cent_ids[idx]:
+            routed_pairs.append((int(pids[i]), int(b)))
+            wanted.add(int(b))
+    routed = spark.createDataFrame(
+        routed_pairs, f"{probe_id_col} LONG, bucket LONG"
+    )
+
+    @F.pandas_udf(T.DoubleType())
+    def _adc(probe_id: pd.Series, code: pd.Series) -> pd.Series:
+        pi = np.array([prow[int(p)] for p in probe_id], dtype=np.int64)
+        codes = code.to_numpy(dtype=np.int64)
+        dot = np.zeros(len(codes))
+        rsq = np.zeros(len(codes))
+        for j in range(m):
+            cj = (codes >> (4 * j)) & (kk - 1)
+            dot += DT[pi, j, cj]
+            rsq += bsq[j, cj]
+        den = pnorm[pi] * np.sqrt(np.maximum(rsq, 1e-300))
+        return pd.Series(dot / den)
+
+    # Static partition pruning: the IN-list reaches the scan as a
+    # PartitionFilters entry, so only the routed bucket directories are read.
+    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+        F.col("bucket").isin(sorted(wanted))
+    )
+    w_rerank = Window.partitionBy(probe_id_col).orderBy(
+        F.desc("adc"), F.asc(id_col)
+    )
+    shortlist = (
+        routed.join(codes, "bucket")
+        .filter(F.col(id_col) != F.col(probe_id_col))
+        .select(
+            probe_id_col,
+            id_col,
+            _adc(F.col(probe_id_col), F.col("pq_code")).alias("adc"),
+        )
+        .withColumn("rn", F.row_number().over(w_rerank))
+        .filter(F.col("rn") <= rerank)
+        .select(probe_id_col, id_col)
+    )
+    cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    w_topk = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
+    return (
+        shortlist.join(vectors.select(id_col, vec_col), id_col)
+        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
+        .select(probe_id_col, id_col, cos_pv.alias("cos"))
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= k)
+        .select(probe_id_col, id_col, F.round("cos", 6).alias("cosine"))
+    )
+
+
+def _index_cache_path(sf_dir: str) -> str:
+    import hashlib as _hl
+    import tempfile as _tf
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
+    return os.path.join(_tf.gettempdir(), f"graft_ann_index_{tag}")
+
+
+def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    path = _index_cache_path(sf_dir)
+    marker = os.path.join(path, "_GRAFT_INDEX_OK")
+    if not os.path.exists(marker):
+        e = table(spark, sf_dir, "embeddings")
+        ann_index_build(spark, e, path)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+@register(
+    "sim_index_build",
+    oracle="""
+    SELECT 'codes_rows_eq_vectors' AS component, TRUE AS ok
+    UNION ALL SELECT 'centroids_bounded', TRUE
+    UNION ALL SELECT 'codebooks_m_x_k', TRUE
+    """,
+    tags=("llm", "similarity", "approx"),
+)
+def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + persist the IVF-PQ index (see ann_index_build) and emit
+    the manifest as a bound-as-result gate (the agg_approx_* pattern —
+    quantizer-dependent counts can't be recomputed in SQL, so the op
+    asserts its own invariants in-band and the oracle expects all-TRUE):
+    every vector produced exactly one code row, the centroid count is in
+    (0, #seeds] (empty clusters may drop, never grow), and the codebook
+    table is exactly m×k rows by construction."""
+    import shutil
+
+    path = _index_cache_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)  # a build is a fresh build
+    e = table(spark, sf_dir, "embeddings")
+    manifest = {
+        r["component"]: r["n_rows"]
+        for r in ann_index_build(spark, e, path).collect()
+    }
+    with open(os.path.join(path, "_GRAFT_INDEX_OK"), "w") as fh:
+        fh.write("ok")
+    n_vec = e.count()
+    n_seeds = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).count()
+    checks = [
+        ("codes_rows_eq_vectors", manifest["codes"] == n_vec),
+        ("centroids_bounded", 0 < manifest["centroids"] <= n_seeds),
+        ("codebooks_m_x_k", manifest["codebooks"] == PQ_M * PQ_K),
+    ]
+    return spark.createDataFrame(checks, "component STRING, ok BOOLEAN")
+
+
+@register(
+    "sim_index_query",
+    oracle=None,  # quantizer-dependent routing — recall asserted in tests
+    tags=("llm", "similarity", "approx"),
+)
+def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k ANN from the PERSISTED index (building it first if this
+    session hasn't): the query-time path reads quantizer state from
+    parquet and touches only the routed bucket partitions — what a
+    100 TB serving job does per batch of probes, amortizing the build
+    across every query. Recall vs brute force and the partition-pruned
+    scan are asserted in tests/test_llm_ops.py."""
+    path = _ensure_index(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    return ann_index_query(spark, e, path, probes, k=TOP_K, nprobe=NPROBE)

@@ -331,3 +331,54 @@ def test_ewma_matches_recursive_definition(spark, sf_dir):
             assert abs(got[(uid, eid)] - y) <= tail + 1e-6, (uid, eid)
             checked += 1
     assert checked >= 1000
+
+
+def test_persisted_index_matches_inline_ivfpq(spark, sf_dir):
+    """The persisted-index query path must return EXACTLY the inline
+    ivfpq_topk results: both fit the same deterministic quantizers, so
+    persistence must not change a single pair or cosine."""
+    inline = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in _Q["sim_ivfpq_search"].fn(spark, sf_dir).collect()
+    }
+    served = {
+        (r.probe_id, r.vec_id): r.cosine
+        for r in _Q["sim_index_query"].fn(spark, sf_dir).collect()
+    }
+    assert served == inline
+    assert served, "index query returned nothing"
+
+
+def test_index_query_prunes_bucket_partitions(spark, sf_dir):
+    """The codes scan must carry a PartitionFilters entry on the bucket
+    column — the directory-level pruning that makes a routed query read
+    nprobe buckets, not the whole index."""
+    import io as _io
+    import contextlib as _ctx
+
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        _ensure_index,
+        ann_index_query,
+        N_PROBES,
+        TOP_K,
+        NPROBE,
+    )
+    from sqlite_to_clickhouse_spark.io import table as _table
+    from pyspark.sql import functions as _F
+
+    path = _ensure_index(spark, sf_dir)
+    e = _table(spark, sf_dir, "embeddings")
+    probes = e.filter(_F.col("vec_id") < N_PROBES).select(
+        _F.col("vec_id").alias("probe_id"), _F.col("embedding").alias("p_emb")
+    )
+    df = ann_index_query(spark, e, path, probes, k=TOP_K, nprobe=NPROBE)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "bucket" in l
+    ]
+    assert pf, "no PartitionFilters on bucket in the codes scan"

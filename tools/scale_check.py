@@ -84,6 +84,7 @@ DEFAULT_OPS = [
     "window_ewma",
     "join_interval_overlap",
     "events_cohort_matrix",
+    "sim_index_query",
 ]
 
 
