@@ -451,3 +451,113 @@ def events_cohort_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@register(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    ), pairs AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq
+        WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 9)
+               AS p_transition
+    FROM pairs
+    """,
+    tags=("events", "analytics", "graph"),
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams —
+    the ClickHouse ``sequenceCount``-family workhorse turned into the full
+    (from, to, count, probability) matrix product analytics tools draw as
+    a behavior graph.
+
+    One window pass keyed on ``user_id`` (lead over the in-session order,
+    tie-broken by event_id so both engines see the same successor), then a
+    tiny aggregate on the (from, to) pair space — the second shuffle moves
+    at most |types|² rows per partition after partial aggregation. The
+    row-probability normalization runs as a window over the already-tiny
+    matrix. Probability rounded to 9 dp so cross-engine double division
+    agrees bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    wrow = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wrow).cast("double"), 9).alias(
+            "p_transition"
+        ),
+    )
+
+
+@register(
+    "events_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS last_touch
+        FROM events
+    )
+    SELECT coalesce(last_touch, 'organic') AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 6) AS attributed_value
+    FROM tagged
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    tags=("events", "analytics"),
+)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every ``purchase`` is credited to the most
+    recent strictly-preceding touchpoint event (``view``/``click``) of the
+    same user; purchases with no prior touch fall into an ``organic``
+    bucket. The marketing-analytics staple (ClickHouse users build it from
+    ``groupArray``+``arrayReverseFill``); here it is one ignore-nulls
+    ``last_value`` window over the user timeline — no arrays materialized,
+    so a million-event user costs streaming window state, not RAM.
+
+    Shares the ``hashpartitioning(user_id)`` exchange shape with the rest
+    of the events family; final aggregate is on the tiny channel domain.
+    Attributed revenue rounded to 6 dp (sum order across engines)."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"), F.col("event_type")
+    )
+    return (
+        ev.withColumn("last_touch", F.last(touch, ignorenulls=True).over(w))
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("last_touch", F.lit("organic")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.round(F.sum("value"), 6).alias("attributed_value"),
+        )
+    )

@@ -24,6 +24,7 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.eventsops",
     "sqlite_to_clickhouse_spark.operators.sampling",
     "sqlite_to_clickhouse_spark.operators.llm_extra",
+    "sqlite_to_clickhouse_spark.operators.graph",
 ]
 
 for _mod in _OPERATOR_MODULES:
