@@ -850,3 +850,99 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_orders").alias("n_orders"),
         )
     )
+
+
+_CMS_SEEDS = 3
+_CMS_WIDTH = 256
+
+_CMS_ORACLE = f"""
+    WITH seeds AS (SELECT unnest(range({_CMS_SEEDS})) AS seed),
+    ev AS (SELECT CAST(user_id AS VARCHAR) AS k, user_id FROM events),
+    sketch AS (
+        SELECT seed,
+               ('0x' || substr(md5(seed::VARCHAR || ':' || k), 1, 8))::BIGINT
+                   % {_CMS_WIDTH} AS bucket,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM ev CROSS JOIN seeds
+        GROUP BY 1, 2
+    ),
+    keys AS (
+        SELECT k, user_id, CAST(count(*) AS BIGINT) AS true_n
+        FROM ev GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT kb.user_id, kb.true_n, min(s.cnt) AS est_n
+        FROM (SELECT k, user_id, true_n, seed,
+                     ('0x' || substr(md5(seed::VARCHAR || ':' || k), 1, 8))::BIGINT
+                         % {_CMS_WIDTH} AS bucket
+              FROM keys CROSS JOIN seeds) kb
+        JOIN sketch s ON kb.seed = s.seed AND kb.bucket = s.bucket
+        GROUP BY 1, 2
+    )
+    SELECT user_id, true_n, est_n, est_n - true_n AS overcount
+    FROM est
+    ORDER BY true_n DESC, user_id
+    LIMIT 10
+"""
+
+
+@register("agg_heavy_hitters_cms", oracle=_CMS_ORACLE, tags=("aggregate", "approx", "sketch"))
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters: estimate per-user event counts from
+    a fixed d×w counter grid (d = 3 rows, w = 256 buckets) instead of a
+    full per-key aggregate, and report the top-10 hottest keys with their
+    true count, the sketch estimate, and the overcount. The CMS guarantee
+    (est ≥ true; est ≤ true + εN w.h.p.) shows up directly as the
+    ``overcount ≥ 0`` column.
+
+    Both engines hash with the SAME portable function — the first 8 hex
+    chars of ``md5(seed ':' key)`` as an integer, mod w (Spark ``conv``,
+    DuckDB ``('0x'||…)::BIGINT``) — so bucket placement, collisions, and
+    estimates agree bit-for-bit and the driver hash gate checks the
+    sketch itself, not just bounds.
+
+    Scale: the sketch aggregate is d·w = 768 counters after map-side
+    partial aggregation — a fixed-size object no matter how many events
+    stream through, which is the whole point at 100 TB (a per-key exact
+    count of a high-cardinality key would shuffle every key; the sketch
+    shuffles 768 rows). The exact per-key pass here exists only to verify
+    the estimates; production reads candidates from the sketch."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("user_id").cast("string").alias("k")
+    )
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_SEEDS)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+    hashed = ev.withColumn("seed", F.explode(seeds)).withColumn("bucket", bucket)
+    sketch = hashed.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+    keys = (
+        ev.groupBy("user_id", "k")
+        .agg(F.count("*").alias("true_n"))
+        .withColumn("seed", F.explode(seeds))
+        .withColumn("bucket", bucket)
+    )
+    est = (
+        keys.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("user_id", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+    )
+    return (
+        est.orderBy(F.col("true_n").desc(), "user_id")
+        .limit(10)
+        .select(
+            "user_id",
+            "true_n",
+            "est_n",
+            (F.col("est_n") - F.col("true_n")).alias("overcount"),
+        )
+    )

@@ -757,3 +757,88 @@ def migrate_verify_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("delta").alias("abs_delta_cents"),
         )
     )
+
+
+@register(
+    "maintenance_analyze_stats",
+    oracle="""
+    SELECT 'l_quantity' AS column_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS ndv,
+           CAST(min(l_quantity) AS DOUBLE) AS min_num,
+           CAST(max(l_quantity) AS DOUBLE) AS max_num,
+           CAST(NULL AS VARCHAR) AS min_str,
+           CAST(NULL AS VARCHAR) AS max_str
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           CAST(min(l_extendedprice) AS DOUBLE),
+           CAST(max(l_extendedprice) AS DOUBLE), NULL, NULL
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_returnflag', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_returnflag) AS BIGINT),
+           CAST(count(DISTINCT l_returnflag) AS BIGINT),
+           NULL, NULL,
+           CAST(min(l_returnflag) AS VARCHAR),
+           CAST(max(l_returnflag) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_shipdate', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_shipdate) AS BIGINT),
+           CAST(count(DISTINCT l_shipdate) AS BIGINT),
+           NULL, NULL,
+           CAST(min(l_shipdate) AS VARCHAR),
+           CAST(max(l_shipdate) AS VARCHAR)
+    FROM lineitem
+    """,
+    tags=("etl", "maintenance"),
+)
+def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics — row count, null count, exact
+    NDV, min/max — the inputs a cost-based optimizer (or ClickHouse's
+    ``system.columns`` consumer) reads off a freshly-migrated table. One
+    row per profiled column; numeric bounds in typed columns, low-cardinality
+    and temporal bounds rendered as strings.
+
+    Each column's profile is ONE pass of partial aggregates (the exact
+    NDVs are per-column hash aggregates — at 100 TB you'd flip them to
+    approx_count_distinct; the exact form is kept because the oracle gate
+    needs determinism and the plan shape is identical). The four profiles
+    scan the same cached relation; Catalyst collapses min/max/count into a
+    single Aggregate per column."""
+    li = table(spark, sf_dir, "lineitem")
+
+    def _num(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("ndv"),
+            F.min(col).cast("double").alias("min_num"),
+            F.max(col).cast("double").alias("max_num"),
+            F.lit(None).cast("string").alias("min_str"),
+            F.lit(None).cast("string").alias("max_str"),
+        )
+
+    def _str(col: str) -> DataFrame:
+        return li.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("ndv"),
+            F.lit(None).cast("double").alias("min_num"),
+            F.lit(None).cast("double").alias("max_num"),
+            F.min(col).cast("string").alias("min_str"),
+            F.max(col).cast("string").alias("max_str"),
+        )
+
+    return (
+        _num("l_quantity")
+        .unionByName(_num("l_extendedprice"))
+        .unionByName(_str("l_returnflag"))
+        .unionByName(_str("l_shipdate"))
+    )

@@ -56,3 +56,52 @@ def test_approx_percentile_error_bound(spark, sf_dir):
     for r in both.collect():
         assert abs(r["ap50"] - r["p50"]) / r["p50"] < 0.005, r.asDict()
         assert abs(r["ap95"] - r["p95"]) / r["p95"] < 0.005, r.asDict()
+
+
+def test_cms_overestimates_every_key(spark, sf_dir):
+    # The count-min guarantee est >= true must hold for EVERY key, not
+    # only the reported top-10: rebuild the estimate join without the
+    # top-k cut and assert the inequality plus the epsilon-N error cap
+    # (d=3, w=256 => eps = e/w ~ 0.0106; 3 independent rows make the cap
+    # virtually certain on 10k events — treat a breach as a bug, not luck).
+    from sqlite_to_clickhouse_spark.operators.aggregates import (
+        _CMS_SEEDS,
+        _CMS_WIDTH,
+    )
+
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    n_total = ev.count()
+    seeds = F.array(*[F.lit(i) for i in range(_CMS_SEEDS)])
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("k"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _CMS_WIDTH
+    )
+    hashed = ev.withColumn("seed", F.explode(seeds)).withColumn("bucket", bucket)
+    sketch = hashed.groupBy("seed", "bucket").agg(F.count("*").alias("cnt"))
+    keys = (
+        ev.groupBy("k")
+        .agg(F.count("*").alias("true_n"))
+        .withColumn("seed", F.explode(seeds))
+        .withColumn("bucket", bucket)
+    )
+    est = (
+        keys.join(sketch, ["seed", "bucket"])
+        .groupBy("k", "true_n")
+        .agg(F.min("cnt").alias("est_n"))
+        .collect()
+    )
+    assert est
+    cap = 2.0 * 2.718281828 / _CMS_WIDTH * n_total
+    for r in est:
+        assert r["est_n"] >= r["true_n"], r.asDict()
+        assert r["est_n"] - r["true_n"] <= cap, r.asDict()
