@@ -803,3 +803,69 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(t).alias("digest_md5"),
         F.lower(F.hex(F.sha2(t, 256))).alias("digest_sha256"),
     )
+
+
+@register(
+    "fn_geo",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 17000) / 100.0 - 85.0  AS lat,
+               (c_custkey % 35000) / 100.0 - 175.0 AS lon
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(lat, 2) AS lat,
+           round(lon, 2) AS lon,
+           round(2 * 6371.0088 * asin(sqrt(
+               pow(sin(radians(lat) / 2), 2)
+               + cos(radians(lat)) * cos(radians(0.0))
+                 * pow(sin(radians(lon) / 2), 2)
+           )), 3) AS dist_km,
+           (lat BETWEEN 35.0 AND 60.0 AND lon BETWEEN -10.0 AND 30.0)
+               AS in_europe_box,
+           CASE WHEN lat >= 0 THEN 'N' ELSE 'S' END
+               || CASE WHEN lon >= 0 THEN 'E' ELSE 'W' END AS quadrant
+    FROM pts
+    """,
+    tags=("fn", "geo", "clickhouse"),
+)
+def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo function battery — the ClickHouse ``greatCircleDistance`` /
+    ``pointInPolygon``-lite analogs: haversine distance to the origin,
+    bounding-box membership, and hemisphere quadrant over synthetic
+    per-customer coordinates (key-derived, so deterministic across
+    engines with no geo columns in the fixtures).
+
+    All trig runs JVM-side in whole-stage codegen (``radians/sin/cos/
+    asin/sqrt`` are Catalyst expressions); distance rounded to 3 dp —
+    libm vs JVM trig agree far beyond that, and the round pins the gate.
+    Coordinates come from exact integer arithmetic, so lat/lon are
+    bit-identical inputs on both sides."""
+    c = table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 17000) / 100.0 - 85.0
+    lon = (F.col("c_custkey") % 35000) / 100.0 - 175.0
+    half = lambda x: F.pow(F.sin(F.radians(x) / 2), 2)  # noqa: E731
+    dist = (
+        2
+        * 6371.0088
+        * F.asin(
+            F.sqrt(
+                half(lat)
+                + F.cos(F.radians(lat)) * F.cos(F.radians(F.lit(0.0))) * half(lon)
+            )
+        )
+    )
+    return c.select(
+        "c_custkey",
+        F.round(lat, 2).alias("lat"),
+        F.round(lon, 2).alias("lon"),
+        F.round(dist, 3).alias("dist_km"),
+        ((lat >= 35.0) & (lat <= 60.0) & (lon >= -10.0) & (lon <= 30.0)).alias(
+            "in_europe_box"
+        ),
+        F.concat(
+            F.when(lat >= 0, "N").otherwise("S"),
+            F.when(lon >= 0, "E").otherwise("W"),
+        ).alias("quadrant"),
+    )

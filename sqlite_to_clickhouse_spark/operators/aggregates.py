@@ -946,3 +946,53 @@ def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("est_n") - F.col("true_n")).alias("overcount"),
         )
     )
+
+
+@register(
+    "agg_sum_map",
+    oracle="""
+    WITH entries AS (
+        SELECT user_id % 10 AS bucket, 'k' AS map_key,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS map_val
+        FROM events
+        UNION ALL
+        SELECT user_id % 10, 'cents',
+               CAST(floor(value * 100) AS BIGINT)
+        FROM events
+    )
+    SELECT bucket, map_key,
+           CAST(sum(map_val) AS BIGINT) AS val_sum,
+           CAST(count(*) AS BIGINT) AS n_entries
+    FROM entries
+    GROUP BY 1, 2
+    """,
+    tags=("aggregate", "map", "clickhouse"),
+)
+def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sumMap`` combinator: each row carries a metric map
+    and the aggregate merges maps per group by summing values key-wise.
+    Here every event contributes ``{'k': props.k, 'cents': ⌊value·100⌋}``
+    and groups are user-id buckets; output is the merged map exploded to
+    (group, key, sum, contributing-entries) rows.
+
+    The distributed formulation deliberately AVOIDS map-valued aggregate
+    state: rows explode to (group, key, value) entries first, then a
+    plain hash aggregate with map-side partial combine does the merge —
+    the shuffle carries scalar entry rows, never partially-merged maps,
+    so skewed groups degrade like any sum, and the final
+    ``map_from_entries`` (for consumers wanting the map back) is a
+    per-group local fold downstream of the aggregate."""
+    ev = table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"),
+        F.get_json_object("props", "$.k").cast("long"),
+        F.lit("cents"),
+        F.floor(F.col("value") * 100).cast("long"),
+    )
+    entries = ev.select(
+        (F.col("user_id") % 10).alias("bucket"), F.explode(m)
+    ).withColumnsRenamed({"key": "map_key", "value": "map_val"})
+    return entries.groupBy("bucket", "map_key").agg(
+        F.sum("map_val").alias("val_sum"),
+        F.count("*").alias("n_entries"),
+    )
