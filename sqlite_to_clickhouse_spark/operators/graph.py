@@ -178,10 +178,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table(spark, sf_dir, "nation")
     nc = F.broadcast(n.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("dst")))
     ns = F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("src")))
+    # orders/customer/supplier are fact-scale: hash joins under AQE;
+    # only the nation dims are broadcast-pinned.
     edges = (
-        li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(nc, c["c_nationkey"] == F.col("ck"))
         .join(ns, s["s_nationkey"] == F.col("sk"))
         .where(F.col("src") != F.col("dst"))

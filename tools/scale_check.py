@@ -85,6 +85,19 @@ DEFAULT_OPS = [
     "join_interval_overlap",
     "events_cohort_matrix",
     "sim_index_query",
+    # Round-5 fourth batch: graph / sequence / sketch ops. Triangle census
+    # and pagerank are output-bound on the densified scale fixture (K
+    # id-offset copies share the same nation node set, so the trade graph's
+    # edge WEIGHTS grow K× while the vertex set is fixed — wall should stay
+    # ~flat); the CMS sketch is fixed-size by construction.
+    "graph_pagerank",
+    "graph_triangle_count",
+    "events_markov_transitions",
+    "events_attribution",
+    "agg_heavy_hitters_cms",
+    "agg_sum_map",
+    "maintenance_analyze_stats",
+    "fn_geo",
 ]
 
 
