@@ -455,3 +455,43 @@ def test_pair_distance_no_cartesian(spark, sf_dir):
     p = _plan(spark, sf_dir, "sim_pair_distance_stats")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    # Every join in the census is an equi-join (order key, node keys,
+    # wedge-closing pair) — a CartesianProduct/BroadcastNestedLoop
+    # anywhere means the wedge join lost its keys and the plan is the
+    # O(n^2) one that dies on a real graph.
+    p = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    # The wedge-closing membership test must stay a semi join (no payload).
+    assert "LeftSemi" in p
+
+
+def test_markov_single_user_shuffle_then_tiny_agg(spark, sf_dir):
+    # The lead window and nothing else touches the event stream; the
+    # matrix aggregate and row-normalization run on the |types|^2 pair
+    # space. One fact-sized exchange (user_id), the rest tiny.
+    p = _plan(spark, sf_dir, "events_markov_transitions")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert 1 <= len(regular) <= 3, regular
+    assert "Window" in p
+
+
+def test_sum_map_has_partial_aggregate(spark, sf_dir):
+    # The explode-before-aggregate design only scales if the entry rows
+    # partial-aggregate map-side before the shuffle.
+    p = _plan(spark, sf_dir, "agg_sum_map")
+    assert "partial" in p.lower()
+    assert "Generate" in p  # the explode
+
+
+def test_fn_geo_stays_in_codegen(spark, sf_dir):
+    # The entire trig battery must compile into whole-stage codegen —
+    # no Python eval, no extra exchanges beyond the scan.
+    p = _plan(spark, sf_dir, "fn_geo")
+    # formatted mode marks codegen stages with '*' on the node line
+    assert "* Project" in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert not _exchanges(p)
