@@ -255,3 +255,137 @@ def sim_pair_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cos"), 6).alias("min_cos"),
         F.round(F.max("cos"), 6).alias("max_cos"),
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ), m AS (
+        SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS maxabs
+        FROM d
+    )
+    SELECT vec_id,
+           CAST(len(e) AS INTEGER) AS n_dims,
+           round(maxabs, 9) AS scale,
+           CASE WHEN maxabs = 0
+                THEN list_transform(e, x -> CAST(0 AS INTEGER))
+                ELSE list_transform(e, x -> CAST(round(127 * x / maxabs)
+                                                 AS INTEGER))
+           END AS codes,
+           CAST(CASE WHEN maxabs = 0 THEN 0
+                ELSE list_aggregate(
+                    list_transform(e, x -> CAST(round(127 * x / maxabs)
+                                                AS BIGINT)), 'sum')
+           END AS BIGINT) AS code_sum
+    FROM m
+    """,
+    tags=("llm", "embedding"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the 4×-compression layer a
+    100 TB embedding store applies before anything else (scalar
+    quantization: per-vector scale = max |x|, codes = round(127·x/scale)).
+    Unlike the PQ path this is losslessly invertible to 1/127 precision
+    and keeps dot products cheap (int8 SIMD downstream).
+
+    Everything is per-row Catalyst higher-order lambdas (`transform` /
+    `aggregate`) over the float array widened to double — exact IEEE
+    widening, so both engines quantize identical inputs; no shuffle at
+    all, and the plan is a single codegen projection. Zero vectors get
+    scale 0 / all-zero codes rather than a NaN poisoning the store."""
+    e = table(spark, sf_dir, "embeddings")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    ed = e.select("vec_id", dbl.alias("e"))
+    maxabs = F.array_max(F.transform("e", F.abs))
+    q = ed.select(
+        "vec_id",
+        F.size("e").alias("n_dims"),
+        F.round(maxabs, 9).alias("scale"),
+        maxabs.alias("_m"),
+        F.col("e"),
+    )
+    code = lambda x: F.round(F.lit(127) * x / F.col("_m")).cast("int")  # noqa: E731
+    zeros = F.transform("e", lambda x: F.lit(0))
+    codes = F.when(F.col("_m") == 0, zeros).otherwise(F.transform("e", code))
+    code_sum = F.when(F.col("_m") == 0, F.lit(0).cast("long")).otherwise(
+        F.aggregate(
+            F.transform("e", lambda x: F.round(F.lit(127) * x / F.col("_m")).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+    )
+    return q.select(
+        "vec_id",
+        "n_dims",
+        "scale",
+        codes.alias("codes"),
+        code_sum.alias("code_sum"),
+    )
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, source, text, n_chars,
+               len(string_split(trim(text), ' ')) AS n_tokens,
+               md5(text) AS h
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(avg(n_chars), 6) AS avg_chars,
+           round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS pct_en,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           round(1.0 - count(DISTINCT h) / CAST(count(*) AS DOUBLE), 6)
+               AS exact_dup_rate
+    FROM toks
+    """,
+    tags=("llm", "pipeline", "report"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus "dataset card" in one row: document / token / language /
+    source counts, mean length, English share, and the exact-duplicate
+    rate — the summary block every curated-training-set release publishes,
+    and the numbers an operator checks before and after each cleaning
+    stage of the pipeline.
+
+    One pass over documents: tokenization and content hashing are per-row
+    projections, then a single global aggregate (two exact NDVs ride the
+    same hash aggregate; at 100 TB swap them for approx_count_distinct and
+    an HLL union across shards — same plan shape). Whitespace token count
+    matches the oracle's split-on-space exactly."""
+    d = table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    t = d.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split(F.trim("text"), " ")).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return t.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("pct_en"),
+        F.countDistinct("h").alias("n_unique_texts"),
+        F.round(
+            1.0 - F.countDistinct("h") / F.count("*").cast("double"), 6
+        ).alias("exact_dup_rate"),
+    )

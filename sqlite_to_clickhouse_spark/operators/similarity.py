@@ -678,6 +678,30 @@ def pq_encode(
     )
 
 
+def _pq_code_col(books):
+    """Column-factory variant of :func:`pq_encode`: returns a pandas UDF
+    computing only the packed PQ code, so a caller can evaluate code +
+    other per-vector columns (e.g. the IVF bucket) in ONE Arrow pass of
+    one projection instead of joining two derived DataFrames."""
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    m, k, sub = books.shape
+    B = books
+
+    @F.pandas_udf(T.LongType())
+    def _code(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        codes = np.zeros(V.shape[0], dtype=np.int64)
+        for j in range(m):
+            X = V[:, j * sub : (j + 1) * sub]
+            d2 = ((X[:, None, :] - B[j][None, :, :]) ** 2).sum(axis=2)
+            codes |= np.argmin(d2, axis=1).astype(np.int64) << (4 * j)
+        return _pd.Series(codes)
+
+    return _code
+
+
 @register(
     "sim_pq_quantize",
     oracle=f"""
@@ -1030,14 +1054,20 @@ def ann_index_build(
         V = np.array(list(v), dtype=np.float64)
         return pd.Series(cent_ids[np.argmax(V @ C.T, axis=1)])
 
-    coded = (
-        pq_encode(vectors, books, id_col=id_col, vec_col=vec_col)
-        .select(id_col, "pq_code")
-        .join(vectors.select(id_col, _bucket(F.col(vec_col)).alias("bucket")), id_col)
+    # One Arrow pass computes BOTH the PQ code and the IVF bucket per
+    # vector — no self-join of two derived projections (which cost an
+    # id-keyed shuffle of the whole vector set). repartition("bucket")
+    # before the partitioned write so each inverted list lands as one
+    # file per shuffle-partition-share instead of
+    # (shuffle partitions × buckets) small files.
+    coded = vectors.select(
+        F.col(id_col),
+        _bucket(F.col(vec_col)).alias("bucket"),
+        _pq_code_col(books)(F.col(vec_col)).alias("pq_code"),
     )
-    coded.write.mode("overwrite").partitionBy("bucket").parquet(
-        os.path.join(path, "codes")
-    )
+    coded.repartition("bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(path, "codes"))
     cent.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     book_rows = [
         (j, c, [float(x) for x in books[j, c]])
