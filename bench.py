@@ -126,6 +126,14 @@ HEADLINE = [
     "fn_encoding",
     "sim_index_build",
     "sim_index_query",
+    # Round-5 additions, fifth batch: the last TPC-H shape (Q6), bivariate
+    # regression stats, and substring-span dedup (the heaviest new op —
+    # O(tokens) window hashing + two hash aggregates).
+    "query_forecast_revenue",
+    "agg_corr_regr",
+    "dedup_substring_spans",
+    "events_rfm",
+    "udf_map_in_arrow",
 ]
 
 

@@ -228,3 +228,61 @@ def udf_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(li.groupBy("l_orderkey"))
         .applyInPandas(merge, "o_orderkey long, n_lines long, line_revenue double")
     )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+               AS n_spaces,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-Arrow batch transform via ``mapInArrow`` — the lowest-overhead
+    Python escape hatch: no pandas materialization at all, each partition
+    streams ``pyarrow.RecordBatch`` objects through vectorized
+    ``pyarrow.compute`` kernels (C++ SIMD, zero Python per-row work).
+    This is the shape for binary/tensor payloads where pandas object
+    boxing dominates (the multimodal family uses mapInPandas for its
+    dict-row ergonomics; this op covers the API tier below it).
+
+    Built-in equivalent (the fast path, SURVEY §4): ``F.length`` /
+    ``F.octet_length`` / a replace-diff — kept as the oracle, so the
+    differential gate proves the Arrow kernels match Catalyst exactly.
+    Batch shape: one output batch per input batch, schema declared up
+    front; partition-local, zero shuffle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_spaces", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def stats_batches(batches):
+        for b in batches:
+            text = b.column(b.schema.get_field_index("text"))
+            n_chars = pc.utf8_length(text)
+            n_spaces = pc.count_substring(text, " ")
+            n_bytes = pc.binary_length(text.cast(pa.binary()))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(b.schema.get_field_index("doc_id")).cast(pa.int64()),
+                    n_chars.cast(pa.int64()),
+                    n_spaces.cast(pa.int64()),
+                    n_bytes.cast(pa.int64()),
+                ],
+                names=["doc_id", "n_chars", "n_spaces", "n_bytes"],
+            )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(stats_batches, out_schema)

@@ -996,3 +996,68 @@ def agg_sum_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("map_val").alias("val_sum"),
         F.count("*").alias("n_entries"),
     )
+
+
+@register(
+    "agg_corr_regr",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               count(*)                            AS n,
+               sum(l_quantity)                     AS sx,
+               sum(l_extendedprice)                AS sy,
+               sum(l_quantity * l_quantity)        AS sxx,
+               sum(l_extendedprice * l_extendedprice) AS syy,
+               sum(l_quantity * l_extendedprice)   AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+           round((sxy / n - (sx / n) * (sy / n)), 4) AS covar_pop,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / sqrt((sxx / n - (sx / n) * (sx / n))
+                        * (syy / n - (sy / n) * (sy / n))), 6) AS corr,
+           round((sxy / n - (sx / n) * (sy / n))
+                 / (sxx / n - (sx / n) * (sx / n)), 6) AS regr_slope,
+           round((sy / n) - (sxy / n - (sx / n) * (sy / n))
+                 / (sxx / n - (sx / n) * (sx / n)) * (sx / n), 4) AS regr_intercept
+    FROM s
+    """,
+    tags=("agg", "stats", "clickhouse"),
+)
+def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group — ClickHouse ``corr`` /
+    ``covarPop`` / ``simpleLinearRegression`` analog: Pearson correlation
+    and least-squares slope/intercept of extendedprice on quantity.
+
+    Both engines have built-ins (Spark ``corr``/``regr_slope``, DuckDB
+    ``corr``/``regr_*``) but their bias corrections differ (sample vs
+    population), so — exactly like agg_moments — both sides compute the
+    identical closed form from the six power sums (n, Σx, Σy, Σx², Σy²,
+    Σxy). That is also the scale-right plan: ONE partial+final hash
+    aggregate whose shuffle carries six doubles per group (the mergeable
+    sketch every bivariate stat reduces to), then the slope/corr algebra
+    runs on the handful of aggregated rows."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    cov = F.col("sxy") / n - (sx / n) * (sy / n)
+    varx = F.col("sxx") / n - (sx / n) * (sx / n)
+    vary = F.col("syy") / n - (sy / n) * (sy / n)
+    return s.select(
+        "l_returnflag",
+        n.alias("n"),
+        F.round(cov, 4).alias("covar_pop"),
+        F.round(cov / F.sqrt(varx * vary), 6).alias("corr"),
+        F.round(cov / varx, 6).alias("regr_slope"),
+        F.round(sy / n - (cov / varx) * (sx / n), 4).alias("regr_intercept"),
+    )

@@ -829,3 +829,100 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (F.row_number().over(w) == 1).alias("keep"),
     )
+
+
+_SPAN_W = 10  # window width in tokens (Lee et al. 2022 use 50-token spans
+# on BPE tokens; the synthetic fixture's docs are 10-99 whitespace tokens,
+# so 10 keeps every doc in scope while exercising the identical plan)
+
+
+def _span_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    win AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(unnest(list_transform(
+               range(1, len(tk) - {_SPAN_W - 2}),
+               i -> array_to_string(list_slice(tk, i, i + {_SPAN_W - 1}), ' ')
+             ))), 1, 15)) AS BIGINT) AS g
+      FROM toks WHERE len(tk) >= {_SPAN_W}
+    ),
+    per_doc_gram AS (
+      SELECT doc_id, g, count(*) AS k
+      FROM win GROUP BY doc_id, g
+    ),
+    gram_docs AS (
+      SELECT g, count(*) AS n_docs
+      FROM per_doc_gram GROUP BY g
+    )
+    SELECT d.doc_id,
+           CAST(sum(d.k) AS BIGINT) AS n_windows,
+           CAST(sum(CASE WHEN gd.n_docs >= 2 THEN d.k ELSE 0 END) AS BIGINT)
+               AS n_dup_windows,
+           round(sum(CASE WHEN gd.n_docs >= 2 THEN d.k ELSE 0 END)
+                 / CAST(sum(d.k) AS DOUBLE), 6) AS dup_frac
+    FROM per_doc_gram d JOIN gram_docs gd ON d.g = gd.g
+    GROUP BY d.doc_id
+    """
+
+
+@register("dedup_substring_spans", oracle=_span_oracle(), tags=("llm", "dedup"))
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span duplication profiling (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    W-token window of every document is hashed; a window is *duplicated*
+    if the identical token span occurs in at least one OTHER document.
+    Output per doc: total windows, duplicated-window count, duplicated
+    fraction — the signal used to cut boilerplate/templated spans that
+    survive whole-doc MinHash (which only catches near-identical DOCS,
+    not shared paragraphs inside otherwise-distinct docs).
+
+    Scale shape (the suffix-array of the paper is a single-machine
+    construct; this is its shuffle-native equivalent):
+      1. tokenize + rolling windows as array lambdas — zero shuffle,
+         O(tokens) rows emitted with an 8-byte hash key, raw strings
+         dropped before anything moves;
+      2. (doc_id, g) pre-aggregation — map-side combine collapses
+         within-doc repeats, so the wire carries at most one row per
+         distinct (doc, span);
+      3. per-span doc-frequency on g (count of docs, not occurrences) —
+         a second linear hash aggregate;
+      4. join the per-doc-gram rows back to the span frequencies on g
+         and roll up per doc. Both aggregates and the join share the g
+         hash partitioning; AQE picks broadcast for the frequency side
+         iff the duplicated-span set is small.
+    Hash = md5-derived 60-bit key on BOTH sides (decontaminate's parity
+    trick) so Spark and the oracle agree by construction."""
+    d = table(spark, sf_dir, "documents")
+    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size(tk) - F.lit(_SPAN_W - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.array_join(F.slice(tk, i, _SPAN_W), " ")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+    )
+    per_doc_gram = (
+        d.filter(F.size(tk) >= _SPAN_W)
+        .select("doc_id", F.explode(wins).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    gram_docs = per_doc_gram.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    dup_k = F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(F.lit(0))
+    return (
+        per_doc_gram.join(gram_docs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_windows"),
+            F.sum(dup_k).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.sum(dup_k) / F.sum("k").cast("double"), 6
+            ).alias("dup_frac"),
+        )
+    )

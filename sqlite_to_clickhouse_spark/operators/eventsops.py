@@ -561,3 +561,93 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 6).alias("attributed_value"),
         )
     )
+
+
+@register(
+    "events_rfm",
+    oracle="""
+    WITH anchor AS (
+        SELECT max(o_orderdate) AS mx FROM orders
+    ),
+    per_cust AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', max(o_orderdate), (SELECT mx FROM anchor))
+                    AS BIGINT)                         AS recency_days,
+               CAST(count(*) AS BIGINT)                AS frequency,
+               round(sum(o_totalprice), 2)             AS monetary
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               CAST(ntile(5) OVER (ORDER BY recency_days ASC,  o_custkey) AS BIGINT) AS r_score,
+               CAST(ntile(5) OVER (ORDER BY frequency   DESC, o_custkey) AS BIGINT) AS f_score,
+               CAST(ntile(5) OVER (ORDER BY monetary    DESC, o_custkey) AS BIGINT) AS m_score
+        FROM per_cust
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(monetary), 2)  AS segment_value
+    FROM scored
+    GROUP BY 1, 2, 3
+    """,
+    tags=("events", "analytics"),
+)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation — the
+    classic warehouse mart the reference's migrated `orders` table feeds:
+    per-customer last-order age, order count, and lifetime value, each
+    ntile(5)-scored, rolled up to segment cells.
+
+    Scale shape: ONE hash aggregate collapses the fact table to one row
+    per customer (the 100 TB → |customers| reduction happens first);
+    the three ntile windows then run over the aggregated rows only. The
+    global max(o_orderdate) anchor rides a broadcast single-row
+    crossJoin, not a driver collect. Ntile ties are broken on o_custkey
+    so both engines assign identical quintiles. The un-partitioned
+    ntile windows single-thread the scored set — acceptable because it
+    is post-aggregation (|customers| rows); at extreme cardinality you
+    would switch to percent_rank-derived buckets, same semantics."""
+    o = table(spark, sf_dir, "orders")
+    anchor = F.broadcast(o.agg(F.max("o_orderdate").alias("mx")))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(anchor)
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = (
+        per_cust.withColumn(
+            "r_score",
+            F.ntile(5)
+            .over(Window.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+            .cast("long"),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+            .cast("long"),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5)
+            .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+            .cast("long"),
+        )
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("monetary"), 2).alias("segment_value"),
+    )

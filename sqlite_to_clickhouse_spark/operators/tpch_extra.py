@@ -534,3 +534,47 @@ def query_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "query_forecast_revenue",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+           round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "tpch"),
+)
+def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: forecast revenue change from a discount tweak — a
+    pure scan-filter-aggregate with NO join and NO grouping, the canonical
+    predicate-pushdown benchmark (completes the 22-shape battery; the
+    reference, /root/reference/main.py:56-178, issues no queries at all).
+
+    At 100 TB this query is entirely scan-bound: all three predicates are
+    parquet-pushable (shipdate range prunes row groups via min/max stats,
+    discount/quantity filter within), and the projection reads exactly
+    three columns. The aggregate is a single partial+final global sum —
+    one row crosses the wire per task. ``.explain`` shows the filters in
+    PushedFilters and a 3-column ReadSchema; anything else would read the
+    whole table to produce two numbers."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+        )
+    )

@@ -98,6 +98,14 @@ DEFAULT_OPS = [
     "agg_sum_map",
     "maintenance_analyze_stats",
     "fn_geo",
+    # Round-5 fifth batch: Q6 scan-agg, power-sum regression stats, and
+    # substring-span dedup (O(tokens) window hashing; the join-back's
+    # output is input-linear since span doc-frequencies are capped by the
+    # fixture's vocabulary, so wall should track K).
+    "query_forecast_revenue",
+    "agg_corr_regr",
+    "dedup_substring_spans",
+    "events_rfm",
 ]
 
 
