@@ -134,6 +134,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "events_rfm",
     "udf_map_in_arrow",
+    "sample_mix_epochs",
 ]
 
 

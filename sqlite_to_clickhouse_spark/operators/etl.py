@@ -234,6 +234,38 @@ def scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(path).select("n_nationkey", "n_name", "n_regionkey")
 
 
+_TEXT_STAGED: dict[str, str] = {}
+
+
+@register("scan_text_lines", oracle=_NATION_ORACLE, tags=("source", "etl"))
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text line source (``spark.read.text``) — the last built-in
+    file format the engine speaks (parquet/orc/csv/json/jdbc/binaryFile
+    are covered by their own scan_* ops). The raw-log ingestion shape:
+    each line is one record, parsing is an explicit projection (split +
+    casts) that stays in whole-stage codegen rather than a per-row
+    Python loop. Round trip: nation is staged as pipe-delimited lines
+    once per process, read back as `value: string`, and re-typed."""
+    key = sf_dir
+    if key not in _TEXT_STAGED:
+        path = os.path.join(tempfile.mkdtemp(prefix="scan_text_"), "nation")
+        table(spark, sf_dir, "nation").select(
+            F.concat_ws(
+                "|",
+                F.col("n_nationkey").cast("string"),
+                F.col("n_name"),
+                F.col("n_regionkey").cast("string"),
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+        _TEXT_STAGED[key] = path
+    parts = F.split(F.col("value"), "\\|")
+    return spark.read.text(_TEXT_STAGED[key]).select(
+        parts.getItem(0).cast("int").alias("n_nationkey"),
+        parts.getItem(1).alias("n_name"),
+        parts.getItem(2).cast("int").alias("n_regionkey"),
+    )
+
+
 _PART_STAGED: dict[str, str] = {}
 
 

@@ -392,3 +392,82 @@ def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("mix_rank") <= F.col("q"))
         .select("doc_id", "source", "mix_rank")
     )
+
+
+_EPOCH_BUDGET_X = 2  # total post-mix budget as a multiple of the corpus
+
+
+@register(
+    "sample_mix_epochs",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(cnt) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS s
+        FROM counts
+    ),
+    plan AS (
+        SELECT c.source, c.cnt,
+               (({_EPOCH_BUDGET_X} * t.n // t.s) // c.cnt)           AS base_epochs,
+               ((({_EPOCH_BUDGET_X} * t.n // t.s) % c.cnt) * 4294967296)
+                   // c.cnt                                          AS extra_below
+        FROM counts c, tot t
+    )
+    SELECT d.doc_id, d.source,
+           CAST(unnest(range(p.base_epochs +
+             CASE WHEN CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) < p.extra_below THEN 1 ELSE 0 END))
+             AS BIGINT) AS epoch
+    FROM documents d JOIN plan p USING (source)
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-epoch upsampling — the other half of domain mixing
+    (sample_domain_mix caps oversized sources; this replicates
+    undersized ones): every source gets an equal slice of a
+    {_EPOCH_BUDGET_X}× corpus budget, so a source with cnt docs is
+    repeated target/cnt ≈ e.g. 2.3 epochs — each doc appears
+    ⌊2.3⌋ = 2 times, and a deterministic 30 % of docs (32-bit md5
+    prefix below a threshold) appear a third time. This is the recipe
+    step LLM pretraining mixes use to hit target domain weights when a
+    domain is smaller than its weight demands.
+
+    Integer-exact plan: per-source counts (tiny aggregate) → base epochs
+    and the extra-copy hash threshold in pure BIGINT arithmetic (no
+    float rounding to disagree across engines) → broadcast back onto
+    the scan → ``explode(sequence(...))`` materializes the copies.
+    The corpus is never shuffled: replication happens in-place per
+    partition, output size = Σ copies (that's the job, not overhead).
+    Hash-gated extra copies are append-stable: adding new docs never
+    flips an existing doc's epoch count (same property as the split/
+    sample family)."""
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    tot = counts.agg(
+        F.sum("cnt").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("s")
+    )
+    plan = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.expr(f"(({_EPOCH_BUDGET_X} * n div s) div cnt)").alias("base_epochs"),
+        F.expr(
+            f"((({_EPOCH_BUDGET_X} * n div s) % cnt) * 4294967296) div cnt"
+        ).alias("extra_below"),
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    n_copies = F.col("base_epochs") + (u32 < F.col("extra_below")).cast("long")
+    # Spark's sequence(0, -1) yields a DESCENDING [0, -1], not empty —
+    # guard the zero-copy case explicitly so it matches range(0) = ∅.
+    epochs = F.when(
+        n_copies > 0, F.sequence(F.lit(0).cast("long"), n_copies - 1)
+    ).otherwise(F.array().cast("array<long>"))
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(plan), "source")
+        .select("doc_id", "source", F.explode(epochs).alias("epoch"))
+    )

@@ -106,6 +106,7 @@ DEFAULT_OPS = [
     "agg_corr_regr",
     "dedup_substring_spans",
     "events_rfm",
+    "sample_mix_epochs",
 ]
 
 
