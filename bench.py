@@ -135,6 +135,7 @@ HEADLINE = [
     "events_rfm",
     "udf_map_in_arrow",
     "sample_mix_epochs",
+    "multimodal_phash_dedup",
 ]
 
 

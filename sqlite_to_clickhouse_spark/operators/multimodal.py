@@ -316,3 +316,111 @@ def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return m.mapInPandas(window_batches, _AUDIO_SCHEMA)
+
+
+_PHASH_CHUNKS = 8  # signature dimensions (chunk byte-sums, mod 256)
+
+
+def _phash_oracle() -> str:
+    # Chunk j covers 1-indexed char positions (j*L//8, (j+1)*L//8]; the
+    # fixture text is ASCII so ascii(char) == byte value and the SQL
+    # signature equals the Spark-side byte-chunk signature exactly.
+    sigs = ",\n             ".join(
+        f"CAST(coalesce(list_aggregate(list_transform("
+        f"range(1 + (({j} * strlen(text)) // {_PHASH_CHUNKS}),"
+        f" 1 + ((({j} + 1) * strlen(text)) // {_PHASH_CHUNKS})),"
+        f" i -> ascii(substring(text, i, 1))), 'sum'), 0) % 256 AS BIGINT)"
+        f" AS s{j}"
+        for j in range(_PHASH_CHUNKS)
+    )
+    half = _PHASH_CHUNKS // 2
+    band_cols = ", ".join(f"s{j}" for j in range(half))
+    all_cols = ", ".join(f"s{j}" for j in range(_PHASH_CHUNKS))
+    return f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {sigs}
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id,
+             concat_ws('-', {all_cols})  AS phash,
+             concat_ws('-', {band_cols}) AS band_key
+      FROM sig
+    ),
+    bands AS (
+      SELECT band_key, CAST(count(*) AS BIGINT) AS n_band
+      FROM keyed GROUP BY band_key
+    )
+    SELECT k.doc_id, k.phash, k.band_key, b.n_band,
+           b.n_band >= 2 AS dup_candidate
+    FROM keyed k JOIN bands b USING (band_key)
+    """
+
+
+_PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("phash", T.StringType()),
+        T.StructField("band_key", T.StringType()),
+    ]
+)
+
+
+@register("multimodal_phash_dedup", oracle=_phash_oracle(), tags=("multimodal", "dedup"))
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over binary media — the
+    image-dedup shape: decode → fixed-length signature → LSH-style band
+    bucketing, no pairwise comparison anywhere.
+
+    The "pHash" here is the deterministic stand-in this container allows
+    (no codecs): the payload is split into {_PHASH_CHUNKS} equal byte
+    ranges and each chunk's byte-sum mod 256 becomes one signature
+    dimension — structurally the same locality property as a real
+    dHash/pHash (similar payloads ⇒ similar chunk sums), computed inside
+    the same Arrow-batched mapInPandas a PIL/ffmpeg decode would occupy
+    (swap decode_payload_stub-style; signature math is numpy over the
+    byte buffer, no per-byte Python).
+
+    Scale shape: signatures are computed partition-locally; candidate
+    grouping shuffles only (band_key, doc_id) — the first half of the
+    signature is the band, so near-identical payloads co-bucket and the
+    join-back marks them dup_candidate without ever forming pairs. The
+    oracle recomputes the identical signature in SQL (ASCII fixture ⇒
+    char codes are bytes), so decode, banding, and join-back are all
+    hash-gate-checked."""
+    import numpy as np
+
+    m = media_table(spark, sf_dir).select("doc_id", "payload")
+    half = _PHASH_CHUNKS // 2
+
+    def phash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            phashes, bands = [], []
+            for p in pdf["payload"]:
+                buf = np.frombuffer(p, dtype=np.uint8)
+                n = len(buf)
+                bounds = [(j * n) // _PHASH_CHUNKS for j in range(_PHASH_CHUNKS + 1)]
+                sums = [
+                    int(buf[bounds[j] : bounds[j + 1]].sum(dtype=np.int64)) % 256
+                    for j in range(_PHASH_CHUNKS)
+                ]
+                phashes.append("-".join(str(s) for s in sums))
+                bands.append("-".join(str(s) for s in sums[:half]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "phash": phashes,
+                    "band_key": bands,
+                }
+            )
+
+    keyed = m.mapInPandas(phash_batches, _PHASH_SCHEMA)
+    bands = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("n_band"))
+    return keyed.join(bands, "band_key").select(
+        "doc_id",
+        "phash",
+        "band_key",
+        "n_band",
+        (F.col("n_band") >= 2).alias("dup_candidate"),
+    )

@@ -107,6 +107,7 @@ DEFAULT_OPS = [
     "dedup_substring_spans",
     "events_rfm",
     "sample_mix_epochs",
+    "multimodal_phash_dedup",
 ]
 
 
