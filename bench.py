@@ -136,6 +136,8 @@ HEADLINE = [
     "udf_map_in_arrow",
     "sample_mix_epochs",
     "multimodal_phash_dedup",
+    "agg_delta_sum",
+    "join_asof_tolerance",
 ]
 
 

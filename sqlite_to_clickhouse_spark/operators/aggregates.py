@@ -1061,3 +1061,46 @@ def agg_corr_regr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cov / varx, 6).alias("regr_slope"),
         F.round(sy / n - (cov / varx) * (sx / n), 4).alias("regr_intercept"),
     )
+
+
+@register(
+    "agg_delta_sum",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, value,
+               lag(value) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS prev
+        FROM events
+    )
+    SELECT user_id,
+           round(sum(CASE WHEN prev IS NOT NULL AND value > prev
+                          THEN value - prev ELSE 0 END), 6) AS delta_sum,
+           CAST(count(*) AS BIGINT) AS n_points
+    FROM ordered
+    GROUP BY user_id
+    """,
+    tags=("agg", "timeseries", "clickhouse"),
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``deltaSum`` analog: per series, the sum of positive
+    increments of an ordered metric — the counter-reset-tolerant rate
+    primitive (a monitoring counter that resets to 0 contributes only
+    its growth segments, never the negative reset step).
+
+    One window (lag over the user/time ordering) + one hash aggregate,
+    both riding a single user_id hash partitioning — Catalyst collapses
+    the window's and aggregate's exchanges into one shuffle. Ordering
+    ties break on event_id so both engines see identical neighbor
+    pairs. 6-dp rounding keeps IEEE sum-order noise out of the gate."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    inc = F.when(prev.isNotNull() & (F.col("value") > prev), F.col("value") - prev)
+    return (
+        ev.select("user_id", inc.alias("inc"))
+        .groupBy("user_id")
+        .agg(
+            F.round(F.coalesce(F.sum("inc"), F.lit(0.0)), 6).alias("delta_sum"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+    )

@@ -295,6 +295,7 @@ def asof_join(
     right_payload: list[str],
     right_tiebreak: str,
     direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
     """Generic as-of join (library API), pandas-merge_asof directions:
 
@@ -389,6 +390,23 @@ def asof_join(
         )
         merged = merged.withColumn(
             "__hit", F.when(back_wins, F.col("__b")).otherwise(F.col("__f"))
+        )
+    if tolerance_us is not None:
+        # pandas merge_asof ``tolerance`` semantics: the matched row must
+        # be within the window or the match is dropped (payload → NULL).
+        # Post-filtering IS the exact semantics: the asof pick is already
+        # the time-closest qualifying row in its direction, so if it
+        # misses the window every other candidate misses it too.
+        def _epoch(c):
+            return F.unix_micros(c.cast("timestamp"))
+
+        dist = F.abs(_epoch(F.col("__t")) - _epoch(F.col("__hit.__rt")))
+        merged = merged.withColumn(
+            "__hit",
+            F.when(
+                F.col("__hit").isNotNull() & (dist <= F.lit(int(tolerance_us))),
+                F.col("__hit"),
+            ),
         )
     return merged.filter(F.col("__is_left") == 1).select(
         *l_cols,
@@ -754,4 +772,65 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("overlap_days"),
+    )
+
+
+_ASOF_TOL_DAYS = 30
+
+
+@register(
+    "join_asof_tolerance",
+    oracle=f"""
+    WITH r AS (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rn
+        FROM orders) WHERE rn = 1)
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                     - epoch_us(CAST(r.o_orderdate AS TIMESTAMP))
+                  <= CAST({_ASOF_TOL_DAYS} AS BIGINT) * 86400 * 1000000
+                THEN r.o_orderkey END   AS asof_orderkey,
+           CASE WHEN epoch_us(CAST(e.ts AS TIMESTAMP))
+                     - epoch_us(CAST(r.o_orderdate AS TIMESTAMP))
+                  <= CAST({_ASOF_TOL_DAYS} AS BIGINT) * 86400 * 1000000
+                THEN r.o_totalprice END AS asof_totalprice
+    FROM events e
+    ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match window (pandas ``merge_asof(tolerance=...)``
+    semantics): latest order at-or-before the event, but only if it is at
+    most {_ASOF_TOL_DAYS} days old — staler matches become NULL instead of
+    silently joining arbitrarily old state. This is the form feature-store
+    lookups actually need (a point-in-time feature beyond its freshness
+    window is worse than missing).
+
+    Plan is identical to join_asof — ONE hash shuffle on the key, the
+    running-last window scan — plus a pure projection applying the window:
+    post-filtering is exact, because the asof pick is already the closest
+    qualifying row, so if IT misses the tolerance every other row does
+    too. Compare in microseconds on both sides (unix_micros vs epoch_us;
+    whole-second casts would flip near-boundary matches)."""
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = table(spark, sf_dir, "orders")
+    return asof_join(
+        ev,
+        o,
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        tolerance_us=_ASOF_TOL_DAYS * 86400 * 1000000,
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.col("asof_o_totalprice").alias("asof_totalprice"),
     )

@@ -88,6 +88,55 @@ def test_asof_union_equals_brute_force(spark_session_holder, direction, left, ri
     assert got == want
 
 
+@pytest.mark.parametrize("direction", ["backward", "forward", "nearest"])
+@pytest.mark.parametrize("tol", [0, 3, 7])
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=1, max_size=10
+    ),
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 20)), min_size=0, max_size=10
+    ),
+)
+def test_asof_tolerance_equals_brute_force(
+    spark_session_holder, direction, tol, left, right
+):
+    """merge_asof(tolerance=...) semantics: the directional pick is kept
+    only if its time distance is within tol, else NULL — for every
+    direction, including tol=0 (exact-time matches only)."""
+    from sqlite_to_clickhouse_spark.operators.joins import asof_join
+
+    spark = spark_session_holder
+    left_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    right_rows = [(k, t, 100 + i) for i, (k, t) in enumerate(right)]
+    ldf = spark.createDataFrame(left_rows, "k: long, t: long, lid: long")
+    rdf = spark.createDataFrame(right_rows, "rk: long, rt: long, rid: long")
+    out = asof_join(
+        ldf,
+        rdf,
+        left_on="k",
+        right_on="rk",
+        left_time="t",
+        right_time="rt",
+        right_payload=["rid"],
+        right_tiebreak="rid",
+        direction=direction,
+        tolerance_us=tol * 1_000_000,  # long times cast to epoch-second ts
+    )
+    got = {r["lid"]: r["asof_rid"] for r in out.collect()}
+
+    want = {}
+    base = _asof_brute(left_rows, right_rows, direction)
+    rt_by_rid = {rid: rt for _, rt, rid in right_rows}
+    for k, t, lid in left_rows:
+        rid = base[lid]
+        if rid is not None and abs(t - rt_by_rid[rid]) > tol:
+            rid = None
+        want[lid] = rid
+    assert got == want
+
+
 @pytest.fixture(scope="session")
 def spark_session_holder(spark):
     return spark

@@ -108,6 +108,8 @@ DEFAULT_OPS = [
     "events_rfm",
     "sample_mix_epochs",
     "multimodal_phash_dedup",
+    "agg_delta_sum",
+    "join_asof_tolerance",
 ]
 
 
