@@ -382,12 +382,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (swap decode_payload_stub-style; signature math is numpy over the
     byte buffer, no per-byte Python).
 
-    Scale shape: signatures are computed partition-locally; candidate
-    grouping shuffles only (band_key, doc_id) — the first half of the
-    signature is the band, so near-identical payloads co-bucket and the
-    join-back marks them dup_candidate without ever forming pairs. The
-    oracle recomputes the identical signature in SQL (ASCII fixture ⇒
-    char codes are bytes), so decode, banding, and join-back are all
+    Scale shape: signatures are computed partition-locally in ONE Arrow
+    stage; candidate marking is a count-over-window on band_key — NOT a
+    groupBy + self-join, because Spark plans are trees and a self-join
+    would re-run the Python signature stage for the second branch
+    (asserted in tests/test_plans.py: exactly one MapInPandas). One
+    shuffle total (the band_key partitioning), payload bytes never cross
+    the wire, and no pairs are ever formed. The oracle recomputes the
+    identical signature in SQL (ASCII fixture ⇒ char codes are bytes),
+    so decode, banding, and candidate marking are all
     hash-gate-checked."""
     import numpy as np
 
@@ -415,12 +418,14 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
+    from pyspark.sql import Window
+
     keyed = m.mapInPandas(phash_batches, _PHASH_SCHEMA)
-    bands = keyed.groupBy("band_key").agg(F.count(F.lit(1)).alias("n_band"))
-    return keyed.join(bands, "band_key").select(
+    n_band = F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+    return keyed.select(
         "doc_id",
         "phash",
         "band_key",
-        "n_band",
-        (F.col("n_band") >= 2).alias("dup_candidate"),
+        n_band.alias("n_band"),
+        (n_band >= 2).alias("dup_candidate"),
     )

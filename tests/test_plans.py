@@ -561,3 +561,62 @@ def test_map_in_arrow_is_narrow_and_pruned(spark, sf_dir):
     assert "MapInArrow" in p or "ArrowEvalPython" in p or "PythonMapInArrow" in p
     rs = next(l for l in p.splitlines() if "ReadSchema" in l)
     assert "doc_id" in rs and "text" in rs and "lang" not in rs
+
+
+def test_delta_sum_single_shared_shuffle(spark, sf_dir):
+    # The lag window and the per-user aggregate must share ONE user_id
+    # hash partitioning — a second fact-sized exchange would double the
+    # 100 TB shuffle for no semantic reason.
+    p = _plan(spark, sf_dir, "agg_delta_sum")
+    assert "Window" in p
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular
+
+
+def test_asof_tolerance_same_plan_as_asof(spark, sf_dir):
+    # Tolerance is a projection over the asof pick, not a join change:
+    # the plan must still be the single-shuffle windowed union (one
+    # non-broadcast exchange for the key partitioning), with no extra
+    # join introduced by the window filter.
+    p = _plan(spark, sf_dir, "join_asof_tolerance")
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    assert len(regular) == 1, regular
+    assert "Window" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mix_epochs_no_corpus_shuffle(spark, sf_dir):
+    # Replication happens in place: the only exchanges belong to the tiny
+    # per-source count aggregate (and its broadcast back); the corpus
+    # itself must reach the explode without a hash repartition.
+    p = _plan(spark, sf_dir, "sample_mix_epochs")
+    assert "Generate" in p  # the explode of epoch copies
+    assert "BroadcastExchange" in p
+    regular = [e for e in _exchanges(p) if "Broadcast" not in e]
+    # counts agg: one exchange; its crossJoin re-aggregation: at most one
+    # more. None may carry documents' text column.
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line
+
+
+def test_scan_text_lines_codegen_parse(spark, sf_dir):
+    # Line parsing must be a codegen projection over the text scan — no
+    # Python, no shuffle.
+    p = _plan(spark, sf_dir, "scan_text_lines")
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert not _exchanges(p)
+
+
+def test_phash_band_shuffle_only(spark, sf_dir):
+    # Signatures are computed partition-locally in ONE Arrow-batched
+    # Python stage; candidate marking shuffles only (band_key, …) rows.
+    p = _plan(spark, sf_dir, "multimodal_phash_dedup")
+    # formatted explain names each physical node twice (tree + detail
+    # section): 2 mentions == ONE MapInPandas stage; 4 would mean the
+    # signature stage is being recomputed by a self-join branch.
+    assert p.count("MapInPandas") == 2
+    assert "CartesianProduct" not in p
+    for line in p.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "payload" not in line  # bytes never cross the wire
