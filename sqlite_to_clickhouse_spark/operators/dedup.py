@@ -889,12 +889,13 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       2. (doc_id, g) pre-aggregation — map-side combine collapses
          within-doc repeats, so the wire carries at most one row per
          distinct (doc, span);
-      3. per-span doc-frequency on g (count of docs, not occurrences) —
-         a second linear hash aggregate;
-      4. join the per-doc-gram rows back to the span frequencies on g
-         and roll up per doc. Both aggregates and the join share the g
-         hash partitioning; AQE picks broadcast for the frequency side
-         iff the duplicated-span set is small.
+      3. per-span doc-frequency as a count-over-window on g — NOT a
+         groupBy + join-back: Spark plans are trees, so a self-join
+         would re-run the explode/hash subtree for the second branch,
+         doubling the O(tokens) work (the window form is asserted in
+         tests/test_plans.py: exactly one Generate);
+      4. roll up per doc. Three narrow shuffles total ((doc_id,g) → g →
+         doc_id), each carrying only ids, hashes and counts.
     Hash = md5-derived 60-bit key on BOTH sides (decontaminate's parity
     trick) so Spark and the oracle agree by construction."""
     d = table(spark, sf_dir, "documents")
@@ -913,10 +914,10 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    gram_docs = per_doc_gram.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("g"))
     dup_k = F.when(F.col("n_docs") >= 2, F.col("k")).otherwise(F.lit(0))
     return (
-        per_doc_gram.join(gram_docs, "g")
+        per_doc_gram.withColumn("n_docs", n_docs)
         .groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_windows"),

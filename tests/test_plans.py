@@ -528,7 +528,9 @@ def test_substring_spans_no_cartesian_and_preagg(spark, sf_dir):
     p = _plan(spark, sf_dir, "dedup_substring_spans")
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
     assert "partial" in p.lower()
-    assert "Generate" in p  # the window explode
+    # Exactly ONE explode pass: doc frequency comes from a count-over-
+    # window, never a self-join that would re-run the O(tokens) subtree.
+    assert p.count("Generate (") == 1
     # Raw text must not survive past the explode: no 'text' column in any
     # exchange (the wire carries doc_id + 8-byte g only).
     for line in p.splitlines():
