@@ -650,18 +650,26 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("sz_u", F.size("tk_u").cast("long"))
         .withColumn("sz_v", F.size("tk_v").cast("long"))
     )
-    fwd = both.select(
-        F.col("u").alias("doc_a"),
-        F.col("v").alias("doc_b"),
-        (F.col("n_inter").cast("double") / F.col("sz_u")).alias("c"),
-    )
-    rev = both.select(
-        F.col("v").alias("doc_a"),
-        F.col("u").alias("doc_b"),
-        (F.col("n_inter").cast("double") / F.col("sz_v")).alias("c"),
+    # Both directed ratios leave each verified pair as ONE row exploded
+    # to its two directions in place — a union of two selects over `both`
+    # would re-run the whole candidate join + verification for the second
+    # branch (plans are trees; common subplans are recomputed, and this
+    # union sat at the ROOT, doubling everything).
+    directions = F.array(
+        F.struct(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            (F.col("n_inter").cast("double") / F.col("sz_u")).alias("c"),
+        ),
+        F.struct(
+            F.col("v").alias("doc_a"),
+            F.col("u").alias("doc_b"),
+            (F.col("n_inter").cast("double") / F.col("sz_v")).alias("c"),
+        ),
     )
     return (
-        fwd.unionByName(rev)
+        both.select(F.explode(directions).alias("dir"))
+        .select("dir.doc_a", "dir.doc_b", F.col("dir.c").alias("c"))
         .filter(F.col("c") >= _CONTAINMENT_T)
         .select("doc_a", "doc_b", F.round("c", 6).alias("containment"))
     )

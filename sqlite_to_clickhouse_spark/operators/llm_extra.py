@@ -183,21 +183,23 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest perplexity proxy, a standard quality-filter feature (gibberish
     and boilerplate both sit in the tails).
 
-    Two passes over the corpus (the unavoidable shape: the LM must be
-    fitted before it can score): pass 1 collapses the token stream to the
-    vocab-sized frequency table, pass 2 re-streams tokens and joins the
-    frequencies back — broadcast at any realistic vocab size, degrading
-    to a hash join on the 8-byte-hashable token otherwise; the grand
-    total is a broadcast scalar off the small tf table.
+    Fit-then-score collapses to ONE tokenize pass: the per-token global
+    frequency is a count-over-window on token over the exploded stream
+    (every occurrence is a row, so the token-partition size IS tf) — the
+    groupBy-and-join-back form re-ran the corpus explode for the tf
+    branch (plans are trees; the same flaw fixed in text_tfidf). The
+    grand total rides a broadcast scalar from a sum(size(tokens)) scan —
+    it re-tokenizes but never explodes or shuffles a token.
     ln() on identical double inputs is engine-stable (same precedent as
     text_tfidf's LN, driver-green since r3)."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
-    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
-    total = tf.agg(F.sum("tf").cast("double").alias("total"))
+    total = d.agg(
+        F.sum(F.size(_tokens(F.col("text")))).cast("double").alias("total")
+    )
     logp = F.log(F.col("tf") / F.col("total"))
     return (
-        tok.join(F.broadcast(tf), "token")
+        tok.withColumn("tf", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(

@@ -12,7 +12,7 @@ a 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlite_to_clickhouse_spark.io import table
@@ -121,19 +121,25 @@ def text_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact TF-IDF per (doc, token): two aggregates + one broadcast join.
+    """Exact TF-IDF per (doc, token): ONE tokenize pass, one aggregate,
+    one window.
 
-    The df table is vocabulary-sized (tiny), so it broadcasts; the doc
-    count is a scalar cross join. Nothing here is the MLlib HashingTF
-    path — exact counts, fully oracle-checkable.
-    """
+    Document frequency is a count-over-window on token over the TF rows
+    (which are distinct (doc, token) pairs, so the partition count IS
+    df) — not a second groupBy of the token stream joined back: Spark
+    plans are trees, so the join form re-runs the corpus explode for the
+    df branch, doubling the tokenize work at 100 TB (the single-Generate
+    shape is asserted in tests/test_plans.py). The doc count rides a
+    broadcast scalar from a payload-free second scan (row count only —
+    cheap; it never re-tokenizes). Exact counts, fully oracle-checkable
+    — not the MLlib HashingTF path."""
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("token"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     return (
-        tf.join(F.broadcast(df), "token")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
@@ -402,19 +408,20 @@ def text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (downstream: drop lines with cnt>1 keeping one copy, or drop docs
     with dup_ratio above a threshold).
 
-    Plan: explode → grouped count on the line text → broadcast-or-shuffle
-    hash join back → per-doc agg. At 100 TB the line-frequency table is
-    the big intermediate; hash lines to 64-bit before the join (as
-    minhash does) and the join key drops from ~100-char strings to
-    8 bytes."""
+    Plan: explode → line frequency as a count-over-window on the line →
+    per-doc agg. ONE explode pass: the earlier grouped-count-and-join-
+    back form re-ran the split/explode subtree for the frequency branch
+    (plans are trees — same flaw fixed in text_tfidf and
+    dedup_substring_spans). At 100 TB hash lines to 64-bit before the
+    shuffle (as minhash does) and the partition key drops from
+    ~100-char strings to 8 bytes."""
     d = table(spark, sf_dir, "documents")
     lines = d.select(
         "doc_id", F.explode(F.split(F.col("text"), r"\. ")).alias("line")
     ).filter(F.col("line") != "")
-    freq = lines.groupBy("line").agg(F.count(F.lit(1)).alias("cnt"))
     dup = F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0))
     return (
-        lines.join(freq, "line")
+        lines.withColumn("cnt", F.count(F.lit(1)).over(Window.partitionBy("line")))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -626,24 +633,26 @@ def text_idf_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate share. The C4-style cleanup this feeds either drops those
     tokens or drops documents that are mostly boilerplate.
 
-    Plan: same shape as text_tfidf's document-frequency side — distinct
-    tokens per doc (array_distinct before the explode), token-level df
-    aggregate, broadcast df + corpus count back onto the token stream,
-    per-doc aggregate. The df table is vocabulary-sized (tiny vs the
-    corpus), so the join back is a broadcast at any realistic vocabulary.
-    """
+    Plan: distinct tokens per doc (array_distinct before the explode),
+    then document frequency as a count-over-window on token — the tok
+    rows are distinct (doc, token) pairs, so the token-partition count
+    IS df. The earlier groupBy-and-join-back form re-ran the corpus
+    explode for the df branch (plans are trees; same flaw fixed in
+    text_tfidf/dedup_substring_spans) — the window form tokenizes the
+    corpus exactly once, which is the difference that matters at 100 TB.
+    The corpus count stays a broadcast scalar from a payload-free
+    row-count scan."""
     d = table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("token")
     )
-    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.count(F.lit(1)).alias("n_docs"))
     is_boiler = F.when(
         F.col("df") > F.col("n_docs") * 0.5, 1
     ).otherwise(0)
     boiler = F.sum(is_boiler)
     return (
-        tok.join(F.broadcast(df), "token")
+        tok.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
         .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
