@@ -138,6 +138,8 @@ HEADLINE = [
     "multimodal_phash_dedup",
     "agg_delta_sum",
     "join_asof_tolerance",
+    "query_yearly_growth",
+    "events_gap_stats",
 ]
 
 

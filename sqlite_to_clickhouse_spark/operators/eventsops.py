@@ -651,3 +651,53 @@ def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("segment_value"),
     )
+
+
+@register(
+    "events_gap_stats",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id,
+               epoch_us(CAST(ts AS TIMESTAMP))
+                 - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS gap_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT)            AS n_gaps,
+           CAST(min(gap_us) AS BIGINT)              AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT)              AS max_gap_us,
+           CAST(sum(gap_us) AS BIGINT)              AS total_span_us,
+           round(avg(gap_us), 4)                    AS avg_gap_us
+    FROM gaps
+    GROUP BY user_id
+    """,
+    tags=("events", "timeseries"),
+)
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per series — the cadence profile
+    (heartbeat regularity, burst detection input, sessionization-gap
+    tuning evidence): microsecond deltas between consecutive events,
+    aggregated to per-user min/max/avg/total.
+
+    One lag window and one hash aggregate sharing a single user_id
+    partitioning (the agg_delta_sum shape). Gaps compare in MICROseconds
+    on both sides — unix_micros vs epoch_us — because whole-second casts
+    truncate the fixture's fractional timestamps and shift near-boundary
+    aggregates; ordering ties break on event_id."""
+    ev = table(spark, sf_dir, "events")
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = t - F.lag(t).over(w)
+    return (
+        ev.select("user_id", gap.alias("gap_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_us").alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.sum("gap_us").alias("total_span_us"),
+            F.round(F.avg("gap_us"), 4).alias("avg_gap_us"),
+        )
+    )

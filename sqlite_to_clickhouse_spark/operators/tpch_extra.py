@@ -578,3 +578,49 @@ def query_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "query_yearly_growth",
+    oracle="""
+    WITH yearly AS (
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               round(sum(o_totalprice), 2)       AS revenue,
+               CAST(count(*) AS BIGINT)          AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT order_year, revenue, n_orders,
+           round(revenue - lag(revenue) OVER (ORDER BY order_year), 2)
+               AS revenue_delta,
+           round((revenue - lag(revenue) OVER (ORDER BY order_year))
+                 / lag(revenue) OVER (ORDER BY order_year) * 100, 4)
+               AS growth_pct
+    FROM yearly
+    """,
+    tags=("relational", "analytics"),
+)
+def query_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth — the window-over-aggregate BI staple: the
+    fact table collapses to one row per year FIRST (one partial+final
+    hash aggregate over the scan), then the lag window runs over the
+    handful of yearly rows. The un-partitioned window is post-aggregation
+    by construction (|years| rows), so the single-partition sort the
+    global ordering needs is trivially cheap — the pattern to audit for
+    is a window directly over the fact scan, which this plan never
+    does."""
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "order_year",
+        "revenue",
+        "n_orders",
+        F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
+        F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
+    )

@@ -110,6 +110,8 @@ DEFAULT_OPS = [
     "multimodal_phash_dedup",
     "agg_delta_sum",
     "join_asof_tolerance",
+    "query_yearly_growth",
+    "events_gap_stats",
 ]
 
 
