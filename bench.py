@@ -140,6 +140,7 @@ HEADLINE = [
     "join_asof_tolerance",
     "query_yearly_growth",
     "events_gap_stats",
+    "sample_hard_negatives",
 ]
 
 

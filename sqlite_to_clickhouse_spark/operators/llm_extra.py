@@ -391,3 +391,86 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.countDistinct("h") / F.count("*").cast("double"), 6
         ).alias("exact_dup_rate"),
     )
+
+
+_HN_ANCHORS = 30  # anchors = vec_id < 30
+
+
+@register(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+               b.vec_id AS cand_id,
+               (a.label = b.label) AS same_label,
+               {_cos_sql('a.embedding', 'b.embedding')} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_HN_ANCHORS}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+                 PARTITION BY anchor_id, same_label
+                 ORDER BY cos DESC, cand_id) AS rn
+        FROM pairs
+    )
+    SELECT anchor_id,
+           CAST(anchor_label AS BIGINT) AS anchor_label,
+           CAST(min(CASE WHEN same_label THEN cand_id END) AS BIGINT) AS pos_id,
+           round(min(CASE WHEN same_label THEN cos END), 6)  AS pos_cos,
+           CAST(min(CASE WHEN NOT same_label THEN cand_id END) AS BIGINT) AS neg_id,
+           round(min(CASE WHEN NOT same_label THEN cos END), 6) AS neg_cos,
+           round(min(CASE WHEN same_label THEN cos END)
+                 - min(CASE WHEN NOT same_label THEN cos END), 6) AS margin
+    FROM ranked WHERE rn = 1
+    GROUP BY anchor_id, anchor_label
+    """,
+    tags=("llm", "similarity", "sampling"),
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for embedding training: per anchor, the hardest
+    positive (most-similar SAME-label vector — the easy pair you already
+    get right) and the hardest negative (most-similar OTHER-label vector
+    — the pair a contrastive/triplet loss learns from), plus the margin
+    between them. Negative margins mark anchors whose nearest neighbor
+    has the wrong label — exactly the batch-mining signal (FaceNet-style
+    semi-hard selection drops out of the same ranked pairs).
+
+    Plan: anchors broadcast (bounded probe set, the sim_topk_cosine
+    contract); the vector table streams through ONCE — the same-label
+    and other-label tops come from one rank window partitioned by
+    (anchor, same_label), then one per-anchor aggregate folds the two
+    rn=1 rows into a single triplet row. No second pass, no self-join of
+    the pair stream; embeddings never shuffle (the exchange carries
+    (anchor, cand, cos, flag) rows only). Ties break on ascending
+    candidate id; cosines rounded to 6 dp for the gate."""
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    cos = _cosine(_dbl(F.col("a_emb")), _dbl(F.col("embedding")))
+    pairs = (
+        e.crossJoin(F.broadcast(anchors))
+        .filter(F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("cand_id"),
+            (F.col("label") == F.col("anchor_label")).alias("same_label"),
+            cos.alias("cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id", "same_label").orderBy(
+        F.desc("cos"), F.asc("cand_id")
+    )
+    top = pairs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    pos_c = F.when(F.col("same_label"), F.col("cos"))
+    neg_c = F.when(~F.col("same_label"), F.col("cos"))
+    return top.groupBy("anchor_id", F.col("anchor_label").cast("long").alias("anchor_label")).agg(
+        F.min(F.when(F.col("same_label"), F.col("cand_id"))).cast("long").alias("pos_id"),
+        F.round(F.min(pos_c), 6).alias("pos_cos"),
+        F.min(F.when(~F.col("same_label"), F.col("cand_id"))).cast("long").alias("neg_id"),
+        F.round(F.min(neg_c), 6).alias("neg_cos"),
+        F.round(F.min(pos_c) - F.min(neg_c), 6).alias("margin"),
+    )

@@ -112,6 +112,7 @@ DEFAULT_OPS = [
     "join_asof_tolerance",
     "query_yearly_growth",
     "events_gap_stats",
+    "sample_hard_negatives",
 ]
 
 
