@@ -286,12 +286,15 @@ def test_text_repetition_is_shuffle_free(spark, sf_dir):
     assert not _exchanges(p), _exchanges(p)
 
 
-def test_text_idf_filter_broadcasts_df_table(spark, sf_dir):
-    """The document-frequency table is vocabulary-sized; the join back to
-    the token stream must be a broadcast, never a shuffle of the corpus."""
+def test_text_idf_filter_single_tokenize_pass(spark, sf_dir):
+    """Document frequency is a count-over-window on the token stream —
+    one corpus tokenize/explode pass, no df-table join back (the join
+    form recomputed the explode subtree per branch; see §6.4a). The
+    corpus-count scalar still rides a broadcast."""
     p = _plan(spark, sf_dir, "text_idf_filter")
-    assert "BroadcastHashJoin" in p
+    assert p.count("Generate (") == 1
     assert "SortMergeJoin" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
 
 
 def test_text_decontaminate_no_python_eval(spark, sf_dir):
