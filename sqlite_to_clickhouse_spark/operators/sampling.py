@@ -442,9 +442,14 @@ def sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan → ``explode(sequence(...))`` materializes the copies.
     The corpus is never shuffled: replication happens in-place per
     partition, output size = Σ copies (that's the job, not overhead).
-    Hash-gated extra copies are append-stable: adding new docs never
-    flips an existing doc's epoch count (same property as the split/
-    sample family)."""
+    Determinism caveat (weaker than the split/sample family's
+    append-stability, deliberately): which docs get the extra copy is a
+    pure hash gate — stable under row order, partitioning, and re-runs —
+    but the thresholds themselves are DATA-DEPENDENT (source counts set
+    base epochs and the fractional remainder), so appending docs can
+    legitimately shift every doc's epoch count. That is the semantics a
+    mixture target demands; pin the plan table from a fixed corpus
+    snapshot when byte-stable re-materialization matters."""
     d = table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     tot = counts.agg(
