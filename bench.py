@@ -141,6 +141,7 @@ HEADLINE = [
     "query_yearly_growth",
     "events_gap_stats",
     "sample_hard_negatives",
+    "sample_perplexity_buckets",
 ]
 
 

@@ -474,3 +474,93 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(neg_c), 6).alias("neg_cos"),
         F.round(F.min(pos_c) - F.min(neg_c), 6).alias("margin"),
     )
+
+
+_PPL_KEEP_NUM = {1: 4294967296, 2: 2147483648, 3: 429496730}  # 100% / 50% / 10%
+
+
+@register(
+    "sample_perplexity_buckets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents
+    ),
+    lp AS (
+        SELECT doc_id,
+               ln((count(*) OVER (PARTITION BY token))
+                  / (CAST((SELECT count(*) FROM tok) AS DOUBLE))) AS logprob
+        FROM tok
+    ),
+    scored AS (
+        SELECT doc_id, avg(logprob) AS avg_logprob
+        FROM lp
+        GROUP BY doc_id
+    ),
+    bucketed AS (
+        SELECT doc_id, avg_logprob,
+               CAST(ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id) AS BIGINT)
+                   AS ppl_bucket
+        FROM scored
+    )
+    SELECT ppl_bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_logprob), 6) AS worst_logprob,
+           CAST(sum(CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                              AS BIGINT)
+                       < CASE ppl_bucket WHEN 1 THEN {_PPL_KEEP_NUM[1]}
+                                         WHEN 2 THEN {_PPL_KEEP_NUM[2]}
+                                         ELSE {_PPL_KEEP_NUM[3]} END
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM bucketed
+    GROUP BY ppl_bucket
+    """,
+    tags=("llm", "sampling", "quality"),
+)
+def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity-bucket sampling: score every document with
+    the corpus-unigram LM (cheapest perplexity proxy, see
+    text_unigram_logprob), tercile the corpus into head/middle/tail by
+    fluency, and keep each bucket at a different hash-gated rate (100 % /
+    50 % / 10 %) — the recipe that keeps some stylistic diversity from
+    the tail instead of hard-thresholding it away.
+
+    One tokenize pass (count-over-window tf, §6.4a), per-doc aggregate,
+    then the ntile + keep-gate run over doc-level rows only. The keep
+    decision is the integer-threshold md5 gate shared by the whole
+    sampling family: deterministic, order- and partitioning-stable.
+    The unpartitioned ntile is post-aggregation (|docs| rows after the
+    corpus collapses); at extreme doc counts swap in percent_rank
+    buckets, same semantics."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("token"))
+    total = d.agg(
+        F.sum(F.size(_tokens(F.col("text")))).cast("double").alias("total")
+    )
+    tf = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    scored = (
+        tok.withColumn("tf", tf)
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(F.avg(F.log(F.col("tf") / F.col("total"))).alias("avg_logprob"))
+    )
+    bucketed = scored.withColumn(
+        "ppl_bucket",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id")))
+        .cast("long"),
+    )
+    u32 = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    keep_below = (
+        F.when(F.col("ppl_bucket") == 1, F.lit(_PPL_KEEP_NUM[1]))
+        .when(F.col("ppl_bucket") == 2, F.lit(_PPL_KEEP_NUM[2]))
+        .otherwise(F.lit(_PPL_KEEP_NUM[3]))
+    )
+    return bucketed.groupBy("ppl_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("avg_logprob"), 6).alias("worst_logprob"),
+        F.sum((u32 < keep_below).cast("long")).cast("long").alias("n_kept"),
+    )

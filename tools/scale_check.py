@@ -113,6 +113,7 @@ DEFAULT_OPS = [
     "query_yearly_growth",
     "events_gap_stats",
     "sample_hard_negatives",
+    "sample_perplexity_buckets",
 ]
 
 
