@@ -671,15 +671,15 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            CAST(timezone('America/New_York',
-                         CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP)
+                         timezone('UTC', o_orderdate)) AS TIMESTAMP)
                AS ts_ny,
            CAST(timezone('Asia/Tokyo',
-                         CAST(o_orderdate AS TIMESTAMPTZ)) AS TIMESTAMP)
+                         timezone('UTC', o_orderdate)) AS TIMESTAMP)
                AS ts_tokyo,
            CAST(timezone('UTC',
                 timezone('Asia/Tokyo',
                          CAST(timezone('Asia/Tokyo',
-                                       CAST(o_orderdate AS TIMESTAMPTZ))
+                                       timezone('UTC', o_orderdate))
                               AS TIMESTAMP))) AS TIMESTAMP) AS roundtrip
     FROM orders
     """,
