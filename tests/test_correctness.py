@@ -39,3 +39,20 @@ def test_entry_smoke(spark):
     # queries()/oracle_sql() keys line up
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_entry_pins_utc(spark):
+    """The driver owns the SparkSession; every contract callable must
+    force the session timezone to UTC (and the entry module pins the
+    process TZ) so collected timestamps match the naive-UTC oracle on
+    ANY host — see the round-5 America/New_York drive in SURVEY §6.4."""
+    import os
+    import __spark_entry__ as e
+
+    assert os.environ.get("TZ") == "UTC"
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        next(iter(e.queries().values()))(spark, "/root/testdata/sf0.001")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
