@@ -1104,3 +1104,38 @@ def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_points"),
         )
     )
+
+
+@register(
+    "agg_weighted_avg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+                                                                 AS w_avg_price,
+           ROUND(SUM(l_extendedprice * l_quantity * (1 - l_discount))
+                 / SUM(l_quantity), 4)                           AS w_avg_net,
+           ROUND(SUM(l_quantity), 2)                             AS total_weight
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+)
+def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted mean as a ratio of two plain sums — the mergeable form
+    (ClickHouse ``avgWeighted`` analog; Spark has no built-in weighted
+    avg, but SUM(x*w)/SUM(w) gives the identical single-pass partial-
+    combine plan a native implementation would).  One O(groups) shuffle.
+
+    Both sides round the *ratio*, not the raw sums: summation order
+    differs between engines, but the quotient normalizes the last-ulp
+    drift back below the rounding threshold.
+    """
+    li = table(spark, sf_dir, "lineitem")
+    w = F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.sum(F.col("l_extendedprice") * w) / F.sum(w), 4).alias("w_avg_price"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * w * (1 - F.col("l_discount"))) / F.sum(w), 4
+        ).alias("w_avg_net"),
+        F.round(F.sum(w), 2).alias("total_weight"),
+    )

@@ -874,3 +874,55 @@ def maintenance_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_str("l_returnflag"))
         .unionByName(_str("l_shipdate"))
     )
+
+
+_SINK_TEXT_ORACLE = """
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date
+    FROM orders
+    WHERE o_totalprice > 100000
+"""
+
+
+def _sink_text_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared projection for the text-format sink round trips: numeric +
+    string columns plus a timestamp pre-rendered to an explicit pattern
+    (text formats have no timestamp type; an explicit ``date_format``
+    keeps the rendering engine-independent instead of trusting each
+    engine's default timestamp-to-string spelling)."""
+    o = table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_totalprice") > 100000).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+    )
+
+
+@register("sink_csv_roundtrip", oracle=_SINK_TEXT_ORACLE, tags=("sink", "etl"))
+def sink_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV batch sink + scan round trip (the interchange-format path a
+    warehouse export uses when parquet isn't an option).  The read-back
+    supplies the schema explicitly — CSV carries none — so the comparison
+    asserts value fidelity through the text encoding, not schema
+    inference luck.  Doubles survive because Spark writes shortest
+    round-trippable decimal text (Java ``Double.toString``).  The write
+    is one narrow pass per partition; no shuffle either direction."""
+    out = _sink_text_projection(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_csv_"), "out")
+    out.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(out.schema).option("header", True).csv(path)
+
+
+@register("sink_json_roundtrip", oracle=_SINK_TEXT_ORACLE, tags=("sink", "etl"))
+def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines batch sink + scan round trip — same contract as the CSV
+    path but through the self-describing format (each line carries keys,
+    so nullable columns and column order are preserved without a header).
+    Explicit schema on read-back for the same reason: inference samples
+    the data and can narrow types run-to-run."""
+    out = _sink_text_projection(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "out")
+    out.write.mode("overwrite").json(path)
+    return spark.read.schema(out.schema).json(path)

@@ -1265,3 +1265,82 @@ def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
     return ann_index_query(spark, e, path, probes, k=TOP_K, nprobe=NPROBE)
+
+
+_PCA_K = 8
+_PCA_TRAIN_CAP = 50_000
+_PCA_ROUND = 6
+
+
+def pca_components(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = _PCA_K,
+    train_cap: int = _PCA_TRAIN_CAP,
+):
+    """Sample-fit PCA basis: (mean vector, d×k component matrix).
+
+    Same bounded-driver-fit contract as kmeans_centroids / pq_codebooks
+    (the train_cap × dim × 8 B budget is asserted): the basis is learned
+    on the ``train_cap`` rows with smallest xxhash64(id) — a
+    deterministic pseudo-random sample via one TakeOrdered pass — and
+    everything downstream stays distributed.  Eigenvectors come from
+    ``np.linalg.eigh`` of the sample covariance (symmetric, so eigh is
+    exact and deterministic); sign is fixed per component by making the
+    largest-|loading| coordinate positive, which removes the ±v
+    ambiguity that would otherwise make results depend on LAPACK build.
+    """
+    _check_driver_fit(train_cap, _probe_dim(vectors, vec_col), "pca_components")
+    sample_rows = (
+        vectors.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .limit(train_cap)
+        .collect()
+    )
+    V = np.array([r[1] for r in sample_rows], dtype=np.float64)
+    mean = V.mean(axis=0)
+    X = V - mean
+    cov = (X.T @ X) / max(len(V) - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)  # ascending eigenvalues
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]  # d × k
+    # Deterministic sign: the max-|loading| coordinate of each component
+    # is made positive (ties broken by argmax's first-hit rule).
+    flips = np.sign(W[np.abs(W).argmax(axis=0), np.arange(W.shape[1])])
+    W *= np.where(flips == 0, 1.0, flips)
+    return mean, W
+
+
+@register("embedding_pca_project", oracle=None, tags=("llm", "similarity"))
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project embeddings onto a sample-fit PCA basis (top-8 components)
+    — the standard dimensionality-reduction stage before clustering /
+    visualization / cheap ANN over a training corpus.
+
+    ⊘ rows-only at the driver gate: the eigendecomposition is not
+    SQL-expressible, so correctness is pinned by property tests instead
+    (tests/test_llm_ops.py: orthonormal basis, Parseval bound, exact
+    parity with a straight numpy PCA of the same sample, and projection
+    determinism across repartitionings).
+
+    Scale shape: tiny driver fit (≤ train_cap×d doubles, asserted), then
+    ONE narrow Arrow-batched pass over the corpus — (mean, W) ride into
+    the pandas UDF closure as broadcast-sized constants and each batch is
+    a single (B×d)@(d×k) BLAS matmul.  No shuffle anywhere.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    mean, W = pca_components(emb)
+
+    @F.pandas_udf("array<double>")
+    def _project(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64) - mean
+        P = np.round(M @ W, _PCA_ROUND)
+        return pd.Series(list(P))
+
+    return emb.select(
+        "vec_id",
+        "label",
+        _project(_dbl(F.col("embedding"))).alias("pc"),
+    )

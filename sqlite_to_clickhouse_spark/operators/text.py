@@ -807,3 +807,104 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality"),
         (score >= F.lit(_QS_KEEP_T)).alias("keep"),
     )
+
+
+@register(
+    "text_cooccurrence",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(arr)                          AS tok,
+             unnest(generate_series(1, len(arr))) AS pos
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS arr
+            FROM documents)
+    )
+    SELECT a.tok AS t1, b.tok AS t2, COUNT(*) AS n_cooc
+    FROM tok a
+    JOIN tok b ON a.doc_id = b.doc_id AND b.pos - a.pos IN (1, 2)
+    GROUP BY t1, t2
+    """,
+    tags=("llm", "text"),
+)
+def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (window = 2 tokens to the right) —
+    the count table behind word2vec/GloVe-style embedding training.
+
+    Shuffle-free pair generation: instead of exploding tokens to rows and
+    self-joining on (doc_id, position) — which shuffles O(tokens) rows —
+    the (center, context) pairs are built *inside* the token array with a
+    positional ``transform`` + ``try_element_at`` (out-of-range neighbors
+    yield NULL structs that ``filter`` drops), then flattened and exploded
+    straight into the count aggregate.  The only shuffle is the final
+    groupBy, whose wire volume is O(vocab² × partitions) after map-side
+    combine — independent of corpus size, the property that matters at
+    100 TB.  The oracle keeps the equivalent (inefficient) relational
+    self-join form.
+    """
+    d = table(spark, sf_dir, "documents")
+    arr = _tokens(F.col("text"))
+
+    def pairs_at(x, i):
+        # neighbors at 1-based positions i+2 and i+3 (i is 0-based).
+        cands = F.array(
+            F.struct(x.alias("t1"), F.try_element_at(arr, i + F.lit(2)).alias("t2")),
+            F.struct(x.alias("t1"), F.try_element_at(arr, i + F.lit(3)).alias("t2")),
+        )
+        return F.filter(cands, lambda s: s["t2"].isNotNull())
+
+    return (
+        d.select(F.explode(F.flatten(F.transform(arr, pairs_at))).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+    )
+
+
+@register(
+    "text_zipf_fit",
+    oracle="""
+    WITH tf AS (
+      SELECT token, COUNT(*) AS f
+      FROM (SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+            FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, token) AS r FROM tf
+    )
+    SELECT ROUND(regr_slope(ln(f), ln(r)), 6)     AS zipf_slope,
+           ROUND(regr_intercept(ln(f), ln(r)), 6) AS zipf_intercept,
+           ROUND(regr_r2(ln(f), ln(r)), 6)        AS zipf_r2,
+           COUNT(*)                               AS vocab_size
+    FROM ranked
+    """,
+    tags=("llm", "text", "stats"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS slope /
+    intercept / R² of ln(frequency) against ln(rank) — the standard
+    one-number summary of how natural (vs degenerate or templated) a
+    corpus's token distribution is, used as a corpus-level quality gate.
+
+    Two shuffles, both O(vocab): explode → map-side-combined token counts,
+    then a rank over the vocab-sized frequency table (a single-partition
+    window is fine — vocabularies are ~1e5-1e6 rows regardless of corpus
+    bytes, it's the corpus scan that carries the 100 TB).  The regression
+    itself is Spark's single-pass mergeable regr_* aggregates.
+    """
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(_tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    w = Window.orderBy(F.desc("f"), "token")
+    ranked = tf.select("f", F.row_number().over(w).alias("r"))
+    lf, lr = F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
+        F.count(F.lit(1)).alias("vocab_size"),
+    )

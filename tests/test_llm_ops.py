@@ -382,3 +382,49 @@ def test_index_query_prunes_bucket_partitions(spark, sf_dir):
         if "PartitionFilters" in l and "bucket" in l
     ]
     assert pf, "no PartitionFilters on bucket in the codes scan"
+
+
+def test_pca_basis_orthonormal_and_variance_ordered(spark, sf_dir):
+    """The sample-fit PCA basis must be orthonormal (WᵀW = I), and the
+    variance of the projected coordinates must be non-increasing across
+    components — the defining properties of a principal basis."""
+    import numpy as np
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.similarity import pca_components
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, W = pca_components(emb)
+    assert W.shape[0] == 64
+    gram = W.T @ W
+    assert np.allclose(gram, np.eye(W.shape[1]), atol=1e-9)
+
+    P = np.array(
+        [r.pc for r in _Q["embedding_pca_project"].fn(spark, sf_dir).collect()]
+    )
+    var = P.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
+
+
+def test_pca_projection_matches_numpy(spark, sf_dir):
+    """The distributed Arrow projection must equal a straight numpy
+    (X − mean) @ W on the same rows — pins the batch kernel against the
+    reference linear algebra, including the deterministic sign fix."""
+    import numpy as np
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        _PCA_ROUND,
+        pca_components,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    mean, W = pca_components(emb)
+    rows = {r.vec_id: r.pc for r in _Q["embedding_pca_project"].fn(spark, sf_dir).collect()}
+    src = {r[0]: r[1] for r in emb.select("vec_id", "embedding").collect()}
+    assert rows.keys() == src.keys()
+    ids = sorted(rows)
+    X = np.array([src[i] for i in ids], dtype=np.float64)
+    expect = np.round((X - mean) @ W, _PCA_ROUND)
+    got = np.array([rows[i] for i in ids])
+    assert np.allclose(got, expect, atol=1e-9)

@@ -6,6 +6,7 @@ refactor that silently degrades a plan fails CI, not a 100 TB run."""
 from __future__ import annotations
 
 import io
+import re
 import contextlib
 
 import pytest
@@ -625,3 +626,21 @@ def test_phash_band_shuffle_only(spark, sf_dir):
     for line in p.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "payload" not in line  # bytes never cross the wire
+
+
+def test_cooccurrence_no_join_single_generate(spark, sf_dir):
+    # Pair generation happens INSIDE the token array (transform +
+    # try_element_at), so the plan has no self-join and exactly one
+    # Generate; the sole exchange is the final pair-count groupBy.
+    p = _plan(spark, sf_dir, "text_cooccurrence")
+    assert "Join" not in p
+    assert len(re.findall(r"\(\d+\) Generate", p)) == 1
+    assert len(_exchanges(p)) == 1
+
+
+def test_pca_projection_is_narrow(spark, sf_dir):
+    # The fit is a bounded driver sample; the projection itself must be
+    # one narrow Arrow pass — zero exchanges in the projected plan.
+    p = _plan(spark, sf_dir, "embedding_pca_project")
+    assert not _exchanges(p)
+    assert "ArrowEvalPython" in p or "MapInPandas" in p
