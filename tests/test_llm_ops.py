@@ -428,3 +428,33 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
     expect = np.round((X - mean) @ W, _PCA_ROUND)
     got = np.array([rows[i] for i in ids])
     assert np.allclose(got, expect, atol=1e-9)
+
+
+def test_compression_ratio_orders_text_quality(spark):
+    """Repetitive text must compress far below natural-ish prose, and
+    incompressible (hex-noise) text must approach or exceed ratio 1 —
+    the ordering that makes the signal a usable quality filter."""
+    import hashlib
+
+    noise = "".join(
+        hashlib.sha256(str(i).encode()).hexdigest() for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 40),
+            (2, "spam " * 400),
+            (3, noise),
+        ],
+        "doc_id long, text string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        df.write.parquet(f"{tmp}/documents.parquet")
+        rows = {
+            r.doc_id: r.compression_ratio
+            for r in _Q["text_compression_ratio"].fn(spark, tmp).collect()
+        }
+    assert 0 < rows[2] < rows[1] < rows[3]
+    assert rows[2] < 0.1  # pure repetition collapses
+    assert rows[3] > 0.4  # hex noise resists deflate

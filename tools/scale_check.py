@@ -114,6 +114,20 @@ DEFAULT_OPS = [
     "events_gap_stats",
     "sample_hard_negatives",
     "sample_perplexity_buckets",
+    # Round-5 sixth batch: co-occurrence (pairs are built in-array, so
+    # wall tracks O(tokens) and the pair-count shuffle is vocab-bounded),
+    # the Zipf regression (corpus scan + vocab-sized window), weighted
+    # avg (plain mergeable agg), the text-format sink round trips
+    # (write+read both linear), and the PCA projection (driver fit is
+    # capped; the projection pass is one narrow Arrow matmul).
+    "text_cooccurrence",
+    "text_zipf_fit",
+    "agg_weighted_avg",
+    "sink_csv_roundtrip",
+    "sink_json_roundtrip",
+    "embedding_pca_project",
+    "text_char_entropy",
+    "text_compression_ratio",
 ]
 
 
