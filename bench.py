@@ -142,6 +142,14 @@ HEADLINE = [
     "events_gap_stats",
     "sample_hard_negatives",
     "sample_perplexity_buckets",
+    # Round-5 sixth batch: co-occurrence counts, corpus Zipf fit, the
+    # char-entropy / compression-ratio quality signals, and the PCA
+    # projection.
+    "text_cooccurrence",
+    "text_zipf_fit",
+    "text_char_entropy",
+    "text_compression_ratio",
+    "embedding_pca_project",
 ]
 
 
