@@ -1139,3 +1139,39 @@ def agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w_avg_net"),
         F.round(F.sum(w), 2).alias("total_weight"),
     )
+
+
+@register(
+    "agg_grouping_id",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus)    AS BIGINT)  AS g_status,
+           CAST(GROUPING(o_orderpriority)  AS BIGINT)  AS g_priority,
+           CAST(2 * GROUPING(o_orderstatus)
+                  + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+           COUNT(*)                                    AS n_orders,
+           ROUND(SUM(o_totalprice), 2)                 AS sum_total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("aggregate",),
+)
+def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING()/grouping-id marker columns — the only way a
+    rollup consumer can tell "subtotal over NULL-valued rows" apart from
+    "this column is aggregated away" (a NULL in the output is ambiguous;
+    the grouping bit is not).  Same single-shuffle Expand plan as
+    agg_cube; the markers are free metadata on each expanded row.
+    Spark's grouping() yields TINYINT and DuckDB's BIGINT — both sides
+    cast to BIGINT so the driver's type-tagged hash agrees.
+    """
+    o = table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("long").alias("g_status"),
+        F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+        (
+            F.lit(2) * F.grouping("o_orderstatus") + F.grouping("o_orderpriority")
+        ).cast("long").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
+    )
