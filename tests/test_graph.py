@@ -92,3 +92,23 @@ def test_pagerank_weight_bias(spark):
     ranks = {r.node: r.rank for r in pagerank(edges).collect()}
     assert ranks[1] > ranks[2]
     assert not any(math.isnan(v) for v in ranks.values())
+
+
+def test_triangle_bitmap_and_wedge_paths_agree(spark):
+    """The bitmap fast path and the general wedge path must produce
+    identical censuses — checked on a pseudo-random graph dense enough
+    to have thousands of triangles (hash-derived edges, deterministic)."""
+    from sqlite_to_clickhouse_spark.operators.graph import triangle_stats
+
+    n = 60
+    edges = [
+        (u, v)
+        for u in range(n)
+        for v in range(u + 1, n)
+        if (u * 1_000_003 + v * 7919) % 5 < 2  # ~40% density, deterministic
+    ]
+    df = spark.createDataFrame(edges, "u long, v long")
+    got_bitmap = triangle_stats(df).collect()[0]
+    got_wedge = triangle_stats(df, bitmap_max_nodes=0).collect()[0]
+    assert got_bitmap.asDict() == got_wedge.asDict()
+    assert got_bitmap.n_triangles > 100  # non-vacuous
