@@ -463,14 +463,46 @@ def test_pair_distance_no_cartesian(spark, sf_dir):
 
 def test_triangle_count_no_cartesian(spark, sf_dir):
     # Every join in the census is an equi-join (order key, node keys,
-    # wedge-closing pair) — a CartesianProduct/BroadcastNestedLoop
-    # anywhere means the wedge join lost its keys and the plan is the
-    # O(n^2) one that dies on a real graph.
+    # adjacency lookups) — a CartesianProduct anywhere means a join lost
+    # its keys and the plan is the O(n^2) one that dies on a real graph
+    # (the final one-row stats crossJoins compile to scalar BNLJs, not
+    # CartesianProducts).
     p = _plan(spark, sf_dir, "graph_triangle_count")
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
-    # The wedge-closing membership test must stay a semi join (no payload).
+    # Bounded node set ⇒ the bitset fast path: popcount fold over the
+    # broadcast adjacency bitmaps, no materialized wedge join.
+    assert "bit_count" in p
+    assert "LeftSemi" not in p
+
+
+def test_triangle_wedge_fallback_is_semi_join(spark, sf_dir):
+    # Past the bitmap node cap the census must fall back to the wedge
+    # plan whose closing membership test stays a LeftSemi (no payload).
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    from sqlite_to_clickhouse_spark.io import table as _table
+    from sqlite_to_clickhouse_spark.operators.graph import triangle_stats
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sa"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("sb"))
+    edges = (
+        a.join(b, "k")
+        .where(F.col("sa") < F.col("sb"))
+        .select(F.col("sa").alias("u"), F.col("sb").alias("v"))
+        .distinct()
+    )
+    df = triangle_stats(edges, bitmap_max_nodes=0)
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
     assert "LeftSemi" in p
+    assert "bit_count" not in p
 
 
 def test_markov_single_user_shuffle_then_tiny_agg(spark, sf_dir):
