@@ -157,6 +157,13 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalyst implements rollup as one Expand (3 replicas per row) + one
     hash aggregate — one shuffle, not three queries.
+
+    Known cross-engine divergence on EMPTY input (applies to rollup/
+    cube/grouping-sets alike): the SQL standard emits the grand-total
+    row (aggregates over the empty set) even when the input has no rows
+    — DuckDB does — while Spark's rollup/cube emit zero rows. Immaterial
+    on any non-empty table; documented rather than papered over with a
+    synthetic union that would distort the plan.
     """
     o = table(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(

@@ -58,7 +58,12 @@ def _stage_sqlite(sf_dir: str) -> str:
         for t, ddl in _SQLITE_DDL.items():
             con.execute(ddl)
             rows = pq.read_table(f"{sf_dir}/{t}.parquet").to_pylist()
-            cols = list(rows[0]) if rows else []
+            if not rows:
+                # Empty source table: the DDL alone is the staging (an
+                # INSERT with zero columns is a SQLite syntax error even
+                # under executemany-with-no-rows, which prepares first).
+                continue
+            cols = list(rows[0])
             placeholders = ", ".join("?" for _ in cols)
             stmt = f"INSERT OR REPLACE INTO {t} ({', '.join(cols)}) VALUES ({placeholders})"
             con.executemany(stmt, [[r[c] for c in cols] for r in rows])
@@ -124,7 +129,10 @@ def sink_parquet_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(tempfile.mkdtemp(prefix="sink_parquet_"), "out")
     sinks.sink_parquet(out, path, partition_by=["l_returnflag"])
-    got = spark.read.parquet(path)
+    # Explicit schema on read-back: an EMPTY write leaves no data files
+    # to infer from (only _SUCCESS), and empty inputs must round-trip to
+    # empty results, not UNABLE_TO_INFER_SCHEMA.
+    got = spark.read.schema(out.schema).parquet(path)
     # partitionBy moves the column to directory keys; restore column order
     # and the original long/string types lost to partition-path encoding.
     return got.select(
@@ -267,6 +275,13 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PART_STAGED: dict[str, str] = {}
+# Declared schema for the partitioned-orders staging read-backs: an empty
+# write leaves nothing to infer from, and schema inference on a big
+# partitioned layout costs a file-listing sample anyway.
+_PART_SCHEMA = (
+    "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+    "o_orderpriority string"
+)
 
 
 @register(
@@ -297,7 +312,7 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(path)
         )
         _PART_STAGED[key] = path
-    got = spark.read.parquet(_PART_STAGED[key]).filter(
+    got = spark.read.schema(_PART_SCHEMA).parquet(_PART_STAGED[key]).filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
     return got.select(
@@ -403,7 +418,7 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     At 100 TB this is THE mechanism that turns dim-filtered star joins
     into partial-table scans."""
     sink_partitioned_parquet(spark, sf_dir)  # ensure staged
-    fact = spark.read.parquet(_PART_STAGED[sf_dir])
+    fact = spark.read.schema(_PART_SCHEMA).parquet(_PART_STAGED[sf_dir])
     dim = spark.createDataFrame(
         [("1-URGENT", 1), ("2-HIGH", 2), ("3-MEDIUM", 3),
          ("4-NOT SPECIFIED", 4), ("5-LOW", 5)],

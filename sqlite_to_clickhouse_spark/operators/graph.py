@@ -74,6 +74,8 @@ def pagerank(
         "src", "dst", (F.col("weight") / F.col("out_w")).alias("p")
     )
     n_nodes = nodes.count()  # scalar: one tiny job, bounded by |V| distinct
+    if n_nodes == 0:  # empty edge list: empty ranks, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
     base = (1.0 - damping) / n_nodes
     for _ in range(iterations):

@@ -381,14 +381,19 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("source").alias("n_sources"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        # try_divide: on an EMPTY corpus count(*) is 0 and ANSI mode turns
+        # a bare / into DIVIDE_BY_ZERO — the card must render (with NULL
+        # rates), not kill the job, when a source partition is empty.
         F.round(
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-            / F.count("*").cast("double"),
+            F.try_divide(
+                F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)),
+                F.count("*").cast("double"),
+            ),
             6,
         ).alias("pct_en"),
         F.countDistinct("h").alias("n_unique_texts"),
         F.round(
-            1.0 - F.countDistinct("h") / F.count("*").cast("double"), 6
+            1.0 - F.try_divide(F.countDistinct("h"), F.count("*").cast("double")), 6
         ).alias("exact_dup_rate"),
     )
 

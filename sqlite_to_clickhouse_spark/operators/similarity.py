@@ -662,6 +662,11 @@ def pq_codebooks(
     else:
         _check_driver_fit(train_cap, _probe_dim(vectors, vec_col), "pq_codebooks")
         rows = sample_rows[:train_cap]
+    if not rows:
+        # Empty vector table: there is nothing to fit. Callers treat a
+        # None codebook as "empty index" and return empty results — an
+        # empty source partition must degrade, not crash, at 100 TB.
+        return None
     V = np.array([r[1] for r in rows], dtype=np.float64)
     n, d = V.shape
     assert d % m == 0, f"dim {d} not divisible by m={m}"
@@ -697,6 +702,10 @@ def pq_encode(
     import pandas as _pd
     from pyspark.sql import types as T
 
+    if books is None:
+        return vectors.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, pq_code bigint, recon_cosine double"
+        )
     m, k, sub = books.shape
     B = books  # closure-shipped, m*k*sub doubles
 
@@ -867,6 +876,10 @@ def ivfpq_topk(
     sample = train_sample(vectors, id_col=id_col, vec_col=vec_col)
     books = pq_codebooks(vectors, id_col=id_col, vec_col=vec_col,
                          sample_rows=sample)
+    if books is None:  # empty vector table -> no neighbors, not a crash
+        return vectors.sparkSession.createDataFrame(
+            [], f"{probe_id_col} bigint, {id_col} bigint, cosine double"
+        )
     m, kk, sub = books.shape
     # Per-centroid squared norms: |recon(v)|^2 = sum_j |B[j][code_j]|^2
     # (blocks concatenate), so the ADC cosine denominator is m gathers too.
@@ -1100,6 +1113,30 @@ def ann_index_build(
     sample = train_sample(vectors, id_col=id_col, vec_col=vec_col)
     books = pq_codebooks(vectors, id_col=id_col, vec_col=vec_col,
                          sample_rows=sample)
+    if books is None:
+        # Empty vector table: persist an empty-but-well-formed index
+        # (codes dir with schema, no centroid/codebook rows) so a
+        # subsequent ann_index_query degrades to zero results.
+        vectors.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, bucket bigint, pq_code bigint"
+        ).write.mode("overwrite").parquet(os.path.join(path, "codes"))
+        os.makedirs(os.path.join(path, "centroids"), exist_ok=True)
+        papq.write_table(
+            pa.table({"cent_id": pa.array([], pa.int64()),
+                      "c_emb": pa.array([], pa.list_(pa.float64()))}),
+            os.path.join(path, "centroids", "part-0.parquet"),
+        )
+        os.makedirs(os.path.join(path, "codebooks"), exist_ok=True)
+        papq.write_table(
+            pa.table({"j": pa.array([], pa.int32()),
+                      "c": pa.array([], pa.int32()),
+                      "sub": pa.array([], pa.list_(pa.float64()))}),
+            os.path.join(path, "codebooks", "part-0.parquet"),
+        )
+        return spark.createDataFrame(
+            [("codes", 0), ("centroids", 0), ("codebooks", 0)],
+            "component STRING, n_rows BIGINT",
+        )
     m, kk, sub = books.shape
     cent_ids, C = kmeans_centroids_np(
         vectors, id_col=id_col, vec_col=vec_col, init_every=init_every,
@@ -1189,6 +1226,10 @@ def ann_index_query(
     from pyspark.sql import types as T
 
     brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    if not brows:  # index built over an empty corpus -> zero results
+        return spark.createDataFrame(
+            [], f"{probe_id_col} bigint, {id_col} bigint, cosine double"
+        )
     m = 1 + max(r["j"] for r in brows)
     kk = 1 + max(r["c"] for r in brows)
     sub = len(brows[0]["sub"])
@@ -1317,10 +1358,20 @@ def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         fh.write("ok")
     n_vec = e.count()
     n_seeds = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).count()
+    # An EMPTY corpus legitimately builds an empty-but-well-formed index
+    # (no centroids, no codebooks) — the invariants flip to exact-zero.
     checks = [
         ("codes_rows_eq_vectors", manifest["codes"] == n_vec),
-        ("centroids_bounded", 0 < manifest["centroids"] <= n_seeds),
-        ("codebooks_m_x_k", manifest["codebooks"] == PQ_M * PQ_K),
+        (
+            "centroids_bounded",
+            (0 < manifest["centroids"] <= n_seeds)
+            if n_vec
+            else manifest["centroids"] == 0,
+        ),
+        (
+            "codebooks_m_x_k",
+            manifest["codebooks"] == (PQ_M * PQ_K if n_vec else 0),
+        ),
     ]
     return spark.createDataFrame(checks, "component STRING, ok BOOLEAN")
 
@@ -1374,6 +1425,8 @@ def pca_components(
         vectors, id_col=id_col, vec_col=vec_col, train_cap=train_cap,
         site="pca_components",
     )
+    if not sample_rows:
+        return None, None  # empty vector table: nothing to fit
     V = np.array([r[1] for r in sample_rows], dtype=np.float64)
     mean = V.mean(axis=0)
     X = V - mean
@@ -1407,6 +1460,10 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = table(spark, sf_dir, "embeddings")
     mean, W = pca_components(emb)
+    if W is None:  # empty corpus -> empty projection, not a crash
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, pc array<double>"
+        )
 
     @F.pandas_udf("array<double>")
     def _project(v: pd.Series) -> pd.Series:

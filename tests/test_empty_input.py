@@ -1,0 +1,69 @@
+"""Empty-input robustness: every op must DEGRADE on a zero-row corpus —
+empty results, empty indexes, NULL rates — never crash. Empty partitions
+and empty sources are routine at 100 TB (a new tenant, a filtered
+day-slice, a cold-start corpus); this sweep drives the ops that
+previously crashed on them (quantizer fits, PCA, pagerank, SQLite
+staging, empty-write parquet read-backs, ANSI divide-by-zero) plus a
+representative op per family.
+
+Known cross-engine divergence pinned here rather than hidden: Spark's
+rollup/cube emit ZERO rows on empty input while the SQL standard (and
+DuckDB) emit the grand-total row — see agg_rollup's docstring.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from sqlite_to_clickhouse_spark.io import TABLES
+from sqlite_to_clickhouse_spark.registry import all_queries
+
+_Q = all_queries()
+
+_OPS = [
+    # previously crashed on empty input (the fixes under test)
+    "scan_jdbc",
+    "sink_parquet",
+    "migrate_sqlite_roundtrip",
+    "sink_partitioned_parquet",
+    "join_dynamic_partition_pruning",
+    "sim_pq_quantize",
+    "sim_ivfpq_search",
+    "sim_index_build",
+    "sim_index_query",
+    "embedding_pca_project",
+    "pipeline_dataset_card",
+    "graph_pagerank",
+    # one representative per family
+    "pricing_summary",
+    "join_inner_hash",
+    "window_rank",
+    "dedup_fuzzy_minhash",
+    "sim_topk_cosine",
+    "text_tfidf",
+    "events_sessionize",
+    "graph_triangle_count",
+    "sample_temperature",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(sf_dir, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        pq.write_table(tab.slice(0, 0), str(dst / f"{t}.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_op_degrades_on_empty_corpus(spark, empty_sf_dir, name):
+    df = _Q[name].fn(spark, empty_sf_dir)
+    rows = df.collect()
+    assert df.columns  # schema survives
+    # Bound-as-result gates may emit invariant rows; everything else
+    # should be empty or a single all-NULL/zero aggregate row.
+    assert len(rows) <= 5
