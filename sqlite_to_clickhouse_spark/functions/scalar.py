@@ -32,7 +32,7 @@ from sqlite_to_clickhouse_spark.registry import register
            LOWER(c_mktsegment)                             AS seg_lower,
            LENGTH(c_name)                                  AS name_len,
            SUBSTRING(c_name, 1, 8)                         AS name_prefix,
-           CONCAT(c_name, ':', c_mktsegment)               AS name_seg,
+           concat_ws(':', c_name, c_mktsegment)            AS name_seg,
            TRIM(CONCAT(' ', c_name, ' '))                  AS name_trim,
            REPLACE(c_name, '#', '-')                       AS name_repl,
            (c_name LIKE '%1%')                             AS has_one,
@@ -311,10 +311,13 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_url",
     oracle="""
     SELECT doc_id,
-           source || '.example.com'              AS host,
-           '/docs/' || CAST(doc_id AS VARCHAR)   AS path,
-           lang                                  AS q_lang,
-           'https'                               AS proto
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE source || '.example.com' END            AS host,
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+           CASE WHEN source IS NULL THEN NULL ELSE lang END  AS q_lang,
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE 'https' END                             AS proto
     FROM documents
     """,
     tags=("fn",),
@@ -417,9 +420,10 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.format_string("%08d:%.2f", F.col("o_orderkey"), F.col("o_totalprice")).alias(
-            "order_tag"
-        ),
+        F.when(
+            F.col("o_totalprice").isNotNull(),
+            F.format_string("%08d:%.2f", F.col("o_orderkey"), F.col("o_totalprice")),
+        ).alias("order_tag"),
         F.lpad("o_orderpriority", 15, ".").alias("padded"),
         F.reverse("o_orderstatus").alias("rev_status"),
         F.repeat("o_orderstatus", 3).alias("status3"),

@@ -33,7 +33,8 @@ from sqlite_to_clickhouse_spark.registry import register
     "udf_python",
     oracle="""
     SELECT o_orderkey,
-           CASE WHEN o_totalprice < 50000  THEN 'small'
+           CASE WHEN o_totalprice IS NULL  THEN NULL
+                WHEN o_totalprice < 50000  THEN 'small'
                 WHEN o_totalprice < 150000 THEN 'medium'
                 ELSE 'large' END AS price_band
     FROM orders
@@ -51,6 +52,8 @@ def udf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udf(returnType=T.StringType())
     def price_band(p: float) -> str:
+        if p is None:  # row UDFs receive SQL NULL as None — pass it through
+            return None
         if p < 50000:
             return "small"
         if p < 150000:
@@ -215,11 +218,13 @@ def udf_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = np.floor(
             (l_pdf["l_extendedprice"] * (1 - l_pdf["l_discount"])).to_numpy() * 100
         )
+        # nansum, not sum: a NULL price/discount arrives as NaN and SQL's
+        # SUM ignores NULL terms — one NaN must not poison the revenue.
         return pd.DataFrame(
             {
                 "o_orderkey": [key[0]],
                 "n_lines": [len(l_pdf)],
-                "line_revenue": [float(cents.sum()) / 100],
+                "line_revenue": [float(np.nansum(cents)) / 100],
             }
         )
 

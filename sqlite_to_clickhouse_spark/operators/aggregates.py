@@ -500,10 +500,14 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchange, so it costs one shuffle like the built-in would."""
     ev = table(spark, sf_dir, "events").select("user_id", "event_type")
     per_type = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
-    w_total = F.sum("c").over(Window.partitionBy("user_id"))
+    # NULL types: entropy() is an aggregate and aggregates IGNORE NULLs —
+    # the NULL group must contribute neither a term nor probability mass,
+    # while n_events (count(*)) still counts every row.
+    not_null = F.col("event_type").isNotNull()
+    w_total = F.sum(F.when(not_null, F.col("c"))).over(Window.partitionBy("user_id"))
     p = F.col("c") / w_total
     return (
-        per_type.withColumn("term", -p * F.log2(p))
+        per_type.withColumn("term", F.when(not_null, -p * F.log2(p)))
         .groupBy("user_id")
         .agg(
             F.round(F.sum("term"), 6).alias("type_entropy"),

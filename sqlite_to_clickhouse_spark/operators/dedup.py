@@ -346,6 +346,9 @@ def minhash_lsh_pairs(
     def _sig_kernel(tkh: pd.Series) -> pd.Series:
         out = []
         for arr in tkh:
+            if arr is None:  # NULL text -> NULL token array -> NULL signature
+                out.append([None] * len(seeds))
+                continue
             h = np.asarray(arr, dtype=np.int64) % MERSENNE31
             if h.size == 0:
                 out.append([None] * len(seeds))

@@ -81,9 +81,17 @@ def _stage_sqlite(sf_dir: str) -> str:
 
 
 _CUSTOMER_ORACLE = """
-    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    SELECT c_custkey, c_name,
+           COALESCE(c_nationkey, 0)          AS c_nationkey,
+           COALESCE(c_acctbal, 0.0)          AS c_acctbal,
+           c_mktsegment
     FROM customer
 """
+# COALESCE mirrors the migration's documented null-defaulting (the
+# reference's per-row coercion, typemap.py / main.py:87,93): numeric NULL
+# becomes 0 through the SQLite→engine path, string NULL stays NULL. The
+# oracle reads the fixture parquet directly, so it must apply the same
+# defaulting the migration applies.
 
 
 @register("scan_jdbc", oracle=_CUSTOMER_ORACLE, tags=("source", "etl"))

@@ -56,6 +56,8 @@ def decode_payload_stub(payload: bytes) -> dict:
         raise NotImplementedError(
             "real codec path not wired in this container; extend here"
         )
+    if payload is None:  # NULL payload (e.g. NULL source text) -> NULL features
+        return {"n_bytes": None, "first_byte": None, "checksum": None}
     n = len(payload)
     return {
         "n_bytes": n,
@@ -288,6 +290,8 @@ def multimodal_audio_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, widx, wstart, energy = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # NULL media row: nothing to frame
+                    continue
                 samples = (
                     np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
                     - 100
@@ -326,16 +330,20 @@ def _phash_oracle() -> str:
     # fixture text is ASCII so ascii(char) == byte value and the SQL
     # signature equals the Spark-side byte-chunk signature exactly.
     sigs = ",\n             ".join(
+        f"CASE WHEN text IS NULL THEN NULL ELSE "
         f"CAST(coalesce(list_aggregate(list_transform("
         f"range(1 + (({j} * strlen(text)) // {_PHASH_CHUNKS}),"
         f" 1 + ((({j} + 1) * strlen(text)) // {_PHASH_CHUNKS})),"
-        f" i -> ascii(substring(text, i, 1))), 'sum'), 0) % 256 AS BIGINT)"
+        f" i -> ascii(substring(text, i, 1))), 'sum'), 0) % 256 AS BIGINT) END"
         f" AS s{j}"
         for j in range(_PHASH_CHUNKS)
     )
     half = _PHASH_CHUNKS // 2
     band_cols = ", ".join(f"s{j}" for j in range(half))
     all_cols = ", ".join(f"s{j}" for j in range(_PHASH_CHUNKS))
+    # NULL media rows carry NULL signatures and must never band together
+    # (LEFT JOIN; NULL band keys match nothing) — same masking as the
+    # Spark side's NULL-window guard.
     return f"""
     WITH sig AS (
       SELECT doc_id,
@@ -344,17 +352,20 @@ def _phash_oracle() -> str:
     ),
     keyed AS (
       SELECT doc_id,
-             concat_ws('-', {all_cols})  AS phash,
-             concat_ws('-', {band_cols}) AS band_key
+             CASE WHEN s0 IS NULL THEN NULL
+                  ELSE concat_ws('-', {all_cols}) END  AS phash,
+             CASE WHEN s0 IS NULL THEN NULL
+                  ELSE concat_ws('-', {band_cols}) END AS band_key
       FROM sig
     ),
     bands AS (
       SELECT band_key, CAST(count(*) AS BIGINT) AS n_band
-      FROM keyed GROUP BY band_key
+      FROM keyed WHERE band_key IS NOT NULL GROUP BY band_key
     )
     SELECT k.doc_id, k.phash, k.band_key, b.n_band,
-           b.n_band >= 2 AS dup_candidate
-    FROM keyed k JOIN bands b USING (band_key)
+           CASE WHEN k.band_key IS NULL THEN FALSE
+                ELSE b.n_band >= 2 END AS dup_candidate
+    FROM keyed k LEFT JOIN bands b USING (band_key)
     """
 
 
@@ -401,6 +412,10 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             phashes, bands = [], []
             for p in pdf["payload"]:
+                if p is None:  # NULL media row: NULL signature, no band
+                    phashes.append(None)
+                    bands.append(None)
+                    continue
                 buf = np.frombuffer(p, dtype=np.uint8)
                 n = len(buf)
                 bounds = [(j * n) // _PHASH_CHUNKS for j in range(_PHASH_CHUNKS + 1)]
@@ -422,10 +437,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     keyed = m.mapInPandas(phash_batches, _PHASH_SCHEMA)
     n_band = F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+    # NULL media rows have no signature: they must never band together
+    # (Spark's window, like SQL GROUP BY, pools NULL keys into ONE group,
+    # which would mark all NULL-payload docs mutual duplicates) — mask
+    # them to (NULL n_band, false), mirrored in the oracle's LEFT JOIN.
+    has_sig = F.col("band_key").isNotNull()
     return keyed.select(
         "doc_id",
         "phash",
         "band_key",
-        n_band.alias("n_band"),
-        (n_band >= 2).alias("dup_candidate"),
+        F.when(has_sig, n_band).alias("n_band"),
+        F.when(has_sig, n_band >= 2).otherwise(F.lit(False)).alias("dup_candidate"),
     )

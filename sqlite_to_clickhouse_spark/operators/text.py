@@ -979,7 +979,9 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf("long")
     def _zbytes(texts: pd.Series) -> pd.Series:
-        return texts.map(lambda t: len(zlib.compress(t.encode("utf-8"), 6)))
+        return texts.map(
+            lambda t: None if t is None else len(zlib.compress(t.encode("utf-8"), 6))
+        )
 
     raw = F.length(F.encode(F.col("text"), "utf-8")).cast("long")
     return d.select(

@@ -162,10 +162,10 @@ def dedup_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile,
-           CAST(percent_rank() OVER (ORDER BY o_totalprice, o_orderkey) AS DOUBLE)
-             AS pct_rank
+           ntile(4) OVER w AS quartile,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
     FROM orders
+    WINDOW w AS (ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey)
     """,
     tags=("window",),
 )
@@ -616,9 +616,10 @@ EWMA_FRAME = 16  # truncation depth: weights below 2^-16 are dropped
     oracle=f"""
     SELECT event_id, user_id,
            FLOOR(list_aggregate(list_transform(
-               list_reverse(list(value) OVER (
+               list_reverse(list_filter(list(value) OVER (
                    PARTITION BY user_id ORDER BY event_id
-                   ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING AND CURRENT ROW)),
+                   ROWS BETWEEN {EWMA_FRAME - 1} PRECEDING AND CURRENT ROW),
+                   v -> v IS NOT NULL)),
                (v, k) -> v * 0.5 ** k), 'sum') * 1000000) / 1000000 AS ewma
     FROM events
     """,
@@ -640,7 +641,13 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXACTLY on the 6-decimal rounding boundary, where Spark rounds
     half-up and DuckDB half-even). The frame's
     collect_list is bounded (16 elements), so memory per row is constant
-    and the only shuffle is the user_id partitioning."""
+    and the only shuffle is the user_id partitioning.
+
+    NULL samples: Spark's collect_list silently DROPS NULLs while
+    DuckDB's list() keeps them, so the oracle applies list_filter to get
+    the same compacted series — EWMA-over-present-samples semantics on
+    both sides (a missing reading shifts the weights to the previous
+    present ones, it does not zero a term)."""
     ev = table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -656,8 +663,13 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # No present samples in the frame (e.g. a user's first reading is
+    # NULL) ⇒ the EWMA is undefined: NULL, not the fold's 0.0 seed —
+    # matching the oracle, where sum-over-empty-list is NULL.
     return ev.select(
         "event_id",
         "user_id",
-        (F.floor(ewma * 1000000) / 1000000).alias("ewma"),
+        F.when(
+            F.size(frame_rev) > 0, F.floor(ewma * 1000000) / 1000000
+        ).alias("ewma"),
     )
