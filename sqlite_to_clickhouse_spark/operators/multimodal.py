@@ -114,6 +114,21 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# DuckDB spelling of "the utf-8 BYTES of text, as a list of ints":
+# hex(encode(text)) renders the bytes as hex pairs; each byte is
+# recovered by nibble lookup. Exact for ANY text — the previous
+# ascii(substring(...)) approximation equals bytes only on ASCII
+# (codepoints ≠ bytes once multi-byte characters appear, and a single
+# emoji's codepoint squared overflows INT32).
+_BYTES_SQL = (
+    "list_transform(range(1, octet_length(encode(text)) + 1), i -> "
+    "16 * (strpos('0123456789ABCDEF',"
+    " substring(hex(encode(text)), 2 * i - 1, 1)) - 1)"
+    " + (strpos('0123456789ABCDEF',"
+    " substring(hex(encode(text)), 2 * i, 1)) - 1))"
+)
+
 _FEAT_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -126,15 +141,15 @@ _FEAT_SCHEMA = T.StructType(
 
 @register(
     "multimodal_decode_features",
-    oracle="""
+    oracle=f"""
     SELECT doc_id,
-           CAST(strlen(text) AS BIGINT)  AS n_bytes,
-           ascii(substring(text, 1, 1))  AS first_byte,
-           CAST(list_aggregate(list_transform(range(1, strlen(text) + 1),
-                    i -> ascii(substring(text, i, 1))), 'sum') % 65536
-                AS BIGINT)               AS checksum
-    FROM documents
-    """,
+           CAST(octet_length(encode(text)) AS BIGINT)       AS n_bytes,
+           CAST(b[1] AS BIGINT)                             AS first_byte,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE CAST(coalesce(list_aggregate(b, 'sum'), 0) % 65536
+                          AS BIGINT) END                    AS checksum
+    FROM (SELECT doc_id, text, {{_BYTES_SQL}} AS b FROM documents)
+    """.format(_BYTES_SQL=_BYTES_SQL),
     tags=("multimodal", "udf"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,25 +260,24 @@ _AUDIO_SCHEMA = T.StructType(
 @register(
     "multimodal_audio_window",
     oracle=f"""
-    WITH codes AS (
-        SELECT doc_id, CAST(u.i AS INTEGER) AS i,
-               ascii(substr(text, CAST(u.i AS INTEGER), 1)) - 100 AS c
-        FROM documents, unnest(generate_series(1, strlen(text))) AS u(i)
+    WITH b AS (
+        SELECT doc_id, {_BYTES_SQL} AS bytes,
+               octet_length(encode(text)) AS n
+        FROM documents WHERE text IS NOT NULL
     ),
     starts AS (
-        SELECT doc_id, CAST(u.s AS INTEGER) AS w_start
-        FROM documents,
-             unnest(generate_series(0, strlen(text) - {AUDIO_WIN}, {AUDIO_HOP}))
-                 AS u(s)
+        SELECT doc_id, bytes, CAST(u.s AS INTEGER) AS w_start
+        FROM b, unnest(generate_series(0, n - {AUDIO_WIN}, {AUDIO_HOP})) AS u(s)
+        WHERE n >= {AUDIO_WIN}
     )
-    SELECT s.doc_id,
-           CAST(s.w_start / {AUDIO_HOP} AS INTEGER) AS w_idx,
-           s.w_start,
-           CAST(sum(c.c * c.c) AS BIGINT) AS energy
-    FROM starts s
-    JOIN codes c ON c.doc_id = s.doc_id
-                AND c.i > s.w_start AND c.i <= s.w_start + {AUDIO_WIN}
-    GROUP BY 1, 2, 3
+    SELECT doc_id,
+           CAST(w_start / {AUDIO_HOP} AS INTEGER) AS w_idx,
+           w_start,
+           CAST(list_aggregate(list_transform(
+                    list_slice(bytes, w_start + 1, w_start + {AUDIO_WIN}),
+                    x -> CAST(x - 100 AS BIGINT) * CAST(x - 100 AS BIGINT)),
+                'sum') AS BIGINT) AS energy
+    FROM starts
     """,
     tags=("multimodal", "udf", "audio"),
 )
@@ -331,10 +345,10 @@ def _phash_oracle() -> str:
     # signature equals the Spark-side byte-chunk signature exactly.
     sigs = ",\n             ".join(
         f"CASE WHEN text IS NULL THEN NULL ELSE "
-        f"CAST(coalesce(list_aggregate(list_transform("
-        f"range(1 + (({j} * strlen(text)) // {_PHASH_CHUNKS}),"
-        f" 1 + ((({j} + 1) * strlen(text)) // {_PHASH_CHUNKS})),"
-        f" i -> ascii(substring(text, i, 1))), 'sum'), 0) % 256 AS BIGINT) END"
+        f"CAST(coalesce(list_aggregate(list_slice(bytes,"
+        f" ({j} * n) // {_PHASH_CHUNKS} + 1,"
+        f" (({j} + 1) * n) // {_PHASH_CHUNKS}), 'sum'), 0) % 256"
+        f" AS BIGINT) END"
         f" AS s{j}"
         for j in range(_PHASH_CHUNKS)
     )
@@ -345,10 +359,15 @@ def _phash_oracle() -> str:
     # (LEFT JOIN; NULL band keys match nothing) — same masking as the
     # Spark side's NULL-window guard.
     return f"""
-    WITH sig AS (
+    WITH src AS (
+      SELECT doc_id, text, {_BYTES_SQL} AS bytes,
+             octet_length(encode(text)) AS n
+      FROM documents
+    ),
+    sig AS (
       SELECT doc_id,
              {sigs}
-      FROM documents
+      FROM src
     ),
     keyed AS (
       SELECT doc_id,

@@ -1,0 +1,89 @@
+"""Unicode-text robustness: the differential gate must hold when the
+corpus contains multi-byte UTF-8 (accents, CJK, emoji). This is where
+byte-vs-codepoint semantics quietly diverge: DuckDB's strlen counts
+BYTES and its levenshtein edits bytes, Spark's length/levenshtein count
+codepoints, and any oracle reconstructing "payload bytes" via
+ascii(substring(...)) gets codepoints instead (an emoji's codepoint
+squared even overflows INT32).
+
+The byte-defined multimodal oracles now recover exact bytes via
+hex(encode(text)) nibble lookup, and fn_editdistance runs over an
+ASCII projection on both sides (transliteration-normalized fuzzy
+matching) — this suite pins all of that on a fixture with unicode
+injected into every 5th document.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from sqlite_to_clickhouse_spark.io import TABLES
+from sqlite_to_clickhouse_spark.registry import all_queries
+from tests.utils import assert_df_matches_oracle
+
+_Q = all_queries()
+
+_OPS = [
+    # the byte-defined family (failed before the byte-exact oracles)
+    "multimodal_metadata",
+    "multimodal_decode_features",
+    "multimodal_audio_window",
+    "multimodal_phash_dedup",
+    "fn_editdistance",
+    # representative text ops (passed the sweep; keep them pinned)
+    "text_tokens",
+    "text_char_entropy",
+    "text_tfidf",
+    "doc_fingerprint",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(sf_dir, tmp_path_factory):
+    dst = tmp_path_factory.mktemp("sf_unicode")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), str(dst / f"{t}.parquet"))
+    tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    texts = tab.column("text").to_pylist()
+    out = []
+    for i, t in enumerate(texts):
+        if t is not None and i % 5 == 2:
+            t = t.replace("table", "tablé").replace("fast", "快速") + " émoji 😀 naïve"
+        out.append(t)
+    cols = {n: tab.column(n) for n in tab.schema.names}
+    cols["text"] = pa.array(out, pa.string())
+    # fixture contract: n_chars == length(text) (codepoints)
+    cols["n_chars"] = pa.array(
+        [None if t is None else len(t) for t in out], pa.int64()
+    )
+    pq.write_table(pa.table(cols), str(dst / "documents.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{unicode_sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _OPS)
+def test_oracle_match_with_unicode(spark, unicode_duck, unicode_sf_dir, name):
+    q = _Q[name]
+    df = q.fn(spark, unicode_sf_dir)
+    if q.oracle is None:
+        assert df.count() >= 0 and df.columns
+    else:
+        assert_df_matches_oracle(df, unicode_duck, q.oracle, name=name)
