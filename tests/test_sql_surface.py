@@ -57,7 +57,9 @@ _ANSI_OPS = [
     "events_sequence_count",
     "agg_bitwise_bool",
     "agg_unpivot",
-    "fn_editdistance",
+    # fn_editdistance left out: its oracle's ASCII projection needs
+    # DuckDB's regexp_replace(..., 'g') flag (DuckDB replaces FIRST by
+    # default where Spark replaces ALL) — not portable Spark SQL.
     "fn_format",
     "fn_date_extra",
     "query_shipping_priority",
