@@ -38,6 +38,15 @@ def __getattr__(name):
         "connected_components": "sqlite_to_clickhouse_spark.operators.dedup",
         "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
         "topk_cosine_blocked": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ivf_topk": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ivfpq_topk": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ann_index_build": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ann_index_query": "sqlite_to_clickhouse_spark.operators.similarity",
+        "pq_encode": "sqlite_to_clickhouse_spark.operators.similarity",
+        "pca_components": "sqlite_to_clickhouse_spark.operators.similarity",
+        "train_sample": "sqlite_to_clickhouse_spark.operators.similarity",
+        "pagerank": "sqlite_to_clickhouse_spark.operators.graph",
+        "triangle_stats": "sqlite_to_clickhouse_spark.operators.graph",
         "replacing_dedup": "sqlite_to_clickhouse_spark.migrate",
         "migrate_sqlite": "sqlite_to_clickhouse_spark.migrate",
         "read_sqlite": "sqlite_to_clickhouse_spark.sources.sqlite",
