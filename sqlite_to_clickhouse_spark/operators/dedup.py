@@ -388,7 +388,15 @@ def minhash_lsh_pairs(
     # persist at 73 s vs 32 s without (materialization + InMemoryRelation
     # scan costs dominate recompute; at 1× the difference is noise). Let
     # both join branches pipeline from the scan.
-    bands = sigs.select("__id", F.explode(band_keys).alias("bk"))
+    # Token-less documents (blank/whitespace text) carry an all-null
+    # signature; without this filter they'd all share the constant
+    # md5("i|") band keys and form ONE quadratic hot bucket — the classic
+    # LSH blank-document blowup. Their pairs are verify-stage no-ops
+    # anyway (NULL Jaccard), so dropping them pre-band is result-neutral
+    # and removes the O(blanks²) candidate join at corpus scale.
+    bands = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
+        "__id", F.explode(band_keys).alias("bk")
+    )
     a, b = bands.alias("a"), bands.alias("b")
     # Pack the pair into one long so the dedup shuffle hashes a single
     # 8-byte key.
@@ -432,7 +440,12 @@ def minhash_lsh_pairs(
         )
     )
     n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
-    jac = n_inter / (F.size("tk_a") + F.size("tk_b") - n_inter)
+    # try_divide: two EMPTY token sets (blank documents band together via
+    # their all-null signatures) make the union size 0 — NULL Jaccard,
+    # which the threshold filter drops, exactly like the oracle where
+    # DuckDB division by zero yields NULL. Never a candidate, never a
+    # crash (ANSI mode turns bare / into DIVIDE_BY_ZERO).
+    jac = F.try_divide(n_inter, F.size("tk_a") + F.size("tk_b") - n_inter)
     return pairs.filter(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
     )

@@ -921,7 +921,9 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            ROUND(entropy(c), 6)     AS char_entropy,
            CAST(COUNT(*) AS BIGINT) AS n_chars_counted
-    FROM (SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+    FROM (SELECT doc_id,
+                 unnest(list_filter(string_split_regex(text, ''),
+                                    c -> c <> '')) AS c
           FROM documents)
     GROUP BY doc_id
     """,
@@ -989,6 +991,8 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("n_raw_bytes"),
         _zbytes(F.col("text")).alias("n_compressed_bytes"),
     ).withColumn(
+        # try_divide: a zero-byte document has no defined ratio (NULL),
+        # and ANSI mode errors on bare /0.
         "compression_ratio",
-        F.round(F.col("n_compressed_bytes") / F.col("n_raw_bytes"), 6),
+        F.round(F.try_divide("n_compressed_bytes", "n_raw_bytes"), 6),
     )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import os
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -67,3 +68,61 @@ def test_op_degrades_on_empty_corpus(spark, empty_sf_dir, name):
     # Bound-as-result gates may emit invariant rows; everything else
     # should be empty or a single all-NULL/zero aggregate row.
     assert len(rows) <= 5
+
+
+_BLANK_OPS = [
+    # divide-by-zero / banding hazards found by the blank-document sweep
+    "dedup_fuzzy_minhash",
+    "dedup_connected_components",
+    "dedup_corpus_apply",
+    "dedup_keep_best",
+    "text_char_entropy",
+    "text_compression_ratio",
+]
+
+
+@pytest.fixture(scope="module")
+def blank_docs_sf_dir(sf_dir, tmp_path_factory):
+    """Every 9th document's text becomes the EMPTY STRING (not NULL) —
+    the blank-boilerplate case that creates zero token sets (0/0 Jaccard
+    under ANSI mode) and, pre-fix, ONE quadratic LSH hot bucket of
+    mutually-banded blank docs."""
+    import shutil
+
+    dst = tmp_path_factory.mktemp("sf_blank")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), str(dst / f"{t}.parquet"))
+    tab = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+    texts = tab.column("text").to_pylist()
+    out = ["" if (t is not None and i % 9 == 4) else t for i, t in enumerate(texts)]
+    cols = {n: tab.column(n) for n in tab.schema.names}
+    cols["text"] = pa.array(out, pa.string())
+    cols["n_chars"] = pa.array(
+        [None if t is None else len(t) for t in out], pa.int64()
+    )
+    pq.write_table(pa.table(cols), str(dst / "documents.parquet"))
+    return str(dst)
+
+
+@pytest.mark.parametrize("name", _BLANK_OPS)
+def test_op_handles_blank_documents(spark, blank_docs_sf_dir, name):
+    import duckdb
+
+    q = _Q[name]
+    df = q.fn(spark, blank_docs_sf_dir)
+    if q.oracle is None:
+        assert df.count() >= 0 and df.columns
+        return
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{blank_docs_sf_dir}/{t}.parquet'"
+        )
+    try:
+        from tests.utils import assert_df_matches_oracle
+
+        assert_df_matches_oracle(df, con, q.oracle, name=name)
+    finally:
+        con.close()
