@@ -884,3 +884,61 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lon >= 0, "E").otherwise("W"),
         ).alias("quadrant"),
     )
+
+
+@register(
+    "fn_dict_lookup",
+    oracle="""
+    SELECT c.c_custkey,
+           n.n_name                       AS nation_name,
+           COALESCE(r.r_name, 'UNKNOWN')  AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
+    """,
+    tags=("fn", "join"),
+)
+def fn_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``dictGet`` analog: dimension enrichment through an
+    in-plan literal MAP instead of a join.  ClickHouse serves this from a
+    pre-loaded external dictionary; Spark's equivalent is collecting the
+    (small-by-contract) dimension once and baking it into the plan as a
+    ``create_map`` literal probed with ``element_at`` — the fact scan
+    then enriches in pure projection codegen with NO join operator and
+    NO broadcast exchange at all, which beats even a broadcast join when
+    the same dictionary is probed by many queries (one collect, reused
+    plans).  The two-level probe (nation → region) mirrors a dictionary
+    hierarchy; a missing key falls back to the dictGetOrDefault value.
+    The oracle states the equivalent LEFT JOIN chain.
+
+    Scale contract: dictionaries are bounded (thousands of entries), the
+    same assumption ClickHouse's dictionary engine and every broadcast
+    dim make — asserted here so a fact-sized table can never be
+    collected into a plan literal."""
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n_rows = nation.collect()
+    r_rows = region.collect()
+    assert len(n_rows) + len(r_rows) < 100_000, "dictionary must stay bounded"
+    name_map = F.create_map(
+        *[F.lit(x) for row in n_rows for x in (row.n_nationkey, row.n_name)]
+    )
+    region_key_map = F.create_map(
+        *[F.lit(x) for row in n_rows for x in (row.n_nationkey, row.n_regionkey)]
+    )
+    region_map = F.create_map(
+        *[F.lit(x) for row in r_rows for x in (row.r_regionkey, row.r_name)]
+    )
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.element_at(name_map, F.col("c_nationkey")).alias("nation_name"),
+        F.coalesce(
+            F.element_at(
+                region_map, F.element_at(region_key_map, F.col("c_nationkey"))
+            ),
+            F.lit("UNKNOWN"),
+        ).alias("region_name"),
+    )

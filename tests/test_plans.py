@@ -676,3 +676,11 @@ def test_pca_projection_is_narrow(spark, sf_dir):
     p = _plan(spark, sf_dir, "embedding_pca_project")
     assert not _exchanges(p)
     assert "ArrowEvalPython" in p or "MapInPandas" in p
+
+
+def test_dict_lookup_is_pure_projection(spark, sf_dir):
+    # dictGet semantics: the enrichment must compile to map probes in a
+    # projection — zero Join operators, zero exchanges of any kind.
+    p = _plan(spark, sf_dir, "fn_dict_lookup")
+    assert "Join" not in p
+    assert not _exchanges(p)
