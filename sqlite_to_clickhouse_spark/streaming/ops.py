@@ -29,7 +29,7 @@ import itertools
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlite_to_clickhouse_spark.registry import register
@@ -509,3 +509,49 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeMode="None",
     )
     return run_to_memory(out, "update")
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+    WITH counted AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts) AS win_start,
+             event_type,
+             COUNT(*) AS cnt
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, cnt, rn
+    FROM (SELECT *, row_number() OVER (PARTITION BY win_start
+                                       ORDER BY cnt DESC, event_type) AS rn
+          FROM counted)
+    WHERE rn <= 3
+    """,
+    tags=("streaming",),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per 30-minute window — the streaming
+    leaderboard/trending shape (ClickHouse topK per toStartOfInterval).
+
+    Rank is not an incremental aggregate, so the plan splits where
+    production systems split it: the STREAM maintains the windowed
+    counts (mergeable state, O(open windows × types), watermark-
+    evictable), and the rank over each window's handful of count rows
+    runs as a batch finisher on the materialized result — per micro-
+    batch in a foreachBatch sink in production, after the AvailableNow
+    drain here. The expensive part (the event scan) is streamed once;
+    the finisher touches windows × types rows only.
+    """
+    ev = events_stream(spark, sf_dir)
+    counted = (
+        ev.groupBy(F.window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
+    )
+    done = run_to_memory(counted, "complete")
+    w = Window.partitionBy("win_start").orderBy(F.desc("cnt"), "event_type")
+    return (
+        done.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("win_start", "event_type", "cnt", "rn")
+    )
