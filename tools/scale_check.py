@@ -128,6 +128,9 @@ DEFAULT_OPS = [
     "embedding_pca_project",
     "text_char_entropy",
     "text_compression_ratio",
+    "agg_grouping_id",
+    "fn_dict_lookup",
+    "stream_windowed_topk",
 ]
 
 
