@@ -176,3 +176,32 @@ def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     group, not a row-wise anti join — duplicates matter."""
     a, b = _order_halves(spark, sf_dir)
     return a.exceptAll(b)
+
+
+_DUP_SQL_A = (
+    "SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 3 <> 0"
+)
+_DUP_SQL_B = (
+    "SELECT l_suppkey, l_returnflag FROM lineitem WHERE l_orderkey % 2 <> 0"
+)
+
+
+@register(
+    "set_intersect_all",
+    oracle=f"{_DUP_SQL_A} INTERSECT ALL {_DUP_SQL_B}",
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (multiplicity-aware INTERSECT ALL): each row
+    survives min(count_left, count_right) times. Defined over a lineitem
+    (suppkey, returnflag) projection — NOT the unique-keyed orders halves
+    the other set ops share — so per-row multiplicities are genuinely >1
+    and the multiset semantics are exercised non-vacuously. Physically
+    one hash shuffle per side on all columns + a count-min per group
+    (Spark plans intersectAll as a grouped count compare, not an n×m
+    join), so wire volume is O(distinct rows), fine at 100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    proj = ["l_suppkey", "l_returnflag"]
+    a = li.filter(F.col("l_orderkey") % 3 != 0).select(*proj)
+    b = li.filter(F.col("l_orderkey") % 2 != 0).select(*proj)
+    return a.intersectAll(b)

@@ -996,3 +996,77 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression_ratio",
         F.round(F.try_divide("n_compressed_bytes", "n_raw_bytes"), 6),
     )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(tk) - 1),
+                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+               AS gram
+      FROM toks WHERE len(tk) >= 3
+    ),
+    firsts AS (
+      SELECT doc_id, gram,
+             MIN(doc_id) OVER (PARTITION BY gram) AS first_doc
+      FROM grams
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE first_doc = doc_id)
+                AS BIGINT)                                   AS n_novel,
+           ROUND(COUNT(*) FILTER (WHERE first_doc = doc_id)
+                 / CAST(COUNT(*) AS DOUBLE), 6)              AS novelty
+    FROM firsts
+    GROUP BY doc_id
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty: the fraction of a document's distinct
+    trigrams whose FIRST corpus occurrence (lowest doc_id — ingestion
+    order) is this document. The curation-side diversity signal: late
+    near-copies and template spam score near 0, genuinely new content
+    near 1 — the per-document view of what line/span dedup removes.
+
+    One tokenize pass: distinct (doc, gram) rows → a window-min over the
+    gram partitioning stamps each gram's first doc → per-doc aggregate.
+    The shuffle carries distinct doc-gram PAIRS (the explode collapses
+    map-side), and the same gram partitioning serves both the window and
+    nothing else — no join-back, no second corpus scan.  At 100 TB the
+    gram key would be xxhash64-narrowed exactly like text_decontaminate;
+    the raw string key is kept here for oracle parity.
+    """
+    d = table(spark, sf_dir, "documents")
+    tk = _tokens(F.col("text"))
+    trigrams = F.when(F.size(tk) < 3, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tk, i + 1),
+                F.element_at(tk, i + 2),
+                F.element_at(tk, i + 3),
+            ),
+        )
+    )
+    grams = (
+        d.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("gram"))
+    )
+    first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
+    novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
+    return (
+        grams.withColumn("first_doc", first_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            novel.alias("n_novel"),
+            F.round(novel / F.count(F.lit(1)).cast("double"), 6).alias("novelty"),
+        )
+    )
