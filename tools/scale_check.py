@@ -131,6 +131,12 @@ DEFAULT_OPS = [
     "agg_grouping_id",
     "fn_dict_lookup",
     "stream_windowed_topk",
+    # Trigram novelty shuffles distinct doc-gram pairs (O(corpus
+    # tokens) wire) and windows over the gram key; bag intersection is
+    # a grouped count-compare (O(distinct rows) wire). Both should
+    # track input size linearly.
+    "text_ngram_novelty",
+    "set_intersect_all",
 ]
 
 
