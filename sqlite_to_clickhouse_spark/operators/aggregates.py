@@ -1175,6 +1175,11 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg_cube; the markers are free metadata on each expanded row.
     Spark's grouping() yields TINYINT and DuckDB's BIGINT — both sides
     cast to BIGINT so the driver's type-tagged hash agrees.
+
+    Known cross-engine divergence (same as agg_rollup/agg_cube, pinned
+    in tests/test_empty_input.py): on a ZERO-ROW input Spark's CUBE
+    emits zero rows while the SQL standard (and DuckDB) emit the one
+    grand-total row — the oracle diverges only on an empty corpus.
     """
     o = table(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
