@@ -132,6 +132,7 @@ def write_bucketed(
     *,
     sort_cols: Optional[Sequence[str]] = None,
     mode: str = "overwrite",
+    path: Optional[str] = None,
 ) -> None:
     """Bucketed warehouse table: rows hash-clustered (and optionally
     sorted) by the join/agg key at WRITE time.
@@ -140,8 +141,20 @@ def write_bucketed(
     the same key with the same bucket count join with NO Exchange on
     either side (and with sortBy, no Sort either — pure zip of buckets).
     You pay one shuffle once, at layout time, instead of per query;
-    tests/test_bucketing.py asserts the exchange-free plan."""
+    tests/test_bucketing.py asserts the exchange-free plan.
+
+    ``path`` makes it an EXTERNAL bucketed table at that location instead
+    of a managed table under the session warehouse dir. A fresh session's
+    in-memory catalog does not know about a previous process's managed
+    table files, so ``mode="overwrite"`` cannot reclaim them and the
+    write dies with LOCATION_ALREADY_EXISTS; a caller that re-creates
+    its layout per run should pass a fresh ``path`` (and we drop any
+    same-name catalog entry so the new location wins)."""
+    if path is not None:
+        df.sparkSession.sql(f"DROP TABLE IF EXISTS {table_name}")
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table_name)

@@ -684,3 +684,21 @@ def test_dict_lookup_is_pure_projection(spark, sf_dir):
     p = _plan(spark, sf_dir, "fn_dict_lookup")
     assert "Join" not in p
     assert not _exchanges(p)
+
+
+def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
+    """The whole point of join_bucketed_colocated: after the bucketed
+    layout is written, the join AND the follow-on group-by on the bucket
+    key run with ZERO Exchanges of any kind. Broadcast is disabled for
+    the assertion (at fixture scale Spark rightly prefers broadcasting
+    the small orders side — also shuffle-free; at 100 TB both sides are
+    big and the bucketed sort-merge path below is the one that runs)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _plan(spark, sf_dir, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "Exchange" not in p, p
+    assert "SortMergeJoin" in p, p
+    assert "SelectedBucketsCount: 8 out of 8" in p, p

@@ -137,6 +137,9 @@ DEFAULT_OPS = [
     # track input size linearly.
     "text_ngram_novelty",
     "set_intersect_all",
+    # Bucketed co-located join: cost is the one-time layout write (two
+    # table-sized bucket shuffles) + an exchange-free join/agg — linear.
+    "join_bucketed_colocated",
 ]
 
 
