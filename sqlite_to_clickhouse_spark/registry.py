@@ -120,11 +120,14 @@ _PRIORITY: list[str] = [
     "join_runtime_bloom",
     # The round-5 window = 37 never-driver-verified backlog ops + the 3
     # latest-red rows + the 10 new round-5 ops = 50.  The two by-design ⊘
-    # rows and the freshness re-certs of the r1-green cohort (join_asof
-    # first — its library code changed post-r4) rotate from r6 on via
-    # compute_rotation(); all were locally re-verified at sf0.01 this
-    # round (full-registry drive, 172/172 green before the round-5
-    # additions).
+    # rows, the freshness re-certs of the r1-green cohort (join_asof
+    # first — its library code changed post-r4), and the late round-5
+    # additions that missed this full window (incl. the seventh batch:
+    # text_ngram_novelty, set_intersect_all, join_bucketed_colocated)
+    # rotate from r6 on via compute_rotation(), which ranks
+    # never-verified ops first; all were locally driver-simulated green
+    # at sf0.01 this round (closing full-registry drives 247/247 and
+    # 248/248, plus individual drives of the late additions).
 ]
 
 
