@@ -150,6 +150,11 @@ HEADLINE = [
     "text_char_entropy",
     "text_compression_ratio",
     "embedding_pca_project",
+    # Round-5 seventh batch: trigram novelty, bag intersection, and the
+    # bucketed co-located join (layout write + exchange-free join/agg).
+    "text_ngram_novelty",
+    "set_intersect_all",
+    "join_bucketed_colocated",
 ]
 
 
