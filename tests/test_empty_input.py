@@ -48,6 +48,10 @@ _OPS = [
     "events_sessionize",
     "graph_triangle_count",
     "sample_temperature",
+    # seventh batch (empty-driven green when added; pinned here)
+    "text_ngram_novelty",
+    "set_intersect_all",
+    "join_bucketed_colocated",
 ]
 
 
