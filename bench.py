@@ -155,6 +155,7 @@ HEADLINE = [
     "text_ngram_novelty",
     "set_intersect_all",
     "join_bucketed_colocated",
+    "sink_partition_overwrite_dynamic",
 ]
 
 

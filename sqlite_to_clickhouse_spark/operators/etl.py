@@ -332,6 +332,54 @@ def sink_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_partition_overwrite_dynamic",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CASE WHEN o_orderpriority = '1-URGENT'
+                THEN o_totalprice + 1000 ELSE o_totalprice END AS o_totalprice,
+           o_orderpriority
+    FROM orders
+    """,
+    tags=("sink", "etl"),
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent daily-backfill
+    primitive at 100 TB: re-running one day's batch must replace exactly
+    that day's partition directory and leave every sibling untouched.
+    With ``spark.sql.sources.partitionOverwriteMode=dynamic`` a
+    ``mode("overwrite")`` write replaces ONLY the partitions present in
+    the incoming DataFrame (here the '1-URGENT' slice, restated with a
+    +1000 price correction); under the default STATIC mode the same
+    write would delete the whole table first — the classic
+    lost-partitions production incident. The oracle states the merged
+    end state: corrected urgent rows + untouched other priorities.
+    The +1000 correction is a single exact double add (1000 is exactly
+    representable), so no rounding normalization is needed.
+    """
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]
+    o = table(spark, sf_dir, "orders").select(*cols)
+    path = os.path.join(tempfile.mkdtemp(prefix="part_dyn_"), "orders")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    corrected = o.filter(F.col("o_orderpriority") == "1-URGENT").withColumn(
+        "o_totalprice", F.col("o_totalprice") + 1000
+    )
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = spark.read.schema(_PART_SCHEMA).parquet(path)
+    return got.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority"),
+    )
+
+
+@register(
     "merge_upsert",
     oracle="""
     SELECT o_orderkey,

@@ -52,6 +52,7 @@ _OPS = [
     "text_ngram_novelty",
     "set_intersect_all",
     "join_bucketed_colocated",
+    "sink_partition_overwrite_dynamic",
 ]
 
 

@@ -140,6 +140,9 @@ DEFAULT_OPS = [
     # Bucketed co-located join: cost is the one-time layout write (two
     # table-sized bucket shuffles) + an exchange-free join/agg — linear.
     "join_bucketed_colocated",
+    # Dynamic partition overwrite: full layout write + one-partition
+    # rewrite + table read-back — all table-linear.
+    "sink_partition_overwrite_dynamic",
 ]
 
 
