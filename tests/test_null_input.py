@@ -55,6 +55,8 @@ _OPS = [
     "fn_url",
     "fn_format",
     "udf_pandas_cogrouped",
+    # NULL partition keys round-trip through __HIVE_DEFAULT_PARTITION__
+    "sink_partition_overwrite_dynamic",
 ]
 
 
