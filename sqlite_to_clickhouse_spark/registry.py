@@ -123,8 +123,9 @@ _PRIORITY: list[str] = [
     # rows, the freshness re-certs of the r1-green cohort (join_asof
     # first — its library code changed post-r4), and the late round-5
     # additions that missed this full window (incl. the seventh batch:
-    # text_ngram_novelty, set_intersect_all, join_bucketed_colocated)
-    # rotate from r6 on via compute_rotation(), which ranks
+    # text_ngram_novelty, set_intersect_all, join_bucketed_colocated,
+    # sink_partition_overwrite_dynamic) rotate from r6 on via
+    # compute_rotation(), which ranks
     # never-verified ops first; all were locally driver-simulated green
     # at sf0.01 this round (closing full-registry drives 247/247 and
     # 248/248, plus individual drives of the late additions).
