@@ -156,6 +156,7 @@ HEADLINE = [
     "set_intersect_all",
     "join_bucketed_colocated",
     "sink_partition_overwrite_dynamic",
+    "filter_not_in_null_aware",
 ]
 
 

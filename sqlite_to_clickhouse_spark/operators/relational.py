@@ -321,6 +321,42 @@ def filter_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_EXISTS_SQL)
 
 
+_NOT_IN_SQL = """
+    WITH debtors AS (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    ),
+    debtors_poisoned AS (
+        SELECT CASE WHEN s_acctbal < 0 THEN s_suppkey END AS s_suppkey
+        FROM supplier
+    )
+    SELECT 'null_free' AS variant, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier
+    WHERE s_suppkey NOT IN (SELECT s_suppkey FROM debtors)
+    UNION ALL
+    SELECT 'with_null' AS variant, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier
+    WHERE s_suppkey NOT IN (SELECT s_suppkey FROM debtors_poisoned)
+"""
+
+
+@register("filter_not_in_null_aware", oracle=_NOT_IN_SQL, tags=("relational", "sql"))
+def filter_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN with ANSI three-valued NULL semantics, certified on both
+    branches in one result: against the NULL-free debtor list it returns
+    the real non-debtor count; against the same list with NULLs injected
+    it returns 0 — ONE NULL in a NOT-IN list makes every non-matching
+    comparison UNKNOWN and silently empties the result, the classic
+    production incident. Spark plans this as a null-aware anti join
+    (a broadcast nested-loop, NOT a hash anti join — the NULL check
+    defeats hashing), which is also the 100 TB lesson the op pins: a
+    NOT-IN subquery must be broadcast-small, and when the key is known
+    non-NULL, NOT EXISTS (plain hash anti join, see
+    filter_exists_subquery) is the scalable form.
+    """
+    table(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_NOT_IN_SQL)
+
+
 _LATERAL_SQL = """
     SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
     FROM customer c,

@@ -53,6 +53,7 @@ _OPS = [
     "set_intersect_all",
     "join_bucketed_colocated",
     "sink_partition_overwrite_dynamic",
+    "filter_not_in_null_aware",
 ]
 
 
