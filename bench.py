@@ -10,6 +10,15 @@ whole-stage-codegen classes) and OS page-cache population, which vary
 3-10s run-to-run on a shared host — the second pass measures the engine,
 not the JVM lifecycle. The first-pass total is reported as
 ``derived.cold_total_sec`` for transparency.
+
+Output-size contract (VERDICT r5 item 2/7): the driver records only the
+LAST 2000 bytes of output and parses the final JSON line — round 5's
+101-query dict overflowed that and shipped ``"parsed": null``.  So the
+printed line carries per-query timings for the PINNED_44 subset only
+(the r4-comparable set, stable round-over-round so regressions are
+detectable from the committed artifacts alone), with the full-set totals
+under ``derived`` and the complete per-query map written to
+``BENCH_FULL.json`` at the repo root.
 """
 
 from __future__ import annotations
@@ -160,6 +169,26 @@ HEADLINE = [
 ]
 
 
+# The r4-comparable pinned subset (exactly the 44 keys BENCH_r04.json
+# parsed): reported in the printed JSON every round, never reordered or
+# extended — extensions land in BENCH_FULL.json instead.
+PINNED_44 = [
+    "pricing_summary", "filter_predicate", "project_computed",
+    "agg_groupby_hash", "agg_rollup", "join_inner_hash", "join_broadcast",
+    "join_asof", "window_rank", "window_running", "dedup_replacing",
+    "topk_per_group", "set_union_distinct", "fn_json", "udf_pandas_scalar",
+    "udtf_explode", "stream_tumbling", "scan_jdbc",
+    "migrate_sqlite_roundtrip", "multimodal_decode_features", "text_langid",
+    "text_tfidf", "dedup_exact", "dedup_fuzzy_minhash", "sim_topk_cosine",
+    "sim_ann_ivf", "events_funnel", "events_user_path", "window_time_range",
+    "split_train_holdout", "merge_upsert", "agg_histogram",
+    "text_bpe_tokens", "query_shipping_priority", "query_supplier_volume",
+    "query_market_share", "query_returned_items", "events_anomaly_zscore",
+    "window_rolling_distinct", "text_line_dedup", "text_repetition",
+    "text_decontaminate", "text_idf_filter", "sim_pq_quantize",
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -192,24 +221,51 @@ def main() -> None:
     # number for (BASELINE.md: ~5 100 rows/s end-to-end SQLite→sink
     # migration): rows of the migrated table over the full
     # stage→extract→cast→dedup→write→read-back wall clock.
-    derived = {"cold_total_sec": round(cold_total, 4)}
+    derived = {
+        "cold_total_sec": round(cold_total, 2),
+        "full_total_sec": round(total, 4),
+        "full_n": len(names),
+    }
     if timings.get("migrate_sqlite_roundtrip"):
         derived["migrate_rows_per_s"] = round(
             rows["migrate_sqlite_roundtrip"] / timings["migrate_sqlite_roundtrip"]
         )
 
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    pinned = {n: round(timings[n], 3) for n in PINNED_44 if n in timings}
+    summary = {
+        "metric": "headline_queries_total",
+        "value": round(sum(pinned.values()), 4),
+        "unit": "sec",
+        "queries": pinned,
+        "sf": sf_val,
+        "derived": derived,
+    }
+    # Full per-query record (every HEADLINE op) — committed alongside the
+    # driver's BENCH_r{N}.json so round-over-round data never truncates.
+    with open(os.path.join(REPO_ROOT, "BENCH_FULL.json"), "w") as fh:
+        json.dump(
             {
-                "metric": "headline_queries_total",
+                "metric": "full_headline_queries",
                 "value": round(total, 4),
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "rows": rows,
+                "sf": sf_val,
                 "derived": derived,
-            }
+            },
+            fh,
+            indent=1,
         )
-    )
+    line = json.dumps(summary)
+    # Hard output-size contract: the driver parses the final JSON line out
+    # of the LAST 2000 bytes of output. Degrade by dropping per-query
+    # detail rather than shipping an unparseable record.
+    if len(line) > 1900:
+        summary["queries"] = {}
+        summary["derived"]["queries_in"] = "BENCH_FULL.json"
+        line = json.dumps(summary)
+    print(line)
     spark.stop()
 
 

@@ -491,10 +491,101 @@ def ivf_topk(
     )
 
 
+# Per-probe recall floor: ≥20 % of the exact top-k recovered (≥1 of 5) —
+# measured per-probe minimum across sf0.001/0.01/0.1 is exactly 0.2
+# (sf0.1 probes 2/3); the sf0.01 driver fixture sits at 0.6.  Aggregate
+# floors mirror tests/test_llm_ops.py::test_ivf_recall / test_ivfpq_recall.
+ANN_PER_PROBE_RECALL_FLOOR = 0.2
+IVF_AGG_RECALL_FLOOR = 0.4
+IVFPQ_AGG_RECALL_FLOOR = 0.35
+
+# Recall bound-as-result oracle (the sim_pq_quantize / agg_approx_* gate
+# pattern, VERDICT r5 item 1): ANN routing is quantizer-dependent so a
+# value hash of the neighbor pairs is meaningless, but the EXACT top-k is
+# SQL-expressible — so ``n_exact`` is a genuinely differential column
+# (DuckDB recomputes the brute-force per-probe counts) and ``recall_ok``
+# is the asserted bound.  The -1 row is the corpus-level aggregate.
+_RECALL_ORACLE = f"""
+    WITH pairs AS (
+      SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+             {{cos}} AS cos
+      FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+      WHERE p.vec_id < {N_PROBES}
+    ),
+    exact AS (
+      SELECT probe_id, vec_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+            FROM pairs)
+      WHERE rn <= {TOP_K}
+    )
+    SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM exact GROUP BY probe_id
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS probe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM exact
+"""
+
+
+def _recall_oracle() -> str:
+    return _RECALL_ORACLE.format(cos=_cos_sql("p.embedding", "c.embedding"))
+
+
+def _recall_gate(
+    spark: SparkSession,
+    sf_dir: str,
+    ann_fn,
+    *,
+    per_floor: float = ANN_PER_PROBE_RECALL_FLOOR,
+    agg_floor: float,
+) -> DataFrame:
+    """Run an ANN search and render it as the driver-gateable recall
+    bound: per probe, the exact-top-k count (differential vs DuckDB) and
+    recall_ok = |ANN ∩ exact| / |exact| ≥ per_floor; plus one corpus row
+    (probe_id = −1) holding the aggregate floor.  ``ann_fn(e, probes)``
+    returns (probe_id, vec_id, …) candidate rows.  The exact side is the
+    already-oracle-certified brute force (topk_cosine) — probes broadcast,
+    one scan, so the gate adds one narrow join on (probe_id, vec_id) to
+    the ANN plan, never a second corpus shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+    exact = topk_cosine(e, probes, k=TOP_K).select("probe_id", "vec_id")
+    ann = ann_fn(e, probes).select(
+        "probe_id", "vec_id", F.lit(1).alias("hit")
+    )
+    per = (
+        exact.join(ann, ["probe_id", "vec_id"], "left")
+        .groupBy("probe_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exact"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hit"),
+        )
+    )
+    per_rows = per.select(
+        "probe_id",
+        "n_exact",
+        (F.col("n_hit") / F.col("n_exact") >= per_floor).alias("recall_ok"),
+    )
+    agg_rows = per.agg(
+        F.coalesce(F.sum("n_exact"), F.lit(0)).cast("long").alias("ne"),
+        F.coalesce(F.sum("n_hit"), F.lit(0)).cast("long").alias("nh"),
+    ).select(
+        F.lit(-1).cast("long").alias("probe_id"),
+        F.col("ne").alias("n_exact"),
+        # An empty corpus has no exact neighbors: the bound is vacuous.
+        ((F.col("ne") == 0) | (F.col("nh") / F.col("ne") >= agg_floor)).alias(
+            "recall_ok"
+        ),
+    )
+    return per_rows.unionAll(agg_rows)
+
+
 @register(
     "sim_ann_ivf",
-    oracle=None,  # IVF result depends on bucket routing — recall vs brute
-    # force asserted in tests/test_llm_ops.py::test_ivf_recall.
+    oracle=_recall_oracle(),
     tags=("llm", "similarity", "approx"),
 )
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,12 +597,17 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe routing); the vector table is scanned once, shuffled only by
     the final top-k window on (probe_id). The candidate set per probe is
     |bucket| × nprobe instead of n.
-    """
-    e = table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+
+    Gate rendering: routing is quantizer-dependent, so the registered
+    shape is the recall bound (see _recall_gate) — the raw neighbor rows
+    stay available through the ``ivf_topk`` library API, and their exact
+    cosines are pinned in tests/test_llm_ops.py::test_ivf_recall."""
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e, p: ivf_topk(e, p, k=TOP_K, nprobe=NPROBE),
+        agg_floor=IVF_AGG_RECALL_FLOOR,
     )
-    return ivf_topk(e, probes, k=TOP_K, nprobe=NPROBE)
 
 
 def topk_cosine_blocked(
@@ -791,6 +887,21 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def l2_normalize(
+    df: DataFrame, *, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Library API: append a unit-norm copy of ``vec_col`` plus its
+    ``l2_norm`` — the prep step before any cosine-based dedup/search, done
+    once so every downstream distance is a plain dot product. All math is
+    Catalyst higher-order lambdas after a float→double widen; per-row
+    projection only, no shuffle, scan-bound at any scale."""
+    emb = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x))
+    return df.withColumn("l2_norm", norm).withColumn(
+        out_col, F.transform(emb, lambda x: x / F.col("l2_norm"))
+    )
+
+
 @register(
     "embedding_normalize",
     oracle="""
@@ -798,38 +909,55 @@ def sim_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, label,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings
+    ),
+    n AS (
+      SELECT vec_id, label, emb,
+             sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum'))
+               AS nrm
+      FROM d
     )
     SELECT vec_id, label,
-           ROUND(sqrt(list_aggregate(list_transform(emb, x -> x * x), 'sum')), 6)
-             AS l2_norm,
-           list_transform(emb,
-             x -> ROUND(x / sqrt(list_aggregate(
-                    list_transform(emb, y -> y * y), 'sum')), 6)) AS unit
-    FROM d
+           ROUND(nrm, 6)                                   AS l2_norm,
+           CAST(generate_subscripts(emb, 1) AS BIGINT)     AS pos,
+           ROUND(unnest(emb) / nrm, 6)                     AS unit_val
+    FROM n
     """,
     tags=("llm", "similarity"),
 )
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2-normalize the embedding column (unit vectors + the norm itself) —
-    the prep step before any cosine-based dedup/search, done once so every
-    downstream distance is a plain dot product.
+    """L2-normalize the embedding column: per (vector, position) rows of
+    the unit vector plus the norm itself — the prep step before any
+    cosine-based dedup/search (library form: ``l2_normalize``, which keeps
+    the array shape).
 
     All math is Catalyst higher-order lambdas over the array after a
     float→double widen (exact), folding left-to-right exactly like the
     oracle's list_aggregate — bit-identical sums, so the differential gate
-    holds without tolerance. Per-row projection only: no shuffle, scan-bound
-    at any scale. (A zero vector would yield IEEE NaN identically in both
-    engines; the fixture has none, and callers that might see one should
-    pre-filter on l2_norm > 0.)"""
+    holds without tolerance. The registered shape is EXPLODED to scalar
+    (vec_id, pos, unit_val) rows because the driver's canonicalizer
+    factorizes column values — top-level arrays are unhashable there
+    (the r5 red). Per-row projection + one posexplode: no shuffle,
+    scan-bound at any scale. (A zero vector would yield IEEE NaN
+    identically in both engines; the fixture has none, and callers that
+    might see one should pre-filter on l2_norm > 0.)"""
     e = table(spark, sf_dir, "embeddings")
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ss = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
     norm = F.sqrt(ss)
-    return e.select(
-        "vec_id",
-        "label",
-        F.round(norm, 6).alias("l2_norm"),
-        F.transform(emb, lambda x: F.round(x / norm, 6)).alias("unit"),
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(norm, 6).alias("l2_norm"),
+            F.posexplode(F.transform(emb, lambda x: F.round(x / norm, 6))),
+        )
+        .select(
+            "vec_id",
+            "label",
+            "l2_norm",
+            (F.col("pos") + 1).cast("long").alias("pos"),  # 1-based like SQL
+            F.col("col").alias("unit_val"),
+        )
     )
 
 
@@ -965,8 +1093,7 @@ def ivfpq_topk(
 
 @register(
     "sim_ivfpq_search",
-    oracle=None,  # routing+ADC are quantizer-dependent — recall vs brute
-    # force asserted in tests/test_llm_ops.py::test_ivfpq_recall.
+    oracle=_recall_oracle(),
     tags=("llm", "similarity", "approx"),
 )
 def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,12 +1101,17 @@ def sim_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ codes ranked by asymmetric distance (ADC) + exact top-k rerank —
     the composition of sim_ann_ivf's coarse quantizer and
     sim_pq_quantize's codes into the memory-resident index layout used at
-    billion-vector scale. See ivfpq_topk for the plan."""
-    e = table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    billion-vector scale. See ivfpq_topk for the plan.
+
+    Gate rendering: recall bound per probe + corpus aggregate (see
+    _recall_gate; raw neighbors via the ``ivfpq_topk`` library API, exact
+    rerank cosines pinned in tests/test_llm_ops.py::test_ivfpq_recall)."""
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e, p: ivfpq_topk(e, p, k=TOP_K, nprobe=NPROBE),
+        agg_floor=IVFPQ_AGG_RECALL_FLOOR,
     )
-    return ivfpq_topk(e, probes, k=TOP_K, nprobe=NPROBE)
 
 
 _OUTLIER_SCALE = 10_000  # floor(v·1e4): exact-integer distance arithmetic
@@ -1378,7 +1510,7 @@ def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sim_index_query",
-    oracle=None,  # quantizer-dependent routing — recall asserted in tests
+    oracle=_recall_oracle(),
     tags=("llm", "similarity", "approx"),
 )
 def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1386,14 +1518,21 @@ def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     session hasn't): the query-time path reads quantizer state from
     parquet and touches only the routed bucket partitions — what a
     100 TB serving job does per batch of probes, amortizing the build
-    across every query. Recall vs brute force and the partition-pruned
-    scan are asserted in tests/test_llm_ops.py."""
+    across every query. The partition-pruned scan is asserted in
+    tests/test_llm_ops.py.
+
+    Gate rendering: recall bound per probe + corpus aggregate (see
+    _recall_gate).  IVF-PQ floors apply — the served path must return
+    exactly the inline ivfpq_topk pairs (pinned in
+    test_persisted_index_matches_inline_ivfpq), so its recall is the
+    same number."""
     path = _ensure_index(spark, sf_dir)
-    e = table(spark, sf_dir, "embeddings")
-    probes = e.filter(F.col("vec_id") < N_PROBES).select(
-        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e, p: ann_index_query(spark, e, path, p, k=TOP_K, nprobe=NPROBE),
+        agg_floor=IVFPQ_AGG_RECALL_FLOOR,
     )
-    return ann_index_query(spark, e, path, probes, k=TOP_K, nprobe=NPROBE)
 
 
 _PCA_K = 8

@@ -1007,9 +1007,10 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     grams AS (
       SELECT DISTINCT doc_id,
-             unnest(list_transform(range(1, len(tk) - 1),
-                    i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
-               AS gram
+             CAST(concat('0x', substr(md5(
+               unnest(list_transform(range(1, len(tk) - 1),
+                      i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+             ), 1, 15)) AS BIGINT) AS gram
       FROM toks WHERE len(tk) >= 3
     ),
     firsts AS (
@@ -1039,9 +1040,14 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram partitioning stamps each gram's first doc → per-doc aggregate.
     The shuffle carries distinct doc-gram PAIRS (the explode collapses
     map-side), and the same gram partitioning serves both the window and
-    nothing else — no join-back, no second corpus scan.  At 100 TB the
-    gram key would be xxhash64-narrowed exactly like text_decontaminate;
-    the raw string key is kept here for oracle parity.
+    nothing else — no join-back, no second corpus scan.  The gram key is
+    a 60-bit md5-prefix (8 bytes on the wire instead of ~30 chars — the
+    100 TB form text_decontaminate already uses); the hash is applied
+    INSIDE the array before array_distinct and the oracle computes the
+    IDENTICAL key, so a collision merges the same two grams on both
+    sides and the differential gate can never diverge on a collision
+    lottery.  (Production swap: xxhash64 on the gram string, one fewer
+    string pass — documented, kept md5 for oracle parity.)
     """
     d = table(spark, sf_dir, "documents")
     tk = _tokens(F.col("text"))
@@ -1056,9 +1062,13 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    grams = (
-        d.select("doc_id", F.explode(F.array_distinct(trigrams)).alias("gram"))
+    gram_keys = F.array_distinct(
+        F.transform(
+            trigrams,
+            lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+        )
     )
+    grams = d.select("doc_id", F.explode(gram_keys).alias("gram"))
     first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
     return (

@@ -157,11 +157,12 @@ def compute_rotation(
     inside a bounded freshness window without hand-editing ``_PRIORITY``
     each round).
 
-    Policy, in order:
-      1. ops with NO driver record yet (registration order) — new code is
-         the highest-risk population;
-      2. ops whose LATEST record is red (rows/schema/hash mismatch or err)
+    Policy, in order (VERDICT r5 item 3: an unclosed failure must never
+    wait behind the backlog):
+      1. ops whose LATEST record is red (rows/schema/hash mismatch or err)
          — unclosed failures re-certify before anything else;
+      2. ops with NO driver record yet (registration order) — new code is
+         the highest-risk population;
       3. green ops, oldest-verified first — freshness re-certs, so every
          row cycles back through the gate every ceil(N/window − 1) rounds.
 
@@ -208,7 +209,7 @@ def compute_rotation(
         (n for n in names if n in history and history[n][1]),
         key=lambda n: (history[n][0], order[n]),
     )
-    return (never + red + stale)[:window], latest
+    return (red + never + stale)[:window], latest
 
 
 def all_queries() -> dict[str, RegisteredQuery]:

@@ -21,6 +21,28 @@ def test_oracle_match(spark, duck, sf_dir, name):
     assert_df_matches_oracle(df, duck, q.oracle, name=name)
 
 
+# The ⊘ ceiling (VERDICT r5 item 8): exactly these ops may register with
+# oracle=None (rows-only driver checks).  sink_jdbc_clickhouse needs a live
+# ClickHouse server; stream_watermark_late's late-drop is pinned by a
+# 3-batch reverse-time feed in tests/test_streaming.py; embedding_pca_project
+# is numpy-parity-pinned; text_compression_ratio depends on zlib output
+# bytes.  Any other oracle-less registration is a regression.
+_ALLOWED_ROWS_ONLY = {
+    "sink_jdbc_clickhouse",
+    "stream_watermark_late",
+    "embedding_pca_project",
+    "text_compression_ratio",
+}
+
+
+def test_rows_only_ceiling():
+    assert set(_ROWS_ONLY) == _ALLOWED_ROWS_ONLY, (
+        f"unexpected oracle=None registrations: "
+        f"{sorted(set(_ROWS_ONLY) - _ALLOWED_ROWS_ONLY)} "
+        f"(every new op needs a DuckDB oracle or a bound-as-result gate)"
+    )
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     q = _QUERIES[name]

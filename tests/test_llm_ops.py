@@ -10,16 +10,34 @@ from sqlite_to_clickhouse_spark.registry import all_queries
 _Q = all_queries()
 
 
+def _ann_probes(spark, sf_dir):
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.similarity import N_PROBES
+
+    e = table(spark, sf_dir, "embeddings")
+    return e, e.filter(F.col("vec_id") < N_PROBES).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+    )
+
+
 def test_ivf_recall(spark, sf_dir):
     """IVF top-k must recover a solid fraction of the exact top-k, and
-    every IVF result must carry the true (exact) cosine for its pair."""
+    every IVF result must carry the true (exact) cosine for its pair.
+    (The registered sim_ann_ivf op renders this bound as its RESULT for
+    the driver gate; this test pins the pair-level semantics through the
+    ivf_topk library API.)"""
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        NPROBE, TOP_K, ivf_topk,
+    )
+
+    e, probes = _ann_probes(spark, sf_dir)
     exact = {
         (r.probe_id, r.vec_id): r.cosine
         for r in _Q["sim_topk_cosine"].fn(spark, sf_dir).collect()
     }
     approx = {
         (r.probe_id, r.vec_id): r.cosine
-        for r in _Q["sim_ann_ivf"].fn(spark, sf_dir).collect()
+        for r in ivf_topk(e, probes, k=TOP_K, nprobe=NPROBE).collect()
     }
     assert approx, "IVF returned nothing"
     hits = set(exact) & set(approx)
@@ -36,13 +54,18 @@ def test_ivfpq_recall(spark, sf_dir):
     near-random vectors is ANN's hard case, so the floor sits slightly
     below plain IVF's (the ADC shortlist can drop a true neighbor that
     IVF alone would keep)."""
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        NPROBE, TOP_K, ivfpq_topk,
+    )
+
+    e, probes = _ann_probes(spark, sf_dir)
     exact = {
         (r.probe_id, r.vec_id): r.cosine
         for r in _Q["sim_topk_cosine"].fn(spark, sf_dir).collect()
     }
     approx = {
         (r.probe_id, r.vec_id): r.cosine
-        for r in _Q["sim_ivfpq_search"].fn(spark, sf_dir).collect()
+        for r in ivfpq_topk(e, probes, k=TOP_K, nprobe=NPROBE).collect()
     }
     assert approx, "IVF-PQ returned nothing"
     hits = set(exact) & set(approx)
@@ -50,6 +73,23 @@ def test_ivfpq_recall(spark, sf_dir):
     assert recall >= 0.35, f"IVF-PQ recall {recall:.2f} too low"
     for key in hits:
         assert abs(exact[key] - approx[key]) < 1e-9
+
+
+def test_ann_recall_gates_all_true(spark, sf_dir):
+    """The registered ANN ops render their recall bound AS the result
+    (the driver-gateable shape): every per-probe row and the corpus
+    aggregate (probe_id = −1) must be recall_ok = TRUE, and n_exact must
+    equal the brute-force top-k count per probe."""
+    exact_counts: dict = {}
+    for r in _Q["sim_topk_cosine"].fn(spark, sf_dir).collect():
+        exact_counts[r.probe_id] = exact_counts.get(r.probe_id, 0) + 1
+    total = sum(exact_counts.values())
+    for op in ("sim_ann_ivf", "sim_ivfpq_search", "sim_index_query"):
+        rows = {r.probe_id: r for r in _Q[op].fn(spark, sf_dir).collect()}
+        assert all(r.recall_ok for r in rows.values()), op
+        assert rows[-1].n_exact == total, op
+        for pid, n in exact_counts.items():
+            assert rows[pid].n_exact == n, (op, pid)
 
 
 def test_minhash_recall_floor_on_high_jaccard(spark, sf_dir):
@@ -337,13 +377,21 @@ def test_persisted_index_matches_inline_ivfpq(spark, sf_dir):
     """The persisted-index query path must return EXACTLY the inline
     ivfpq_topk results: both fit the same deterministic quantizers, so
     persistence must not change a single pair or cosine."""
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        NPROBE, TOP_K, _ensure_index, ann_index_query, ivfpq_topk,
+    )
+
+    e, probes = _ann_probes(spark, sf_dir)
+    path = _ensure_index(spark, sf_dir)
     inline = {
         (r.probe_id, r.vec_id): r.cosine
-        for r in _Q["sim_ivfpq_search"].fn(spark, sf_dir).collect()
+        for r in ivfpq_topk(e, probes, k=TOP_K, nprobe=NPROBE).collect()
     }
     served = {
         (r.probe_id, r.vec_id): r.cosine
-        for r in _Q["sim_index_query"].fn(spark, sf_dir).collect()
+        for r in ann_index_query(
+            spark, e, path, probes, k=TOP_K, nprobe=NPROBE
+        ).collect()
     }
     assert served == inline
     assert served, "index query returned nothing"

@@ -2,9 +2,10 @@
 
 The driver's correctness gate verifies the FIRST 50 entries of
 ``queries()``; ``compute_rotation`` derives that window from the committed
-CORRECTNESS_r*.json history.  These tests pin the policy: never-verified
-first, latest-red second, then greens oldest-first; deterministic; every
-emitted name registered.
+CORRECTNESS_r*.json history.  These tests pin the policy: latest-red
+first (an unclosed failure never waits behind the backlog — VERDICT r5
+item 3), never-verified second, then greens oldest-first; deterministic;
+every emitted name registered.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ RED_ERR = {"rows_match": False, "schema_match": False, "hash_match": None, "err"
 ROWS_ONLY = {"rows_match": True, "schema_match": True, "hash_match": None, "err": None}
 
 
-def test_rotation_orders_never_red_stale(tmp_path):
+def test_rotation_orders_red_never_stale(tmp_path):
     all_queries()  # force registration
     names = list(R._REGISTRY)
     a, b, c, d = names[0], names[1], names[2], names[3]
@@ -33,17 +34,16 @@ def test_rotation_orders_never_red_stale(tmp_path):
     _write(tmp_path, 2, {b: GREEN, c: RED_HASH})
     rotation, latest = compute_rotation(window=10, correctness_dir=str(tmp_path))
     assert latest == 2
-    # d (and everything else unseen) precedes red c, which precedes greens.
-    assert rotation.index(d) < rotation.index(c) if c in rotation else True
-    assert c not in rotation or all(
-        rotation.index(n) < rotation.index(c) for n in rotation if n not in (a, b, c)
-    )
-    # never-seen fill the window before any seen op appears
-    seen_positions = [rotation.index(n) for n in (a, b, c) if n in rotation]
-    unseen_in = [n for n in rotation if n not in (a, b, c)]
-    assert len(unseen_in) >= 7
-    if seen_positions:
-        assert min(seen_positions) >= len(unseen_in) - len(seen_positions)
+    # Red c LEADS the window (unclosed failures re-certify before the
+    # never-verified backlog), then never-seen d and friends, then greens
+    # a/b only if slots remain.
+    assert rotation[0] == c
+    assert rotation.index(c) < rotation.index(d)
+    green_positions = [rotation.index(n) for n in (a, b) if n in rotation]
+    unseen_positions = [rotation.index(n) for n in rotation if n not in (a, b)]
+    assert len(unseen_positions) >= 8
+    if green_positions:
+        assert min(green_positions) > max(unseen_positions)
 
 
 def test_rotation_green_ordered_oldest_first(tmp_path):

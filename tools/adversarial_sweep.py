@@ -1,0 +1,187 @@
+"""Full-registry adversarial sweep — one command, four mutated fixtures.
+
+Builds the four adversarial corpus mutants (empty / NULLs / unicode /
+blank-documents — the generators mirror the pytest fixtures in
+tests/test_empty_input.py, test_null_input.py, test_unicode_input.py,
+which pin the per-op regressions those sweeps originally found) from a
+base fixture dir and drives EVERY registered op over each:
+
+- ``nulls`` / ``unicode`` / ``blank``: full differential gate — each
+  oracle-bearing op is hash-compared against its DuckDB oracle on the
+  SAME mutated parquet (the driver's t2 check), rows-only ops must run.
+- ``empty``: ops must DEGRADE (run, keep schema, emit ≤ a handful of
+  rows) — no oracle compare, because Spark legitimately diverges from
+  the SQL standard on empty rollup/cube grand-total rows (documented in
+  agg_rollup's docstring) and bound-as-result gates emit invariant rows.
+
+Usage:
+    python tools/adversarial_sweep.py [base_sf_dir] [names...]
+
+Exit 0 iff every (mutant, op) cell is green.  ~10-20 min for the full
+registry at sf0.001; pass op names to sweep a subset.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+os.environ.setdefault("TZ", "UTC")
+import time as _time
+
+_time.tzset()
+
+from sqlite_to_clickhouse_spark.io import TABLES  # noqa: E402
+
+# Mirrors tests/test_null_input.py::_NULLABLE.
+NULLABLE = {
+    "customer": ["c_acctbal", "c_mktsegment"],
+    "orders": ["o_totalprice", "o_orderpriority"],
+    "lineitem": ["l_discount", "l_tax", "l_returnflag"],
+    "events": ["value", "event_type"],
+    "documents": ["text", "lang", "source"],
+    "part": ["p_brand"],
+    "embeddings": ["label"],
+}
+
+
+def make_empty(src: str, dst: str) -> None:
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        pq.write_table(tab.slice(0, 0), os.path.join(dst, f"{t}.parquet"))
+
+
+def make_nulls(src: str, dst: str) -> None:
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        n = tab.num_rows
+        cols = {}
+        for name in tab.schema.names:
+            col = tab.column(name)
+            if name in NULLABLE.get(t, []):
+                mask = pa.array([(i % 7) == 3 for i in range(n)])
+                col = pc.if_else(
+                    mask,
+                    pa.nulls(n, type=tab.schema.field(name).type),
+                    col.combine_chunks(),
+                )
+            cols[name] = col
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{t}.parquet"))
+
+
+def _mutate_documents(src: str, dst: str, fn) -> None:
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(
+                os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet")
+            )
+    tab = pq.read_table(os.path.join(src, "documents.parquet"))
+    out = [fn(i, t) for i, t in enumerate(tab.column("text").to_pylist())]
+    cols = {n: tab.column(n) for n in tab.schema.names}
+    cols["text"] = pa.array(out, pa.string())
+    cols["n_chars"] = pa.array(
+        [None if t is None else len(t) for t in out], pa.int64()
+    )
+    pq.write_table(pa.table(cols), os.path.join(dst, "documents.parquet"))
+
+
+def make_unicode(src: str, dst: str) -> None:
+    _mutate_documents(
+        src,
+        dst,
+        lambda i, t: (
+            t.replace("table", "tablé").replace("fast", "快速") + " émoji 😀 naïve"
+            if t is not None and i % 5 == 2
+            else t
+        ),
+    )
+
+
+def make_blank(src: str, dst: str) -> None:
+    _mutate_documents(
+        src, dst, lambda i, t: "" if (t is not None and i % 9 == 4) else t
+    )
+
+
+MUTANTS = {
+    "empty": make_empty,
+    "nulls": make_nulls,
+    "unicode": make_unicode,
+    "blank": make_blank,
+}
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    from sqlite_to_clickhouse_spark.registry import all_queries
+    from tests.utils import assert_df_matches_oracle
+
+    args = sys.argv[1:]
+    base = args[0] if args and os.path.isdir(args[0]) else "/root/testdata/sf0.001"
+    only = args[1:] if args and os.path.isdir(args[0]) else args
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .appName("adversarial-sweep")
+        .getOrCreate()
+    )
+    registry = all_queries()
+    names = [n for n in registry if not only or n in only]
+
+    root = tempfile.mkdtemp(prefix="graft_adv_")
+    fails: list[tuple[str, str, str]] = []
+    for mut, maker in MUTANTS.items():
+        mdir = os.path.join(root, mut)
+        os.makedirs(mdir, exist_ok=True)
+        maker(base, mdir)
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{mdir}/{t}.parquet'"
+            )
+        n_ok = 0
+        for name in names:
+            q = registry[name]
+            try:
+                df = q.fn(spark, mdir)
+                if mut == "empty":
+                    rows = df.collect()
+                    assert df.columns, "schema lost"
+                    assert len(rows) <= 5, f"{len(rows)} rows from empty corpus"
+                elif q.oracle is None:
+                    assert df.count() >= 0 and df.columns
+                else:
+                    assert_df_matches_oracle(df, con, q.oracle, name=name)
+                n_ok += 1
+            except Exception as ex:  # noqa: BLE001 — report, don't abort
+                fails.append((mut, name, repr(ex)[:400]))
+        con.close()
+        print(f"[{mut}] {n_ok}/{len(names)} green", flush=True)
+
+    print(f"\nSWEEP RESULT: {len(MUTANTS) * len(names) - len(fails)} green, "
+          f"{len(fails)} FAIL")
+    for mut, name, msg in fails:
+        print(f"  FAIL [{mut}] {name}: {msg}")
+    shutil.rmtree(root, ignore_errors=True)
+    spark.stop()
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
