@@ -1449,14 +1449,35 @@ def _index_cache_path(sf_dir: str) -> str:
     return os.path.join(_tf.gettempdir(), f"graft_ann_index_{tag}")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """(size, mtime) fingerprint of the embeddings parquet the index was
+    built from — the fixture REGENERATES between driver rounds while /tmp
+    may persist, and a stale index would silently serve neighbors of the
+    previous corpus generation."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "missing"
+
+
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     path = _index_cache_path(sf_dir)
     marker = os.path.join(path, "_GRAFT_INDEX_OK")
-    if not os.path.exists(marker):
+    fp = _source_fingerprint(sf_dir)
+    cached = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            cached = fh.read().strip()
+    if cached != fp:
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         e = table(spark, sf_dir, "embeddings")
         ann_index_build(spark, e, path)
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(fp)
     return path
 
 
@@ -1487,7 +1508,7 @@ def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in ann_index_build(spark, e, path).collect()
     }
     with open(os.path.join(path, "_GRAFT_INDEX_OK"), "w") as fh:
-        fh.write("ok")
+        fh.write(_source_fingerprint(sf_dir))
     n_vec = e.count()
     n_seeds = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).count()
     # An EMPTY corpus legitimately builds an empty-but-well-formed index

@@ -523,7 +523,8 @@ def stream_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT win_start, event_type, cnt, rn
     FROM (SELECT *, row_number() OVER (PARTITION BY win_start
-                                       ORDER BY cnt DESC, event_type) AS rn
+                                       ORDER BY cnt DESC,
+                                                event_type NULLS FIRST) AS rn
           FROM counted)
     WHERE rn <= 3
     """,
@@ -549,7 +550,11 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("win_start"), "event_type", "cnt")
     )
     done = run_to_memory(counted, "complete")
-    w = Window.partitionBy("win_start").orderBy(F.desc("cnt"), "event_type")
+    # Tie-break pinned NULLS FIRST on both sides (Spark's ASC default;
+    # DuckDB defaults NULLS LAST) — found by the NULL adversarial sweep.
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("cnt"), F.asc_nulls_first("event_type")
+    )
     return (
         done.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)

@@ -57,6 +57,10 @@ _OPS = [
     "udf_pandas_cogrouped",
     # NULL partition keys round-trip through __HIVE_DEFAULT_PARTITION__
     "sink_partition_overwrite_dynamic",
+    # round-6 full-registry sweep finding: rank tie-break on a NULL
+    # event_type diverged (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST);
+    # both sides now pin NULLS FIRST.
+    "stream_windowed_topk",
 ]
 
 
