@@ -923,7 +923,17 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hash = md5-derived 60-bit key on BOTH sides (decontaminate's parity
     trick) so Spark and the oracle agree by construction."""
     d = table(spark, sf_dir, "documents")
-    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # Token array bound in its own projection BEFORE the per-window
+    # lambda references it: interpreted HOFs do no common-subexpression
+    # elimination, so an unbound tk re-tokenized the document inside
+    # every window's slice() — O(tokens²) per doc (same fix as
+    # text_ngram_novelty, measured 7× there).  explode_outer over the
+    # bound hash array + scalar NULL filter keeps
+    # InferFiltersFromGenerate from re-evaluating the window transform.
+    toks = d.select(
+        "doc_id", F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("tk")
+    ).filter(F.size("tk") >= _SPAN_W)
+    tk = F.col("tk")
     wins = F.transform(
         F.sequence(F.lit(1), F.size(tk) - F.lit(_SPAN_W - 1)),
         lambda i: F.conv(
@@ -933,8 +943,9 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     per_doc_gram = (
-        d.filter(F.size(tk) >= _SPAN_W)
-        .select("doc_id", F.explode(wins).alias("g"))
+        toks.select("doc_id", wins.alias("w"))
+        .select("doc_id", F.explode_outer("w").alias("g"))
+        .filter(F.col("g").isNotNull())
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("k"))
     )

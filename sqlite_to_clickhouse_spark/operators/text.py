@@ -321,7 +321,12 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the shuffled result to frequent grams — at corpus scale the
     long tail is the volume, so threshold before any join against it."""
     d = table(spark, sf_dir, "documents")
-    tk = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    # tk bound first (interpreted-HOF CSE fix, see text_ngram_novelty):
+    # unbound, each bigram's element_at re-tokenized the document.
+    toks = d.select(
+        "doc_id", F.filter(F.split(F.col("text"), " "), lambda t: t != "").alias("tk")
+    )
+    tk = F.col("tk")
     # Guard: sequence(0, -1) runs DESCENDING in Spark, so a 0/1-token doc
     # would fabricate indices — emit an empty array instead.
     bigrams = F.when(F.size(tk) < 2, F.array().cast("array<string>")).otherwise(
@@ -331,7 +336,9 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        d.select("doc_id", F.explode(bigrams).alias("bigram"))
+        toks.select("doc_id", bigrams.alias("bg"))
+        .select("doc_id", F.explode_outer("bg").alias("bigram"))
+        .filter(F.col("bigram").isNotNull())
         .groupBy("bigram")
         .agg(
             F.count(F.lit(1)).alias("freq"),
@@ -482,7 +489,10 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's len(tk) >= 2 guard.
     """
     d = table(spark, sf_dir, "documents")
-    tk = _tokens(F.col("text"))
+    # tk bound first (interpreted-HOF CSE fix, see text_ngram_novelty):
+    # unbound, each bigram's element_at re-tokenized the document.
+    d = d.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(tk) - 1),
         lambda i: F.concat_ws(
@@ -538,11 +548,15 @@ def _decon_oracle() -> str:
       FROM documents
     ),
     grams AS (
+      -- distinct applied AFTER hashing, mirroring the engine (which
+      -- hashes inside the array then array_distincts the 60-bit keys):
+      -- a within-doc collision merges identically on both sides.
       SELECT doc_id,
-             CAST(concat('0x', substr(md5(unnest(list_distinct(list_transform(
-               range(1, len(tk) - {_DECON_N - 2}),
-               i -> array_to_string(list_slice(tk, i, i + {_DECON_N - 1}), ' ')
-             )))), 1, 15)) AS BIGINT) AS g
+             unnest(list_distinct(list_transform(
+               list_transform(range(1, len(tk) - {_DECON_N - 2}),
+                 i -> array_to_string(list_slice(tk, i, i + {_DECON_N - 1}), ' ')),
+               s -> CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT)
+             ))) AS g
       FROM toks WHERE len(tk) >= {_DECON_N}
     )
     SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
@@ -573,22 +587,32 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     never diverge on a collision lottery.
     """
     d = table(spark, sf_dir, "documents")
-    tk = _tokens(F.col("text"))
+    # tk bound in its own projection (the interpreted-HOF CSE fix, see
+    # text_ngram_novelty): unbound, every gram's slice() re-tokenized the
+    # whole document — O(tokens²) per doc.  The md5 key moves INSIDE the
+    # array lambda so the explode emits 8-byte longs directly, and
+    # explode_outer over the bound array + scalar NULL filter avoids
+    # InferFiltersFromGenerate re-evaluating the gram transform.
+    toks = d.select(
+        "doc_id", _tokens(F.col("text")).alias("tk")
+    ).filter(F.size("tk") >= _DECON_N)
+    tk = F.col("tk")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(tk) - F.lit(_DECON_N - 1)),
-            lambda i: F.array_join(F.slice(tk, i, _DECON_N), " "),
+            lambda i: F.conv(
+                F.substring(
+                    F.md5(F.array_join(F.slice(tk, i, _DECON_N), " ")), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
         )
     )
     g = (
-        d.filter(F.size(tk) >= _DECON_N)
-        .select("doc_id", F.explode(grams).alias("g_str"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5("g_str"), 1, 15), 16, 10)
-            .cast("long")
-            .alias("g"),
-        )
+        toks.select("doc_id", grams.alias("gs"))
+        .select("doc_id", F.explode_outer("gs").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     train = g.filter(F.col("doc_id") % 50 != 0).select(
         F.col("doc_id").alias("train_doc"), "g"
@@ -848,7 +872,11 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     the equivalent (inefficient) relational self-join form.
     """
     d = table(spark, sf_dir, "documents")
-    arr = _tokens(F.col("text"))
+    # Token array bound once (interpreted-HOF CSE, see text_ngram_novelty):
+    # unbound, the 4 slices + 2 sizes each re-tokenized the document, and
+    # the Generate's inferred filter re-evaluated the whole zip tree.
+    toks = d.select(_tokens(F.col("text")).alias("tk"))
+    arr = F.col("tk")
     n = F.size(arr)
     z1 = F.arrays_zip(
         F.slice(arr, 1, F.greatest(n - 1, F.lit(0))).alias("t1"),
@@ -859,7 +887,7 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(arr, 3, F.greatest(n - 2, F.lit(0))).alias("t2"),
     )
     return (
-        d.select(F.explode(F.concat(z1, z2)).alias("p"))
+        toks.select(F.explode(F.concat(z1, z2)).alias("p"))
         .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("n_cooc"))
@@ -1050,7 +1078,18 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     string pass — documented, kept md5 for oracle parity.)
     """
     d = table(spark, sf_dir, "documents")
-    tk = _tokens(F.col("text"))
+    # Bind the token array in its OWN projection before any per-gram
+    # lambda references it.  Catalyst inlines the split expression into
+    # every element_at closure otherwise, and interpreted higher-order
+    # functions (HOFs never enter whole-stage codegen) do no common-
+    # subexpression elimination — each gram was re-tokenizing the whole
+    # document, O(tokens²) per doc.  Binding tk measured 4.6 s → 0.64 s
+    # at sf0.1 (identical results).  explode_outer over the BOUND array
+    # column + a scalar NULL filter keeps Generate from re-evaluating
+    # the gram construction (InferFiltersFromGenerate duplicates the
+    # generator expression into a size()>0 filter for plain explode).
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
     trigrams = F.when(F.size(tk) < 3, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(0), F.size(tk) - 3),
@@ -1068,7 +1107,11 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
         )
     )
-    grams = d.select("doc_id", F.explode(gram_keys).alias("gram"))
+    grams = (
+        toks.select("doc_id", gram_keys.alias("gk"))
+        .select("doc_id", F.explode_outer("gk").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
     first_doc = F.min("doc_id").over(Window.partitionBy("gram"))
     novel = F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0))
     return (
