@@ -944,12 +944,21 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     ss = F.aggregate(emb, F.lit(0.0), lambda acc, x: acc + x * x)
     norm = F.sqrt(ss)
+    # Bind emb and the norm BEFORE the per-element division references
+    # them (the interpreted-HOF CSE rule, see text_ngram_novelty): an
+    # unbound `x / norm` inlines the whole sum-of-squares aggregate into
+    # every element's lambda — O(dim²) per row.
+    bound = e.select(
+        "vec_id", "label", emb.alias("emb"), norm.alias("nrm")
+    )
     return (
-        e.select(
+        bound.select(
             "vec_id",
             "label",
-            F.round(norm, 6).alias("l2_norm"),
-            F.posexplode(F.transform(emb, lambda x: F.round(x / norm, 6))),
+            F.round("nrm", 6).alias("l2_norm"),
+            F.posexplode(
+                F.transform(F.col("emb"), lambda x: F.round(x / F.col("nrm"), 6))
+            ),
         )
         .select(
             "vec_id",
