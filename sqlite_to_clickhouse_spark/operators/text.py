@@ -887,7 +887,9 @@ def text_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(arr, 3, F.greatest(n - 2, F.lit(0))).alias("t2"),
     )
     return (
-        toks.select(F.explode(F.concat(z1, z2)).alias("p"))
+        toks.select(F.concat(z1, z2).alias("zz"))
+        .select(F.explode_outer("zz").alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .groupBy("t1", "t2")
         .agg(F.count(F.lit(1)).alias("n_cooc"))

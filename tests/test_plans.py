@@ -702,3 +702,31 @@ def test_bucketed_colocated_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in p, p
     assert "SortMergeJoin" in p, p
     assert "SelectedBucketsCount: 8 out of 8" in p, p
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_ngram_novelty",
+        "text_decontaminate",
+        "dedup_substring_spans",
+        "text_ngrams",
+        "text_cooccurrence",
+    ],
+)
+def test_ngram_generators_explode_bound_columns(spark, sf_dir, name):
+    """The interpreted-HOF CSE rule (round 6): higher-order functions are
+    interpreted with no common-subexpression elimination, so the gram
+    array must be BOUND in its own projection and the Generate must
+    explode a bare attribute — an inline generator expression means every
+    Generate output row (and the inferred size/notnull filter) re-runs
+    the tokenize, O(tokens²) per doc. Asserted: every explode argument in
+    the plan is a plain column reference like `explode(gk#123)`."""
+    p = _plan(spark, sf_dir, name)
+    gens = re.findall(r"Arguments: explode(?:_outer)?\(([^)]*)\)", p)
+    assert gens, f"no Generate found for {name}"
+    for arg in gens:
+        assert re.fullmatch(r"\w+#\d+[L]?", arg.strip()), (
+            f"{name}: Generate evaluates an inline expression "
+            f"({arg[:80]}…) instead of a bound column"
+        )
