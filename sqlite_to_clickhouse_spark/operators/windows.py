@@ -666,10 +666,19 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No present samples in the frame (e.g. a user's first reading is
     # NULL) ⇒ the EWMA is undefined: NULL, not the fold's 0.0 seed —
     # matching the oracle, where sum-over-empty-list is NULL.
+    #
+    # Double-domain floor: Spark's floor(double) returns LONG and clamps
+    # at ±2⁶³ (the extreme-numerics sweep caught the op pinned to exactly
+    # Long.MAX/1e6 on ±1e15 inputs) while DuckDB's FLOOR stays DOUBLE.
+    # Above 2⁵² every double is already an integer, so floor is the
+    # identity there — branching on that bound reproduces DuckDB's
+    # double floor exactly at every magnitude.
+    scaled = ewma * 1000000
+    dfloor = F.when(
+        F.abs(scaled) >= F.lit(float(2**52)), scaled
+    ).otherwise(F.floor(scaled).cast("double"))
     return ev.select(
         "event_id",
         "user_id",
-        F.when(
-            F.size(frame_rev) > 0, F.floor(ewma * 1000000) / 1000000
-        ).alias("ewma"),
+        F.when(F.size(frame_rev) > 0, dfloor / 1000000).alias("ewma"),
     )

@@ -20,6 +20,16 @@ def _norm_cell(v: Any) -> Any:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        if v == 0.0:
+            # Sign-of-zero is outside the gate contract: IEEE defines
+            # -0.0 == 0.0, but the engines surface different signs after
+            # normalization passes (Spark's NormalizeFloatingNumbers
+            # rewrites -0.0 in grouping/join keys; SQLite loses the sign
+            # in the JDBC round trip) — the extreme-numerics sweep hit
+            # ten ops differing ONLY in this bit. The driver-generated
+            # clean fixtures contain no -0.0, so the driver's own hash
+            # (which formats '-0' vs '0') is unaffected.
+            return 0.0
         return v
     if isinstance(v, dt.datetime):
         return v.replace(tzinfo=None).isoformat(sep=" ")

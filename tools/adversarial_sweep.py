@@ -1,10 +1,11 @@
-"""Full-registry adversarial sweep — one command, four mutated fixtures.
+"""Full-registry adversarial sweep — one command, five mutated fixtures.
 
-Builds the four adversarial corpus mutants (empty / NULLs / unicode /
-blank-documents — the generators mirror the pytest fixtures in
-tests/test_empty_input.py, test_null_input.py, test_unicode_input.py,
-which pin the per-op regressions those sweeps originally found) from a
-base fixture dir and drives EVERY registered op over each:
+Builds the adversarial corpus mutants (empty / NULLs / unicode /
+blank-documents / extreme-numerics — the first four generators mirror
+the pytest fixtures in tests/test_empty_input.py, test_null_input.py,
+test_unicode_input.py, which pin the per-op regressions those sweeps
+originally found) from a base fixture dir and drives EVERY registered
+op over each:
 
 - ``nulls`` / ``unicode`` / ``blank``: full differential gate — each
   oracle-bearing op is hash-compared against its DuckDB oracle on the
@@ -16,6 +17,7 @@ base fixture dir and drives EVERY registered op over each:
 
 Usage:
     python tools/adversarial_sweep.py [base_sf_dir] [names...]
+    GRAFT_MUTANTS=extremes,nulls ... to restrict the mutant set.
 
 Exit 0 iff every (mutant, op) cell is green.  ~10-20 min for the full
 registry at sf0.001; pass op names to sweep a subset.
@@ -113,11 +115,55 @@ def make_blank(src: str, dst: str) -> None:
     )
 
 
+# Float/double columns that may carry dirty numerics at corpus scale,
+# with DOMAIN-PLAUSIBLE extreme sets: a 1e15 "discount" is not dirty
+# data, it is a different schema — rates stay in [0, 1]; event readings
+# go to ±1e5 (large, but inside the documented bounds of the
+# integer-scaled exact-arithmetic oracles, e.g. events_anomaly_zscore's
+# (100·v)²·n < 2⁶³); unbounded money columns get the full ±1e15.
+# Every set leads with -0.0 — the sign-of-zero bit is the universal
+# dirty-float hazard (see tests/utils.py's normalization note).
+_NUMERIC = {
+    "lineitem": {"l_discount": [-0.0, 1.0, 0.07], "l_tax": [-0.0, 1.0, 0.03]},
+    "orders": {"o_totalprice": [-0.0, 1e15, -1e15]},
+    "customer": {"c_acctbal": [-0.0, 1e15, -1e15]},
+    "events": {"value": [-0.0, 1e5, -1e5]},
+}
+
+
+def make_extremes(src: str, dst: str) -> None:
+    """Every 11th row of each float column cycles through its
+    domain-plausible extreme set (see _NUMERIC): negative zero exercises
+    sign handling in rounding/grouping/hashing; the large magnitudes
+    exercise accumulation order and long-overflow guards (this sweep
+    caught window_ewma pinned to exactly Long.MAX/1e6 — Spark's
+    floor(double)→LONG clamp vs DuckDB's double FLOOR)."""
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        cols = {}
+        for name in tab.schema.names:
+            col = tab.column(name)
+            ext = _NUMERIC.get(t, {}).get(name)
+            if ext:
+                typ = tab.schema.field(name).type
+                vals = col.to_pylist()
+                out = [
+                    ext[(i // 11) % len(ext)]
+                    if (i % 11) == 5 and v is not None
+                    else v
+                    for i, v in enumerate(vals)
+                ]
+                col = pa.array(out, typ)
+            cols[name] = col
+        pq.write_table(pa.table(cols), os.path.join(dst, f"{t}.parquet"))
+
+
 MUTANTS = {
     "empty": make_empty,
     "nulls": make_nulls,
     "unicode": make_unicode,
     "blank": make_blank,
+    "extremes": make_extremes,
 }
 
 # Ops whose output does NOT derive from the corpus tables: row generators,
@@ -157,7 +203,11 @@ def main() -> int:
 
     root = tempfile.mkdtemp(prefix="graft_adv_")
     fails: list[tuple[str, str, str]] = []
-    for mut, maker in MUTANTS.items():
+    selected = os.environ.get("GRAFT_MUTANTS", "").split(",")
+    mutants = {
+        k: v for k, v in MUTANTS.items() if not selected[0] or k in selected
+    }
+    for mut, maker in mutants.items():
         mdir = os.path.join(root, mut)
         os.makedirs(mdir, exist_ok=True)
         maker(base, mdir)
@@ -186,7 +236,7 @@ def main() -> int:
         con.close()
         print(f"[{mut}] {n_ok}/{len(names)} green", flush=True)
 
-    print(f"\nSWEEP RESULT: {len(MUTANTS) * len(names) - len(fails)} green, "
+    print(f"\nSWEEP RESULT: {len(mutants) * len(names) - len(fails)} green, "
           f"{len(fails)} FAIL")
     for mut, name, msg in fails:
         print(f"  FAIL [{mut}] {name}: {msg}")
