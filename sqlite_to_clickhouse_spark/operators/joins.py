@@ -868,8 +868,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     summation-order-independent — ROUND(SUM(double), 2) here lands on
     half-cent boundaries on ~0.1% of orders, where engines legitimately
     disagree (measured: 15 of 14 743 orders at sf0.01).
+
+    The layout is built ONCE per source-fixture generation and reused —
+    that IS the bucketing contract (pay the shuffle at layout time,
+    amortize over every query); the cache marker fingerprints the source
+    parquet (size+mtime, the _ensure_index pattern) so a regenerated
+    fixture rebuilds rather than serving a stale layout.
     """
+    import hashlib
     import os
+    import shutil
     import tempfile
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
@@ -878,15 +886,35 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sqlite_to_clickhouse_spark.sources.sinks import write_bucketed
 
-    base = tempfile.mkdtemp(prefix="coloc_")
-    write_bucketed(
-        o, "coloc_orders", ["o_orderkey"], 8,
-        sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
+    fp = "|".join(
+        (lambda st: f"{st.st_size}:{st.st_mtime_ns}")(
+            os.stat(os.path.join(sf_dir, f"{t}.parquet"))
+        )
+        for t in ("orders", "lineitem")
     )
-    write_bucketed(
-        li, "coloc_lineitem", ["l_orderkey"], 8,
-        sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"graft_coloc_{tag}")
+    marker = os.path.join(base, "_GRAFT_COLOC_OK")
+    cached = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            cached = fh.read().strip()
+    have = spark.catalog.tableExists("coloc_orders") and spark.catalog.tableExists(
+        "coloc_lineitem"
     )
+    if cached != fp or not have:
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        write_bucketed(
+            o, "coloc_orders", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
+        )
+        write_bucketed(
+            li, "coloc_lineitem", ["l_orderkey"], 8,
+            sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
+        )
+        with open(marker, "w") as fh:
+            fh.write(fp)
     bo, bl = spark.table("coloc_orders"), spark.table("coloc_lineitem")
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (F.lit(1) - F.col("l_discount")) * 100
