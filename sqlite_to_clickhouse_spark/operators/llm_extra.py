@@ -273,11 +273,12 @@ def sim_pair_distance_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            CAST(len(e) AS INTEGER) AS n_dims,
            round(maxabs, 9) AS scale,
-           CASE WHEN maxabs = 0
-                THEN list_transform(e, x -> CAST(0 AS INTEGER))
-                ELSE list_transform(e, x -> CAST(round(127 * x / maxabs)
-                                                 AS INTEGER))
-           END AS codes,
+           array_to_string(
+             CASE WHEN maxabs = 0
+                  THEN list_transform(e, x -> CAST(0 AS INTEGER))
+                  ELSE list_transform(e, x -> CAST(round(127 * x / maxabs)
+                                                   AS INTEGER))
+             END, ',') AS codes,
            CAST(CASE WHEN maxabs = 0 THEN 0
                 ELSE list_aggregate(
                     list_transform(e, x -> CAST(round(127 * x / maxabs)
@@ -298,7 +299,13 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     `aggregate`) over the float array widened to double — exact IEEE
     widening, so both engines quantize identical inputs; no shuffle at
     all, and the plan is a single codegen projection. Zero vectors get
-    scale 0 / all-zero codes rather than a NaN poisoning the store."""
+    scale 0 / all-zero codes rather than a NaN poisoning the store.
+
+    Gate rendering: the code vector is emitted as an exact comma-joined
+    STRING — integer formatting is unambiguous in both engines, and the
+    driver's canonicalizer factorizes column values, so a top-level
+    array column is unhashable there (the embedding_normalize r5 red;
+    this op was caught by the same pre-driver schema audit in r6)."""
     e = table(spark, sf_dir, "embeddings")
     dbl = F.transform("embedding", lambda x: x.cast("double"))
     ed = e.select("vec_id", dbl.alias("e"))
@@ -324,7 +331,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "n_dims",
         "scale",
-        codes.alias("codes"),
+        F.concat_ws(
+            ",", F.transform(codes, lambda c: c.cast("string"))
+        ).alias("codes"),
         code_sum.alias("code_sum"),
     )
 

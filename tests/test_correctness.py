@@ -43,6 +43,25 @@ def test_rows_only_ceiling():
     )
 
 
+def test_oracle_ops_emit_scalar_columns_only(spark):
+    """The driver's canonicalizer factorizes column values — a top-level
+    array/map/struct column is unhashable there and reds the gate even
+    when values match (embedding_normalize, r5; embedding_quantize_int8,
+    caught pre-driver in r6). Every oracle-bearing op must emit scalar
+    columns only; flatten (posexplode) or stringify (concat_ws) instead."""
+    offenders = {}
+    for name in _WITH_ORACLE:
+        df = _QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in df.schema.fields
+            if f.dataType.simpleString().startswith(("array", "map", "struct"))
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, f"non-scalar output columns on oracle ops: {offenders}"
+
+
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     q = _QUERIES[name]
