@@ -102,6 +102,14 @@ def read_sqlite(
         ).fetchone()
     lo, hi = (lo_hi[0] or 0), (lo_hi[1] or 0)
 
+    # Row-aware partition count — the reference's 10 k-row chunk loop
+    # (main.py:106-116) expressed as a partition floor: a 25-row dimension
+    # table gets ONE ranged query, not num_partitions near-empty ones
+    # (each costs a JDBC roundtrip + a task), while a table with
+    # ≥ 10 k·num_partitions rowids keeps the full requested parallelism.
+    span = hi - lo + 1 if hi >= lo else 0
+    num_partitions = max(1, min(num_partitions, -(-span // 10_000)))
+
     if jdbc_available(spark):
         raw = (
             spark.read.format("jdbc")
