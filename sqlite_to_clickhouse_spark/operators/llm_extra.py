@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqlite_to_clickhouse_spark.io import table
-from sqlite_to_clickhouse_spark.operators.similarity import _cos_sql, _cosine, _dbl
+from sqlite_to_clickhouse_spark.operators.similarity import (
+    _bind_vec,
+    _cos_sql,
+    _cosine,
+    _dbl,
+    _dot,
+)
 from sqlite_to_clickhouse_spark.operators.text import _tokens
 from sqlite_to_clickhouse_spark.registry import register
 
@@ -458,14 +464,27 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     (anchor, cand, cos, flag) rows only). Ties break on ascending
     candidate id; cosines rounded to 6 dp for the gate."""
     e = table(spark, sf_dir, "embeddings")
-    anchors = e.filter(F.col("vec_id") < _HN_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("a_emb"),
+    # Both sides pre-bind double vector + norm (_bind_vec): every corpus
+    # row pairs with all anchors, so per-pair work drops to one dot and
+    # each norm is computed N+A times instead of N·A (the interpreted-HOF
+    # CSE rule — see similarity._bind_vec).
+    ev = _bind_vec(e, "embedding", ["vec_id", "label"], "__hn_v", "__hn_vn")
+    anchors = _bind_vec(
+        e.filter(F.col("vec_id") < _HN_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "embedding",
+        ),
+        "embedding",
+        ["anchor_id", "anchor_label"],
+        "__hn_a",
+        "__hn_an",
     )
-    cos = _cosine(_dbl(F.col("a_emb")), _dbl(F.col("embedding")))
+    cos = _dot(F.col("__hn_a"), F.col("__hn_v")) / (
+        F.col("__hn_an") * F.col("__hn_vn")
+    )
     pairs = (
-        e.crossJoin(F.broadcast(anchors))
+        ev.crossJoin(F.broadcast(anchors))
         .filter(F.col("vec_id") != F.col("anchor_id"))
         .select(
             "anchor_id",

@@ -82,6 +82,21 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_sqnorm(a)) * F.sqrt(_sqnorm(b)))
 
 
+def _bind_vec(df: DataFrame, vec_col: str, keep: list, vec_out: str, norm_out: str) -> DataFrame:
+    """Project the double-cast vector and its L2 norm ONCE per row, BEFORE
+    a pair join. Array HOFs are interpreted (never whole-stage codegen) and
+    re-evaluate inlined subexpressions, so an unbound ``_cosine(a, b)``
+    inside an N×P pair join costs ~8·dim lambda evals per pair (dot + two
+    sqnorms + four cast transforms); with both sides pre-bound the per-pair
+    work is the dot alone and each norm is computed N+P times instead of
+    N·P. Catalyst never hoists a projection through a join, so the bind is
+    stable. sqrt(sum(x²)) per side is the exact expression order the
+    oracles use — rounded cosines stay bit-comparable (the
+    dedup_embedding_cosine pattern, measured 61 s → 21 s at sf0.1)."""
+    v = _dbl(F.col(vec_col))
+    return df.select(*keep, v.alias(vec_out), F.sqrt(_sqnorm(v)).alias(norm_out))
+
+
 # DuckDB spellings of the same left-to-right folds (bit-identical results).
 _DOT_SQL = (
     "list_aggregate(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
@@ -115,10 +130,15 @@ def topk_cosine(
 
     The probe set broadcasts; the vector table streams through once and is
     never shuffled — the only Exchange carries narrow (probe, id, cos)
-    triples into the per-probe top-k window."""
-    cos = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    triples into the per-probe top-k window. Both sides pre-bind their
+    double vector + norm (_bind_vec), so the per-pair work is one dot."""
+    v = _bind_vec(vectors, vec_col, [id_col], "__tkc_v", "__tkc_vn")
+    p = _bind_vec(probes, probe_vec_col, [probe_id_col], "__tkc_p", "__tkc_pn")
+    cos = _dot(F.col("__tkc_p"), F.col("__tkc_v")) / (
+        F.col("__tkc_pn") * F.col("__tkc_vn")
+    )
     pairs = (
-        vectors.crossJoin(F.broadcast(probes))
+        v.crossJoin(F.broadcast(p))
         .filter(F.col(id_col) != F.col(probe_id_col))
         .select(probe_id_col, id_col, cos.alias("cos"))
     )
@@ -259,25 +279,57 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself is differentially checked, not just the final cosines.
     """
     e = table(spark, sf_dir, "embeddings")
-    cent = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("c_emb")
+    # Both assignment sides pre-bind double vector + norm (_bind_vec):
+    # the N×k assignment crossJoin costs one dot per (vector, centroid)
+    # pair, and the bound vector/norm are CARRIED through to the in-bucket
+    # pair join so no cosine component is ever derived twice.
+    ev = _bind_vec(e, "embedding", ["vec_id"], "__e", "__en")
+    cent = _bind_vec(
+        e.filter(F.col("vec_id") % CENTROID_EVERY == 0).select(
+            F.col("vec_id").alias("cent_id"), "embedding"
+        ),
+        "embedding",
+        ["cent_id"],
+        "__c",
+        "__cn",
     )
-    cos_vc = _cosine(_dbl(F.col("embedding")), _dbl(F.col("c_emb")))
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("a_cos"), F.asc("cent_id"))
+    cos_vc = _dot(F.col("__e"), F.col("__c")) / (F.col("__en") * F.col("__cn"))
+    # Assignment argmax as a struct-max AGGREGATE, not a window over the
+    # N×k pair stream: groupBy combines partially map-side (every pair of
+    # a vector is produced on its own partition by the broadcast
+    # crossJoin), so the exchange hauls N assigned rows instead of N×k
+    # pair rows — ~k× less shuffle, the difference between this being the
+    # scale path and a hidden quadratic haul. max(struct(cos, -cent_id))
+    # picks highest cosine then lowest cent_id, bit-identical to the
+    # oracle's row_number() ORDER BY cos DESC, cid ASC (NaN sorts greatest
+    # in both orderings; the fixture has no zero-norm vectors).
     assigned = (
-        e.crossJoin(F.broadcast(cent))
-        .select("vec_id", "embedding", "cent_id", cos_vc.alias("a_cos"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("bucket"))
+        ev.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id", "__e", "__en",
+            F.struct(
+                cos_vc.alias("a_cos"), (-F.col("cent_id")).alias("neg_cid")
+            ).alias("sc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("sc").alias("best"),
+            F.first("__e").alias("__e"),
+            F.first("__en").alias("__en"),
+        )
+        .select("vec_id", "__e", "__en", (-F.col("best.neg_cid")).alias("bucket"))
     )
     a = assigned.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+        F.col("bucket"), F.col("vec_id").alias("vec_a"),
+        F.col("__e").alias("emb_a"), F.col("__en").alias("nrm_a"),
     )
     b = assigned.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+        F.col("bucket"), F.col("vec_id").alias("vec_b"),
+        F.col("__e").alias("emb_b"), F.col("__en").alias("nrm_b"),
     )
-    cos_ab = _cosine(_dbl(F.col("emb_a")), _dbl(F.col("emb_b")))
+    cos_ab = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        F.col("nrm_a") * F.col("nrm_b")
+    )
     return (
         a.join(b, ["bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -473,13 +525,24 @@ def ivf_topk(
     assigned = vectors.select(
         id_col, vec_col, _bucket(F.col(vec_col)).alias("bucket")
     )
+    # The probe side pre-binds its double vector + norm (_bind_vec); the
+    # corpus side stays raw — only vectors in ROUTED buckets become
+    # candidates (n·nprobe/k of the corpus), so the vector norm is
+    # evaluated per candidate pair, not per corpus row. Per-pair lambda
+    # work drops ~2× vs the unbound _cosine (which re-derived the probe
+    # norm and both casts inside every pair).
+    pd_ = _dbl(F.col(probe_vec_col))
     routed = probes.select(
         probe_id_col,
-        probe_vec_col,
         F.explode(_route(F.col(probe_vec_col))).alias("bucket"),
+        pd_.alias("__ivf_p"),
+        F.sqrt(_sqnorm(pd_)).alias("__ivf_pn"),
     )
     # Search only within routed buckets.
-    cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    vd = _dbl(F.col(vec_col))
+    cos_pv = _dot(F.col("__ivf_p"), vd) / (
+        F.col("__ivf_pn") * F.sqrt(_sqnorm(vd))
+    )
     w_topk = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
         routed.join(assigned, "bucket")
@@ -1088,11 +1151,23 @@ def ivfpq_topk(
         .select(probe_id_col, id_col)
     )
     # Exact rerank: only |probes|·rerank ids come back for true vectors.
-    cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    # Exact rerank: the probe side pre-binds vector + norm (_bind_vec) but
+    # the CORPUS side stays raw — only |probes|·rerank rows survive the
+    # shortlist join, so the vector norm is evaluated per surviving pair
+    # (bounded) instead of per corpus row (O(N) at 100 TB).
+    rv = _dbl(F.col(vec_col))
+    cos_pv = _dot(F.col("__rr_p"), rv) / (
+        F.col("__rr_pn") * F.sqrt(_sqnorm(rv))
+    )
     w_topk = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
         shortlist.join(vectors.select(id_col, vec_col), id_col)
-        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
+        .join(
+            F.broadcast(
+                _bind_vec(probes, probe_vec_col, [probe_id_col], "__rr_p", "__rr_pn")
+            ),
+            probe_id_col,
+        )
         .select(probe_id_col, id_col, cos_pv.alias("cos"))
         .withColumn("rn", F.row_number().over(w_topk))
         .filter(F.col("rn") <= k)
@@ -1438,11 +1513,23 @@ def ann_index_query(
         .filter(F.col("rn") <= rerank)
         .select(probe_id_col, id_col)
     )
-    cos_pv = _cosine(_dbl(F.col(probe_vec_col)), _dbl(F.col(vec_col)))
+    # Exact rerank: the probe side pre-binds vector + norm (_bind_vec) but
+    # the CORPUS side stays raw — only |probes|·rerank rows survive the
+    # shortlist join, so the vector norm is evaluated per surviving pair
+    # (bounded) instead of per corpus row (O(N) at 100 TB).
+    rv = _dbl(F.col(vec_col))
+    cos_pv = _dot(F.col("__rr_p"), rv) / (
+        F.col("__rr_pn") * F.sqrt(_sqnorm(rv))
+    )
     w_topk = Window.partitionBy(probe_id_col).orderBy(F.desc("cos"), F.asc(id_col))
     return (
         shortlist.join(vectors.select(id_col, vec_col), id_col)
-        .join(F.broadcast(probes.select(probe_id_col, probe_vec_col)), probe_id_col)
+        .join(
+            F.broadcast(
+                _bind_vec(probes, probe_vec_col, [probe_id_col], "__rr_p", "__rr_pn")
+            ),
+            probe_id_col,
+        )
         .select(probe_id_col, id_col, cos_pv.alias("cos"))
         .withColumn("rn", F.row_number().over(w_topk))
         .filter(F.col("rn") <= k)
