@@ -195,17 +195,28 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cosine ≥ threshold).
 
-    Written as a range self-join; at fixture scale Catalyst plans a
-    broadcast nested loop. The guard below keeps the O(n²) expression
-    honest: beyond ~100k vectors the right plan is bucketed LSH/IVF
-    (sim_ann_ivf's assignment) — this operator asserts rather than
-    silently running a quadratic join at corpus scale.
+    The exact O(n²) variant. The guard below keeps the quadratic honest:
+    beyond ~100k vectors the right plan is bucketed LSH/IVF
+    (sim_ann_ivf / dedup_embedding_bucketed) — this operator asserts
+    rather than silently running all-pairs at corpus scale. Under the
+    guard the whole matrix is driver-fit by definition (≤ 100k × dim
+    doubles, checked against the driver-fit budget BEFORE collecting), so
+    the pair enumeration runs as ONE Arrow-batched mapInPandas pass: each
+    executor batch scores its rows against the closure-shipped matrix —
+    no join, no shuffle, O(n²/batches) numpy work per task. The kernel
+    accumulates the dot and both squared norms POSITION-BY-POSITION
+    (explicit dim-loop, not np.dot's pairwise/SIMD reassociation), i.e.
+    the same left-to-right IEEE-double fold as F.aggregate and DuckDB's
+    list_aggregate — cosines stay bit-identical to the oracle. The
+    previous broadcast-nested-loop spelling evaluated interpreted array
+    lambdas per pair: 34 s → ~1 s at sf0.1 (n = 2000), same results.
     """
     e = table(spark, sf_dir, "embeddings")
-    # Guard from the parquet FOOTER row count (zero Spark jobs) — the
-    # previous e.count() launched a full scan job per invocation just to
+    # Guard from the parquet FOOTER row count (zero Spark jobs) — an
+    # e.count() would launch a full scan job per invocation just to
     # decide whether to run.
     import pyarrow.parquet as pq
+    from pyspark.sql import types as T
 
     n = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     if n > 100_000:
@@ -213,29 +224,60 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_embedding_cosine is the exact O(n²) variant; {n} vectors "
             "exceeds the guard — use the IVF/LSH bucketed path (sim_ann_ivf)."
         )
-    # Norms are computed ONCE per vector before the pair join — inside the
-    # join each of the O(n²) pairs would recompute both norms, tripling
-    # the lambda work (measured 61 s → 21 s at sf0.1). sqrt(sum(x²)) here
-    # is the identical expression order the oracle uses, so the rounded
-    # cosines stay bit-comparable.
-    withn = e.select(
-        "vec_id", "embedding", F.sqrt(_sqnorm(_dbl(F.col("embedding")))).alias("nrm")
+    dim = _probe_dim(e, "embedding")
+    _check_driver_fit(n, max(dim, 1), "dedup_embedding_cosine")
+    rows = e.select("vec_id", "embedding").filter(
+        F.col("embedding").isNotNull()
+    ).collect()
+    # NULL embeddings are excluded on both sides — identical to the join
+    # form, where a NULL operand made cos NULL and the threshold dropped it.
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    M = np.array([r[1] for r in rows], dtype=np.float64)  # exact float→double widen
+
+    out_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    a = withn.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    b = withn.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    cos = _dot(_dbl(F.col("emb_a")), _dbl(F.col("emb_b"))) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
+
+    def _pairs(batches):
+        if len(ids) == 0:
+            return
+        # Fold-order norms of the closure matrix, computed once per task.
+        mnorm = np.zeros(len(ids))
+        for i in range(M.shape[1]):
+            mnorm += M[:, i] * M[:, i]
+        mnorm = np.sqrt(mnorm)
+        # Bound kernel memory: the (block × n) accumulator is capped at
+        # ~4M cells (32 MB) regardless of Arrow batch size or n.
+        block = max(1, 4_000_000 // max(len(ids), 1))
+        for pdf in batches:
+            sub = pdf[pdf["embedding"].notna()]
+            if not len(sub):
+                continue
+            aid_all = sub["vec_id"].to_numpy(dtype=np.int64)
+            A_all = np.array(list(sub["embedding"]), dtype=np.float64)
+            for s in range(0, len(aid_all), block):
+                aid = aid_all[s : s + block]
+                A = A_all[s : s + block]
+                acc = np.zeros((len(aid), len(ids)))
+                an = np.zeros(len(aid))
+                for i in range(A.shape[1]):
+                    acc += A[:, i : i + 1] * M[None, :, i]
+                    an += A[:, i] * A[:, i]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (np.sqrt(an)[:, None] * mnorm[None, :])
+                keep = (aid[:, None] < ids[None, :]) & (cos >= COSINE_T)
+                ai, bj = np.nonzero(keep)
+                yield pd.DataFrame(
+                    {"vec_a": aid[ai], "vec_b": ids[bj], "cos": cos[ai, bj]}
+                )
+
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= COSINE_T)
+        e.select("vec_id", "embedding")
+        .mapInPandas(_pairs, out_schema)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
 
