@@ -195,18 +195,31 @@ def udtf_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def udf_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cogrouped applyInPandas (the two-table Arrow surface): orders and
-    lineitem cogrouped on the order key, one pandas merge per key group.
-    Both sides shuffle once on the cogroup key; each Python call sees the
-    two aligned batches. The pure-SQL equivalent is the left-join
-    aggregate the oracle states — the cogroup API exists for merge logic
-    SQL can't express (model scoring over joined panels, custom as-of
-    rules), and this op pins its semantics to the SQL baseline."""
+    lineitem cogrouped on a HASH BUCKET of the order key, one pandas merge
+    per bucket. Both sides shuffle once on the cogroup key; each Python
+    call sees the two aligned batches and vectorizes the per-order merge
+    with a pandas groupby inside the bucket. Cogrouping on the raw order
+    key is the naive spelling — one Python invocation PER KEY (150 k calls
+    at sf0.1, 52 s of pure call overhead; unbounded at corpus scale) —
+    while the bucket key keeps the Python-call count fixed at the bucket
+    count and scales group size with data, which is the only deployable
+    shape for cogrouped model scoring over joined panels. Bucket count
+    derives from the parquet footer row count so groups stay
+    memory-bounded as the input grows. The pure-SQL equivalent is the
+    left-join aggregate the oracle states; results are identical for any
+    bucket count. xxhash64 on both sides routes an order's header and its
+    lines to the same bucket."""
     import pandas as pd
+    import pyarrow.parquet as pq
 
     o = table(spark, sf_dir, "orders").select("o_orderkey")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_buckets = min(max(n_orders // 2000, 64), 65536)
+    ob = o.withColumn("bkt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_buckets)))
+    lb = li.withColumn("bkt", F.pmod(F.xxhash64("l_orderkey"), F.lit(n_buckets)))
 
     def merge(key, o_pdf: pd.DataFrame, l_pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -218,19 +231,25 @@ def udf_pandas_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         cents = np.floor(
             (l_pdf["l_extendedprice"] * (1 - l_pdf["l_discount"])).to_numpy() * 100
         )
-        # nansum, not sum: a NULL price/discount arrives as NaN and SQL's
-        # SUM ignores NULL terms — one NaN must not poison the revenue.
-        return pd.DataFrame(
-            {
-                "o_orderkey": [key[0]],
-                "n_lines": [len(l_pdf)],
-                "line_revenue": [float(np.nansum(cents)) / 100],
-            }
+        lines = pd.DataFrame(
+            {"o_orderkey": l_pdf["l_orderkey"], "cents": cents}
+        ).groupby("o_orderkey", sort=False)
+        # sum() skips NaN like SQL's SUM skips NULL terms (an all-NULL
+        # group sums to 0, matching the oracle's coalesce); size() counts
+        # joined rows like count(l.l_orderkey).
+        agg = pd.DataFrame(
+            {"n_lines": lines.size(), "line_revenue": lines["cents"].sum() / 100.0}
         )
+        out = o_pdf[["o_orderkey"]].merge(
+            agg, left_on="o_orderkey", right_index=True, how="left"
+        )
+        out["n_lines"] = out["n_lines"].fillna(0).astype("int64")
+        out["line_revenue"] = out["line_revenue"].fillna(0.0)
+        return out
 
     return (
-        o.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        ob.groupBy("bkt")
+        .cogroup(lb.groupBy("bkt"))
         .applyInPandas(merge, "o_orderkey long, n_lines long, line_revenue double")
     )
 
