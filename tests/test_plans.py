@@ -730,3 +730,36 @@ def test_ngram_generators_explode_bound_columns(spark, sf_dir, name):
             f"{name}: Generate evaluates an inline expression "
             f"({arg[:80]}…) instead of a bound column"
         )
+
+
+def test_bucketed_dedup_assignment_is_aggregate_not_window(spark, sf_dir):
+    """dedup_embedding_bucketed's centroid-assignment argmax must run as a
+    (partial → final) aggregate, never a window over the N×k pair stream:
+    a window would shuffle every (vector, centroid) pair WITH its bound
+    embedding array (~k× the bytes), which is exactly the hidden haul the
+    round-6 rewrite removed. max(struct(cos, -cent_id)) combines map-side,
+    so the exchange carries one row per vector."""
+    p = _plan(spark, sf_dir, "dedup_embedding_bucketed")
+    assert "Window" not in p, p
+    assert "Aggregate" in p, p
+
+
+def test_cogrouped_udf_shuffles_on_bucket_not_key(spark, sf_dir):
+    """udf_pandas_cogrouped must cogroup on the derived hash bucket — one
+    Python invocation per bucket — never on the raw order key (one call
+    PER KEY: 150k Python round trips at sf0.1, unbounded at scale)."""
+    p = _plan(spark, sf_dir, "udf_pandas_cogrouped")
+    assert "FlatMapCoGroupsInPandas" in p, p
+    parts = [l for l in p.splitlines() if "hashpartitioning" in l]
+    assert parts and all("bkt" in l for l in parts), parts
+    assert not any("orderkey" in l for l in parts), parts
+
+
+def test_exact_embedding_dedup_is_single_pass_kernel(spark, sf_dir):
+    """dedup_embedding_cosine (the guarded exact O(n²) diagnostic) must be
+    ONE MapInPandas pass over one scan — no pair join, no shuffle: the
+    quadratic lives inside the Arrow kernel against the driver-fit
+    closure matrix, not in the plan."""
+    p = _plan(spark, sf_dir, "dedup_embedding_cosine")
+    assert "MapInPandas" in p, p
+    assert "Join" not in p and not _exchanges(p), p
