@@ -529,22 +529,22 @@ def connected_components(
             .groupBy(und["d"].alias("node2"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # The convergence flag rides the label update itself (one column in
+        # the checkpoint) instead of a separate new-vs-old join per round.
+        stepped = (
             labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
             .select(
                 "node",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
+                ).alias("new_label"),
+                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
+                    "chg"
+                ),
             )
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter(F.col("chg")).count()
+        labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
     und.unpersist()
