@@ -320,63 +320,128 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction (assignment + bucket join + threshold), so the routing
     itself is differentially checked, not just the final cosines.
     """
+    from pyspark.sql import types as T
+
     e = table(spark, sf_dir, "embeddings")
-    # Both assignment sides pre-bind double vector + norm (_bind_vec):
-    # the N×k assignment crossJoin costs one dot per (vector, centroid)
-    # pair, and the bound vector/norm are CARRIED through to the in-bucket
-    # pair join so no cosine component is ever derived twice.
-    ev = _bind_vec(e, "embedding", ["vec_id"], "__e", "__en")
-    cent = _bind_vec(
-        e.filter(F.col("vec_id") % CENTROID_EVERY == 0).select(
-            F.col("vec_id").alias("cent_id"), "embedding"
-        ),
-        "embedding",
-        ["cent_id"],
-        "__c",
-        "__cn",
+    # Centroid assignment as a fold-exact Arrow kernel against the
+    # closure-shipped centroid matrix (the dedup_embedding_cosine kernel
+    # pattern). The spelled-out alternative — crossJoin(broadcast(cent))
+    # + a per-pair interpreted dot — generates N×k pair ROWS before
+    # reducing (k = n/CENTROID_EVERY here, so n²/100 interpreted lambda
+    # evals: the 100× scale sweep measured it minutes-deep at 200 k
+    # vectors). The kernel does the identical n·k mult-adds as blocked
+    # numpy, map-side, zero shuffle, and accumulates POSITION-BY-POSITION
+    # (explicit dim loop) so every cosine is bit-identical to the
+    # oracle's list_aggregate fold. Ties and degenerate rows mirror the
+    # oracle's row_number() ORDER BY cos DESC, cid ASC exactly: argmax
+    # takes the FIRST maximum over centroids sorted by cent_id, NaN
+    # cosines map to +inf (NaN orders greatest in both engines; a
+    # NaN/NULL-embedding row's own pairs are dropped by the threshold in
+    # BOTH engines, so its bucket is otherwise output-neutral).
+    # Centroids are driver-fit by contract (budget-checked BEFORE the
+    # collect; production scales k ~ √n, see the docstring).
+    cent_rows = sorted(
+        e.filter(F.col("vec_id") % CENTROID_EVERY == 0)
+        .select("vec_id", "embedding")
+        .filter(F.col("embedding").isNotNull())
+        .collect(),
+        key=lambda r: r[0],
     )
-    cos_vc = _dot(F.col("__e"), F.col("__c")) / (F.col("__en") * F.col("__cn"))
-    # Assignment argmax as a struct-max AGGREGATE, not a window over the
-    # N×k pair stream: groupBy combines partially map-side (every pair of
-    # a vector is produced on its own partition by the broadcast
-    # crossJoin), so the exchange hauls N assigned rows instead of N×k
-    # pair rows — ~k× less shuffle, the difference between this being the
-    # scale path and a hidden quadratic haul. max(struct(cos, -cent_id))
-    # picks highest cosine then lowest cent_id, bit-identical to the
-    # oracle's row_number() ORDER BY cos DESC, cid ASC (NaN sorts greatest
-    # in both orderings; the fixture has no zero-norm vectors).
-    assigned = (
-        ev.crossJoin(F.broadcast(cent))
-        .select(
-            "vec_id", "__e", "__en",
-            F.struct(
-                cos_vc.alias("a_cos"), (-F.col("cent_id")).alias("neg_cid")
-            ).alias("sc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.max("sc").alias("best"),
-            F.first("__e").alias("__e"),
-            F.first("__en").alias("__en"),
-        )
-        .select("vec_id", "__e", "__en", (-F.col("best.neg_cid")).alias("bucket"))
+    dim = len(cent_rows[0][1]) if cent_rows else 0
+    _check_driver_fit(len(cent_rows), max(dim, 1), "dedup_embedding_bucketed")
+    cids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+
+    assign_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("__e", T.ArrayType(T.DoubleType())),
+            T.StructField("__en", T.DoubleType()),
+            T.StructField("bucket", T.LongType()),
+        ]
     )
-    a = assigned.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_a"),
-        F.col("__e").alias("emb_a"), F.col("__en").alias("nrm_a"),
+
+    def _assign(batches):
+        if len(cids) == 0:
+            return
+        cn = np.zeros(len(cids))
+        for i in range(C.shape[1]):
+            cn += C[:, i] * C[:, i]
+        cn = np.sqrt(cn)
+        block = max(1, 4_000_000 // len(cids))
+        for pdf in batches:
+            sub = pdf[pdf["embedding"].notna()]
+            if not len(sub):
+                continue
+            vid_all = sub["vec_id"].to_numpy(dtype=np.int64)
+            V_all = np.array(list(sub["embedding"]), dtype=np.float64)
+            for s in range(0, len(vid_all), block):
+                vid = vid_all[s : s + block]
+                V = V_all[s : s + block]
+                acc = np.zeros((len(vid), len(cids)))
+                vn = np.zeros(len(vid))
+                for i in range(V.shape[1]):
+                    acc += V[:, i : i + 1] * C[None, :, i]
+                    vn += V[:, i] * V[:, i]
+                vn = np.sqrt(vn)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = acc / (vn[:, None] * cn[None, :])
+                # Both engines order NaN as GREATEST (Spark desc-first,
+                # DuckDB DESC-first), so a NaN cosine must WIN the argmax:
+                # map to +inf, ties still break to the lowest cent_id.
+                cos = np.where(np.isnan(cos), np.inf, cos)
+                best = np.argmax(cos, axis=1)  # first max = lowest cent_id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": vid,
+                        "__e": list(V),
+                        "__en": vn,
+                        "bucket": cids[best],
+                    }
+                )
+
+    assigned = e.select("vec_id", "embedding").mapInPandas(_assign, assign_schema)
+
+    # In-bucket pair search as a grouped Arrow kernel: ONE shuffle on the
+    # bucket id, then each bucket's pairs come out of a blocked numpy
+    # pass over the bucket's own vectors — the self-join spelling hauled
+    # the same rows through the identical exchange but then evaluated an
+    # interpreted dot per pair (~10 M pairs at the 100× sweep). Same
+    # fold-order arithmetic as everywhere else; norms arrive precomputed
+    # from the assignment kernel.
+    pair_schema = T.StructType(
+        [
+            T.StructField("vec_a", T.LongType()),
+            T.StructField("vec_b", T.LongType()),
+            T.StructField("cos", T.DoubleType()),
+        ]
     )
-    b = assigned.select(
-        F.col("bucket"), F.col("vec_id").alias("vec_b"),
-        F.col("__e").alias("emb_b"), F.col("__en").alias("nrm_b"),
-    )
-    cos_ab = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        F.col("nrm_a") * F.col("nrm_b")
-    )
+
+    def _bucket_pairs(pdf):
+        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+        if len(vid) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        V = np.array(list(pdf["__e"]), dtype=np.float64)
+        vn = pdf["__en"].to_numpy(dtype=np.float64)
+        out = []
+        block = max(1, 4_000_000 // len(vid))
+        for s in range(0, len(vid), block):
+            A, an, aid = V[s : s + block], vn[s : s + block], vid[s : s + block]
+            acc = np.zeros((len(aid), len(vid)))
+            for i in range(V.shape[1]):
+                acc += A[:, i : i + 1] * V[None, :, i]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = acc / (an[:, None] * vn[None, :])
+            keep = (aid[:, None] < vid[None, :]) & (cos >= COSINE_T)
+            ai, bj = np.nonzero(keep)
+            out.append(
+                pd.DataFrame({"vec_a": aid[ai], "vec_b": vid[bj], "cos": cos[ai, bj]})
+            )
+        return pd.concat(out, ignore_index=True)
+
     return (
-        a.join(b, ["bucket"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cos", cos_ab)
-        .filter(F.col("cos") >= COSINE_T)
+        assigned.groupBy("bucket")
+        .applyInPandas(_bucket_pairs, pair_schema)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
 

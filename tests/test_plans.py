@@ -732,16 +732,17 @@ def test_ngram_generators_explode_bound_columns(spark, sf_dir, name):
         )
 
 
-def test_bucketed_dedup_assignment_is_aggregate_not_window(spark, sf_dir):
-    """dedup_embedding_bucketed's centroid-assignment argmax must run as a
-    (partial → final) aggregate, never a window over the N×k pair stream:
-    a window would shuffle every (vector, centroid) pair WITH its bound
-    embedding array (~k× the bytes), which is exactly the hidden haul the
-    round-6 rewrite removed. max(struct(cos, -cent_id)) combines map-side,
-    so the exchange carries one row per vector."""
+def test_bucketed_dedup_assignment_is_kernel_not_pair_join(spark, sf_dir):
+    """dedup_embedding_bucketed's centroid assignment must run as ONE
+    map-side Arrow kernel pass (MapInPandas against the driver-fit
+    centroid matrix) — never as a crossJoin producing N×k pair rows (the
+    interpreted-lambda spelling measured minutes-deep at the 100× sweep)
+    and never as a window over a pair stream. The only join in the plan
+    is the in-bucket pair join."""
     p = _plan(spark, sf_dir, "dedup_embedding_bucketed")
+    assert "MapInPandas" in p, p
     assert "Window" not in p, p
-    assert "Aggregate" in p, p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p, p
 
 
 def test_cogrouped_udf_shuffles_on_bucket_not_key(spark, sf_dir):
