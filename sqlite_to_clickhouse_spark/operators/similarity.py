@@ -1816,16 +1816,24 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity with a straight numpy PCA of the same sample, and projection
     determinism across repartitionings).
 
+    Gate shape (r6 driver red): the projected vector is posexploded to
+    scalar rows ``(vec_id, label, pos, pc_value)`` — the driver's
+    canonicalizer factorizes column values, and a top-level array column
+    is unhashable there (same failure mode as embedding_normalize in r5).
+    tests/test_correctness.py::test_ops_emit_scalar_columns_only now
+    audits EVERY registered op, rows-only included.
+
     Scale shape: tiny driver fit (≤ train_cap×d doubles, asserted), then
     ONE narrow Arrow-batched pass over the corpus — (mean, W) ride into
     the pandas UDF closure as broadcast-sized constants and each batch is
-    a single (B×d)@(d×k) BLAS matmul.  No shuffle anywhere.
+    a single (B×d)@(d×k) BLAS matmul.  No shuffle anywhere; the explode
+    is a Generate in the same stage.
     """
     emb = table(spark, sf_dir, "embeddings")
     mean, W = pca_components(emb)
     if W is None:  # empty corpus -> empty projection, not a crash
         return spark.createDataFrame(
-            [], "vec_id bigint, label int, pc array<double>"
+            [], "vec_id bigint, label int, pos int, pc_value double"
         )
 
     @F.pandas_udf("array<double>")
@@ -1837,5 +1845,5 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         "label",
-        _project(_dbl(F.col("embedding"))).alias("pc"),
+        F.posexplode(_project(_dbl(F.col("embedding")))).alias("pos", "pc_value"),
     )

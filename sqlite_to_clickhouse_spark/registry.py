@@ -193,12 +193,22 @@ def compute_rotation(
         for name, rec in data.items():
             if not isinstance(rec, dict):
                 continue
-            green = (
-                bool(rec.get("rows_match"))
-                and bool(rec.get("schema_match"))
-                and rec.get("hash_match") is not False  # None = rows-only ⊘
-                and not rec.get("err")
-            )
+            if rec.get("err") == "no_oracle":
+                # Rows-only (⊘) driver record: the op has no oracle, so the
+                # driver only counts rows.  A non-null spark_rows means the
+                # query ran and produced a canonicalizable result — that is
+                # the strongest signal the gate can emit for such an op, so
+                # it rotates by staleness instead of holding a red slot
+                # every round (pre-r7 the three by-design ⊘ ops each burned
+                # a window slot forever).
+                green = rec.get("spark_rows") is not None
+            else:
+                green = (
+                    bool(rec.get("rows_match"))
+                    and bool(rec.get("schema_match"))
+                    and rec.get("hash_match") is not False  # None = rows-only ⊘
+                    and not rec.get("err")
+                )
             history[name] = (rnd, green)
 
     names = list(_REGISTRY)

@@ -43,15 +43,18 @@ def test_rows_only_ceiling():
     )
 
 
-def test_oracle_ops_emit_scalar_columns_only(spark):
+def test_ops_emit_scalar_columns_only(spark, sf_dir):
     """The driver's canonicalizer factorizes column values — a top-level
     array/map/struct column is unhashable there and reds the gate even
     when values match (embedding_normalize, r5; embedding_quantize_int8,
-    caught pre-driver in r6). Every oracle-bearing op must emit scalar
-    columns only; flatten (posexplode) or stringify (concat_ws) instead."""
+    caught pre-driver in r6; embedding_pca_project, driver red r6 because
+    this audit skipped rows-only ops — the canonicalizer crashes on those
+    too, nulling even the weak spark_rows check). EVERY registered op must
+    emit scalar columns only; flatten (posexplode) or stringify
+    (concat_ws) instead."""
     offenders = {}
-    for name in _WITH_ORACLE:
-        df = _QUERIES[name].fn(spark, "/root/testdata/sf0.001")
+    for name in (*_WITH_ORACLE, *_ROWS_ONLY):
+        df = _QUERIES[name].fn(spark, sf_dir)
         bad = [
             f"{f.name}:{f.dataType.simpleString()}"
             for f in df.schema.fields
@@ -59,7 +62,7 @@ def test_oracle_ops_emit_scalar_columns_only(spark):
         ]
         if bad:
             offenders[name] = bad
-    assert not offenders, f"non-scalar output columns on oracle ops: {offenders}"
+    assert not offenders, f"non-scalar output columns on registered ops: {offenders}"
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)

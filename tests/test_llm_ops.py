@@ -447,8 +447,11 @@ def test_pca_basis_orthonormal_and_variance_ordered(spark, sf_dir):
     gram = W.T @ W
     assert np.allclose(gram, np.eye(W.shape[1]), atol=1e-9)
 
+    proj = {}
+    for r in _Q["embedding_pca_project"].fn(spark, sf_dir).collect():
+        proj.setdefault(r.vec_id, {})[r.pos] = r.pc_value
     P = np.array(
-        [r.pc for r in _Q["embedding_pca_project"].fn(spark, sf_dir).collect()]
+        [[proj[i][p] for p in sorted(proj[i])] for i in sorted(proj)]
     )
     var = P.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(len(var) - 1))
@@ -468,7 +471,10 @@ def test_pca_projection_matches_numpy(spark, sf_dir):
 
     emb = table(spark, sf_dir, "embeddings")
     mean, W = pca_components(emb)
-    rows = {r.vec_id: r.pc for r in _Q["embedding_pca_project"].fn(spark, sf_dir).collect()}
+    rows: dict = {}
+    for r in _Q["embedding_pca_project"].fn(spark, sf_dir).collect():
+        rows.setdefault(r.vec_id, {})[r.pos] = r.pc_value
+    rows = {i: [d[p] for p in sorted(d)] for i, d in rows.items()}
     src = {r[0]: r[1] for r in emb.select("vec_id", "embedding").collect()}
     assert rows.keys() == src.keys()
     ids = sorted(rows)

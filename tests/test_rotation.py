@@ -85,6 +85,30 @@ def test_rows_only_counts_as_green(tmp_path):
     assert rotation[-1] == a
 
 
+def test_no_oracle_record_with_rows_counts_as_pass(tmp_path):
+    """The driver records rows-only ops as err='no_oracle' with spark_rows
+    set.  That is a ⊘ PASS — the op must rotate by staleness, not hold a
+    red slot every round.  A no_oracle record with spark_rows null (the
+    query itself crashed, e.g. embedding_pca_project r6) stays red."""
+    all_queries()
+    names = list(R._REGISTRY)
+    a, b = names[0], names[1]
+    _write(tmp_path, 1, {n: GREEN for n in names})
+    _write(
+        tmp_path,
+        2,
+        {
+            a: {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": 500, "oracle_rows": None, "err": "no_oracle"},
+            b: {"rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": None, "oracle_rows": None, "err": "no_oracle"},
+        },
+    )
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    assert rotation[0] == b  # crashed rows-only op re-certifies first
+    assert rotation[-1] == a  # ⊘-pass rotates to the freshest end
+
+
 def test_rotation_names_all_registered_and_unique(tmp_path):
     q = all_queries()
     rotation, _ = compute_rotation(window=50, correctness_dir=str(tmp_path))
