@@ -9,7 +9,34 @@ callers just declare filters/projections and the scan narrows itself
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
+import os
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+@contextlib.contextmanager
+def build_lock(path: str):
+    """Exclusive cross-process lock for rebuilding a shared /tmp cache dir
+    (bucketed-coloc layout, persisted ANN index).
+
+    The rebuild pattern is rmtree + rewrite; without a lock, two sessions
+    on the same sf_dir can delete the directory out from under each
+    other's in-flight build.  The lockfile lives BESIDE the cache dir
+    (``<path>.lock``), never inside it, so the rmtree cannot remove the
+    lock itself.  Callers must RE-CHECK their cache marker after
+    acquiring the lock (double-checked locking): the process that was
+    queued behind the winner sees a fresh marker and skips its rebuild.
+    """
+    lockfile = f"{path}.lock"
+    with open(lockfile, "w") as fh:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        try:
+            yield
+        finally:
+            fcntl.flock(fh, fcntl.LOCK_UN)
+
 
 TABLES = (
     "region",

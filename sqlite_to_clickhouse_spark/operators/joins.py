@@ -895,27 +895,46 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     base = os.path.join(tempfile.gettempdir(), f"graft_coloc_{tag}")
     marker = os.path.join(base, "_GRAFT_COLOC_OK")
-    cached = None
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            cached = fh.read().strip()
-    have = spark.catalog.tableExists("coloc_orders") and spark.catalog.tableExists(
-        "coloc_lineitem"
+    # Catalog names carry the fixture tag: table names are session-global,
+    # so un-tagged names registered for fixture A would satisfy the
+    # tableExists check while fixture B's on-disk marker validates — and
+    # the join would silently read A's layout.  Per-tag names make the
+    # catalog entry a pure function of sf_dir, like the path itself.
+    t_orders, t_lineitem = f"coloc_orders_{tag}", f"coloc_lineitem_{tag}"
+    def _cached() -> str | None:
+        try:
+            with open(marker) as fh:
+                return fh.read().strip()
+        except OSError:
+            return None
+
+    have = spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(
+        t_lineitem
     )
-    if cached != fp or not have:
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, exist_ok=True)
-        write_bucketed(
-            o, "coloc_orders", ["o_orderkey"], 8,
-            sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
-        )
-        write_bucketed(
-            li, "coloc_lineitem", ["l_orderkey"], 8,
-            sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
-        )
-        with open(marker, "w") as fh:
-            fh.write(fp)
-    bo, bl = spark.table("coloc_orders"), spark.table("coloc_lineitem")
+    if _cached() != fp or not have:
+        from sqlite_to_clickhouse_spark.io import build_lock
+
+        # Serialize the rmtree+rewrite across processes and re-check the
+        # marker under the lock (io.build_lock) — a concurrent session's
+        # rebuild must not delete the layout this one is mid-write on.
+        with build_lock(base):
+            have = spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(
+                t_lineitem
+            )
+            if _cached() != fp or not have:
+                shutil.rmtree(base, ignore_errors=True)
+                os.makedirs(base, exist_ok=True)
+                write_bucketed(
+                    o, t_orders, ["o_orderkey"], 8,
+                    sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
+                )
+                write_bucketed(
+                    li, t_lineitem, ["l_orderkey"], 8,
+                    sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
+                )
+                with open(marker, "w") as fh:
+                    fh.write(fp)
+    bo, bl = spark.table(t_orders), spark.table(t_lineitem)
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (F.lit(1) - F.col("l_discount")) * 100
     ).cast("long")

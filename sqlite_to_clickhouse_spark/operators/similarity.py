@@ -29,6 +29,8 @@ import os
 import numpy as np
 import pandas as pd
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -61,8 +63,16 @@ def _check_driver_fit(n_rows: int, dim: int, site: str) -> None:
 
 
 def _probe_dim(vectors: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from one row (cheap single-row job)."""
-    row = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+    """Vector dimensionality from one NON-NULL row (cheap single-row job).
+
+    Filtering nulls first matters: a NULL first embedding would report
+    dim 0, and a downstream ``_check_driver_fit(n, max(dim, 1))`` would
+    then pass vacuously before collecting full-width vectors."""
+    row = (
+        vectors.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
     return int(row["d"]) if row is not None and row["d"] is not None else 0
 
 
@@ -1665,22 +1675,34 @@ def _source_fingerprint(sf_dir: str) -> str:
         return "missing"
 
 
+def _read_marker(marker: str) -> Optional[str]:
+    try:
+        with open(marker) as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
     path = _index_cache_path(sf_dir)
     marker = os.path.join(path, "_GRAFT_INDEX_OK")
     fp = _source_fingerprint(sf_dir)
-    cached = None
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            cached = fh.read().strip()
-    if cached != fp:
-        import shutil
+    if _read_marker(marker) != fp:
+        from sqlite_to_clickhouse_spark.io import build_lock
 
-        shutil.rmtree(path, ignore_errors=True)
-        e = table(spark, sf_dir, "embeddings")
-        ann_index_build(spark, e, path)
-        with open(marker, "w") as fh:
-            fh.write(fp)
+        # Rebuilds are serialized across processes (io.build_lock) and the
+        # marker is re-checked under the lock — the loser of a concurrent
+        # race sees the winner's fresh marker and skips its own rmtree,
+        # so nobody deletes a directory another session is building from.
+        with build_lock(path):
+            if _read_marker(marker) != fp:
+                import shutil
+
+                shutil.rmtree(path, ignore_errors=True)
+                e = table(spark, sf_dir, "embeddings")
+                ann_index_build(spark, e, path)
+                with open(marker, "w") as fh:
+                    fh.write(fp)
     return path
 
 
@@ -1703,15 +1725,18 @@ def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is exactly m×k rows by construction."""
     import shutil
 
+    from sqlite_to_clickhouse_spark.io import build_lock
+
     path = _index_cache_path(sf_dir)
-    shutil.rmtree(path, ignore_errors=True)  # a build is a fresh build
-    e = table(spark, sf_dir, "embeddings")
-    manifest = {
-        r["component"]: r["n_rows"]
-        for r in ann_index_build(spark, e, path).collect()
-    }
-    with open(os.path.join(path, "_GRAFT_INDEX_OK"), "w") as fh:
-        fh.write(_source_fingerprint(sf_dir))
+    with build_lock(path):  # serialize vs concurrent _ensure_index rebuilds
+        shutil.rmtree(path, ignore_errors=True)  # a build is a fresh build
+        e = table(spark, sf_dir, "embeddings")
+        manifest = {
+            r["component"]: r["n_rows"]
+            for r in ann_index_build(spark, e, path).collect()
+        }
+        with open(os.path.join(path, "_GRAFT_INDEX_OK"), "w") as fh:
+            fh.write(_source_fingerprint(sf_dir))
     n_vec = e.count()
     n_seeds = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).count()
     # An EMPTY corpus legitimately builds an empty-but-well-formed index

@@ -672,10 +672,12 @@ def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Long.MAX/1e6 on ±1e15 inputs) while DuckDB's FLOOR stays DOUBLE.
     # Above 2⁵² every double is already an integer, so floor is the
     # identity there — branching on that bound reproduces DuckDB's
-    # double floor exactly at every magnitude.
+    # double floor exactly at every magnitude.  NaN must take the
+    # identity branch too (abs(NaN) >= 2⁵² is false, and Spark's
+    # floor(NaN) casts to LONG 0 while DuckDB's FLOOR keeps NaN).
     scaled = ewma * 1000000
     dfloor = F.when(
-        F.abs(scaled) >= F.lit(float(2**52)), scaled
+        F.isnan(scaled) | (F.abs(scaled) >= F.lit(float(2**52))), scaled
     ).otherwise(F.floor(scaled).cast("double"))
     return ev.select(
         "event_id",
