@@ -231,6 +231,25 @@ def main() -> None:
             rows["migrate_sqlite_roundtrip"] / timings["migrate_sqlite_roundtrip"]
         )
 
+    # A/B of the minhash hash family (VERDICT r6 item 5): the pinned
+    # dedup_fuzzy_minhash timing above IS the md5 gate spelling; this
+    # re-times the same pipeline under the xxhash64 production flag.
+    # Same warm JVM, min of two passes, identical plan shape (pinned by
+    # tests/test_minhash_property.py) — the delta is the md5 parity tax.
+    if "dedup_fuzzy_minhash" in timings:
+        spark.conf.set("spark.graft.minhash.hash", "xxhash64")
+        try:
+            xx_best = None
+            for _ in (1, 2):
+                t0 = time.perf_counter()
+                registry["dedup_fuzzy_minhash"].fn(spark, sf_dir).count()
+                dt = time.perf_counter() - t0
+                xx_best = dt if xx_best is None else min(xx_best, dt)
+            derived["minhash_md5_sec"] = timings["dedup_fuzzy_minhash"]
+            derived["minhash_xxhash64_sec"] = round(xx_best, 4)
+        finally:
+            spark.conf.unset("spark.graft.minhash.hash")
+
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     pinned = {n: round(timings[n], 3) for n in PINNED_44 if n in timings}
     summary = {

@@ -12,9 +12,12 @@ Scale design:
   band_key) buckets, and the exact-Jaccard verification runs on candidate
   pairs, never all pairs. All-pairs O(n²) appears ONLY in the DuckDB
   oracle (which must enumerate ground truth at toy scale).
-- Hash = md5 everywhere: bit-identical in Spark and DuckDB, which is what
-  lets the LSH pipeline be differentially tested end-to-end. At production
-  scale you would swap xxhash64 for md5 (same plan shape, ~5× faster).
+- Hash family is switchable (``spark.graft.minhash.hash``): md5 (default)
+  is bit-identical in Spark and DuckDB, which is what lets the LSH
+  pipeline be differentially tested end-to-end; xxhash64 is the
+  production spelling (codegen'd intrinsic, no digest-string decode,
+  same plan shape — tests/test_minhash_property.py pins exact-dup
+  recovery and plan-shape parity, bench.py A/Bs the two).
 
 MinHash/LSH parameters: 48 hash functions, 4 bands × 12 rows, Jaccard
 threshold 0.95. Band-collision probability is J¹², so a J=0.99 pair is
@@ -310,22 +313,59 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     n_bands: int = N_BANDS,
     threshold: float = JACCARD_T,
+    hash_mode: str | None = None,
 ) -> DataFrame:
     """Generic MinHash-LSH near-dup pairs (library API): rows (id, token
     array) in, verified pairs (id_a, id_b, jaccard >= threshold) out.
 
     Requires ids < 2^32 (pairs are packed into one 64-bit key for the
-    dedup shuffle). Plan shape and rationale: see dedup_fuzzy_minhash."""
+    dedup shuffle). Plan shape and rationale: see dedup_fuzzy_minhash.
+
+    ``hash_mode`` picks the base/band hash family — the ONLY thing that
+    changes; the plan (scan → sig kernel → band explode → bucket
+    self-join → distinct → verify join) is identical either way:
+
+    - ``"md5"`` (default): md5 truncated to a 60-bit long.  Bit-identical
+      in DuckDB, which is what lets the whole LSH path be differentially
+      gate-tested — the correctness spelling.
+    - ``"xxhash64"``: Spark's codegen'd 64-bit xxHash intrinsic — no
+      digest string, no substring/conv decode, ~5× cheaper per token.
+      The production spelling for a 100 TB corpus, where the md5 forest
+      is pure gate tax; not DuckDB-reproducible, so it is covered by the
+      exact-dup-recovery + plan-shape-parity tests and the bench A/B
+      (bench.py ``derived.minhash_xxhash64_sec``) instead of the oracle.
+
+    When ``hash_mode`` is None it resolves from the session conf key
+    ``spark.graft.minhash.hash`` (default ``md5``), so a deployment flips
+    the fleet with one conf line and the gate keeps the md5 default."""
+    if hash_mode is None:
+        hash_mode = df.sparkSession.conf.get("spark.graft.minhash.hash", "md5")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown minhash hash_mode: {hash_mode!r}")
+
+    if hash_mode == "md5":
+        def _base_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+        def _band_key(i, parts):
+            return F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(i)), *parts)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
+    else:
+        def _base_hash(t):
+            return F.xxhash64(t)
+
+        def _band_key(i, parts):
+            return F.xxhash64(F.lit(i), *parts)
+
     rows_per_band = n_hashes // n_bands
     toks = df.select(
         F.col(id_col).alias("__id"), F.col(tokens_col).alias("__tk")
-    ).withColumn(
-        "__tkh",
-        F.transform(
-            F.col("__tk"),
-            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
-        ),
-    )
+    ).withColumn("__tkh", F.transform(F.col("__tk"), _base_hash))
     # Affine minhash over the md5-derived base hash: per seed s,
     # min((2s+1)·(h mod M31) + b_s mod M31). One md5 per token total
     # (shared with the verify stage's __tkh); the n_hashes mins are an
@@ -360,24 +400,13 @@ def minhash_lsh_pairs(
     sigs = toks.withColumn("sig", _sig_kernel(F.col("__tkh")))
     band_keys = F.array(
         *[
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            F.lit(str(i)),
-                            *[
-                                F.element_at("sig", i * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
+            _band_key(
+                i,
+                [
+                    F.element_at("sig", i * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
             for i in range(n_bands)
         ]
     )

@@ -70,3 +70,62 @@ def test_minhash_pairs_precise_and_exact_dupes_never_missed(spark, docs):
         for j in range(i + 1, len(docs)):
             if set(docs[i]) == set(docs[j]):
                 assert (i, j) in got, f"identical docs {i},{j} missed"
+
+
+def test_xxhash64_mode_recovers_exact_dups_and_rejects_disjoint(spark):
+    """The production hash family (hash_mode='xxhash64') keeps the two
+    hard guarantees the md5 gate spelling has: identical token sets are
+    always paired at jaccard 1.0 (identical signatures ⇒ candidate in
+    every band) and token-disjoint docs are never paired (the verify
+    stage computes true Jaccard — zero here — regardless of banding)."""
+    docs = [
+        (0, ["a", "b", "c", "d"]),
+        (1, ["a", "b", "c", "d"]),          # exact dup of 0
+        (2, ["d", "c", "b", "a", "a"]),     # same SET as 0 (order/mult differ)
+        (3, ["x", "y", "z"]),               # disjoint
+        (4, ["p", "q", "r", "s", "t"]),     # disjoint
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, tokens array<string>")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_pairs(
+            df, "doc_id", "tokens", hash_mode="xxhash64"
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0, (0, 2): 1.0, (1, 2): 1.0}
+
+
+def test_hash_modes_plan_identical_and_conf_resolved(spark):
+    """Flipping spark.graft.minhash.hash must change ONLY the hash
+    expressions: same exchanges, same joins, same aggregates — the flag
+    never alters the distributed shape. Also pins conf resolution (the
+    deployment path) against the explicit-argument path."""
+    import re
+
+    df = spark.createDataFrame(
+        [(i, [f"w{i}", f"w{i+1}", "c"]) for i in range(6)],
+        "doc_id long, tokens array<string>",
+    )
+
+    def _shape(d):
+        plan = d._jdf.queryExecution().executedPlan().toString()
+        return {
+            op: len(re.findall(rf"\b{op}\b", plan))
+            for op in ("Exchange", "SortMergeJoin", "BroadcastHashJoin",
+                       "HashAggregate", "Generate", "ArrowEvalPython")
+        }
+    md5_shape = _shape(minhash_lsh_pairs(df, "doc_id", "tokens", hash_mode="md5"))
+    xx_shape = _shape(
+        minhash_lsh_pairs(df, "doc_id", "tokens", hash_mode="xxhash64")
+    )
+    assert md5_shape == xx_shape
+
+    spark.conf.set("spark.graft.minhash.hash", "xxhash64")
+    try:
+        via_conf = minhash_lsh_pairs(df, "doc_id", "tokens")
+        explicit = minhash_lsh_pairs(df, "doc_id", "tokens", hash_mode="xxhash64")
+        assert sorted(map(tuple, via_conf.collect())) == sorted(
+            map(tuple, explicit.collect())
+        )
+    finally:
+        spark.conf.unset("spark.graft.minhash.hash")
