@@ -42,6 +42,11 @@ TOP_K = 5
 NPROBE = 2        # IVF buckets searched per probe
 COSINE_T = 0.4    # near-dup threshold (data max pair cosine ≈ 0.51)
 CENTROID_EVERY = 100  # deterministic centroid choice: vec_id % 100 == 0
+# Max vectors one in-bucket pair-search task may hold: above this a bucket
+# is split into secondary-hash sub-cells and searched per cell pair (see
+# dedup_embedding_bucketed), bounding per-task memory at ~CAP·dim doubles
+# and per-task pair work at CAP² even on a degenerate one-cluster corpus.
+BUCKET_PAIR_CAP = 20_000
 
 # Driver-fit contract: every bounded driver-side fit (quantizer training on
 # a capped sample, probe-set broadcast) collects at most this many bytes of
@@ -412,13 +417,70 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned = e.select("vec_id", "embedding").mapInPandas(_assign, assign_schema)
 
-    # In-bucket pair search as a grouped Arrow kernel: ONE shuffle on the
-    # bucket id, then each bucket's pairs come out of a blocked numpy
-    # pass over the bucket's own vectors — the self-join spelling hauled
-    # the same rows through the identical exchange but then evaluated an
-    # interpreted dot per pair (~10 M pairs at the 100× sweep). Same
-    # fold-order arithmetic as everywhere else; norms arrive precomputed
-    # from the assignment kernel.
+    # Hot-bucket guard (VERDICT r6 item 6): a degenerate corpus where one
+    # centroid wins everything would concentrate O(bucket²) pair work —
+    # and a |bucket|×dim matrix — in a SINGLE task.  Buckets above
+    # BUCKET_PAIR_CAP are split by a secondary hash into m sub-cells and
+    # the pair search runs per unordered CELL PAIR (m·(m+1)/2 tasks): a
+    # vector in sub-cell g joins every cell pair containing g, so each
+    # in-bucket pair lands in exactly one task and coverage stays
+    # complete while per-task work drops to (|bucket|/m)².  The size
+    # probe is one extra count pass over the assignment kernel (n·k
+    # map-side mult-adds — small next to the O(n²/k) pair stage it
+    # bounds); balanced corpora see m=1 everywhere and the one-cell path
+    # is the exact pre-split plan.
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in assigned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        if r["n"] > BUCKET_PAIR_CAP
+    }
+    if sizes:
+        m_map = F.create_map(
+            *[
+                F.lit(v)
+                for b, n in sorted(sizes.items())
+                for v in (b, -(-n // BUCKET_PAIR_CAP))
+            ]
+        )
+        m_col = F.coalesce(m_map[F.col("bucket")], F.lit(1))
+    else:
+        m_col = F.lit(1)
+    g_col = F.when(
+        m_col > 1, F.pmod(F.xxhash64(F.col("vec_id")), m_col)
+    ).otherwise(F.lit(0)).cast("long")
+    celled = (
+        assigned.withColumn("__g", g_col)
+        .withColumn("__m", m_col)
+        .select(
+            "vec_id",
+            "__e",
+            "__en",
+            "bucket",
+            "__g",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__m") - 1),
+                    lambda j: F.struct(
+                        F.least(F.col("__g"), j).alias("ca"),
+                        F.greatest(F.col("__g"), j).alias("cb"),
+                    ),
+                )
+            ).alias("__cell"),
+        )
+        .select(
+            "vec_id", "__e", "__en", "bucket", "__g",
+            F.col("__cell.ca").alias("__ca"),
+            F.col("__cell.cb").alias("__cb"),
+        )
+    )
+
+    # In-bucket pair search as a grouped Arrow kernel: ONE shuffle on
+    # (bucket, cell pair), then each group's pairs come out of a blocked
+    # numpy pass over the group's own vectors — the self-join spelling
+    # hauled the same rows through the identical exchange but then
+    # evaluated an interpreted dot per pair (~10 M pairs at the 100×
+    # sweep). Same fold-order arithmetic as everywhere else; norms arrive
+    # precomputed from the assignment kernel.
     pair_schema = T.StructType(
         [
             T.StructField("vec_a", T.LongType()),
@@ -428,29 +490,59 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _bucket_pairs(pdf):
-        vid = pdf["vec_id"].to_numpy(dtype=np.int64)
-        if len(vid) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
-        V = np.array(list(pdf["__e"]), dtype=np.float64)
-        vn = pdf["__en"].to_numpy(dtype=np.float64)
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        if len(pdf) < 2:
+            return empty
+        ca, cb = int(pdf["__ca"].iloc[0]), int(pdf["__cb"].iloc[0])
+        if ca == cb:
+            # Diagonal cell (the only kind on balanced corpora): strict
+            # upper triangle over the group's vectors.
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(pdf["__e"]), dtype=np.float64)
+            vn = pdf["__en"].to_numpy(dtype=np.float64)
+            bvid, bV, bvn = vid, V, vn
+            pair_mask = lambda aid: aid[:, None] < bvid[None, :]  # noqa: E731
+        else:
+            # Off-diagonal cell pair: full cross of side ca × side cb
+            # (each unordered pair appears in exactly this one group).
+            sa = pdf[pdf["__g"] == ca]
+            sb = pdf[pdf["__g"] == cb]
+            if not len(sa) or not len(sb):
+                return empty
+            vid = sa["vec_id"].to_numpy(dtype=np.int64)
+            V = np.array(list(sa["__e"]), dtype=np.float64)
+            vn = sa["__en"].to_numpy(dtype=np.float64)
+            bvid = sb["vec_id"].to_numpy(dtype=np.int64)
+            bV = np.array(list(sb["__e"]), dtype=np.float64)
+            bvn = sb["__en"].to_numpy(dtype=np.float64)
+            pair_mask = lambda aid: np.ones(  # noqa: E731
+                (len(aid), len(bvid)), dtype=bool
+            )
         out = []
-        block = max(1, 4_000_000 // len(vid))
+        block = max(1, 4_000_000 // max(len(bvid), 1))
         for s in range(0, len(vid), block):
             A, an, aid = V[s : s + block], vn[s : s + block], vid[s : s + block]
-            acc = np.zeros((len(aid), len(vid)))
-            for i in range(V.shape[1]):
-                acc += A[:, i : i + 1] * V[None, :, i]
+            acc = np.zeros((len(aid), len(bvid)))
+            for i in range(bV.shape[1]):
+                acc += A[:, i : i + 1] * bV[None, :, i]
             with np.errstate(divide="ignore", invalid="ignore"):
-                cos = acc / (an[:, None] * vn[None, :])
-            keep = (aid[:, None] < vid[None, :]) & (cos >= COSINE_T)
+                cos = acc / (an[:, None] * bvn[None, :])
+            keep = pair_mask(aid) & (cos >= COSINE_T)
             ai, bj = np.nonzero(keep)
+            ia, ib = aid[ai], bvid[bj]
             out.append(
-                pd.DataFrame({"vec_a": aid[ai], "vec_b": vid[bj], "cos": cos[ai, bj]})
+                pd.DataFrame(
+                    {
+                        "vec_a": np.minimum(ia, ib),
+                        "vec_b": np.maximum(ia, ib),
+                        "cos": cos[ai, bj],
+                    }
+                )
             )
-        return pd.concat(out, ignore_index=True)
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return (
-        assigned.groupBy("bucket")
+        celled.groupBy("bucket", "__ca", "__cb")
         .applyInPandas(_bucket_pairs, pair_schema)
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )

@@ -134,6 +134,48 @@ def test_bucketed_embedding_dedup_sound_with_recall_floor(spark, sf_dir):
         assert recall >= 0.3, f"bucketed recall {recall:.2f} too low"
 
 
+def test_bucketed_dedup_hot_bucket_split_is_complete(spark, tmp_path, monkeypatch):
+    """Adversarial single-cluster corpus (VERDICT r6 item 6): every vector
+    lands in ONE bucket, so without the secondary-hash split one task
+    would hold the whole corpus and O(bucket²) pair work.  With
+    BUCKET_PAIR_CAP forced tiny the bucket fans out into cell-pair tasks
+    — and the result must be EXACTLY the unsplit result: every in-bucket
+    pair in exactly one cell pair, no duplicates, bit-equal cosines."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sqlite_to_clickhouse_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    n, dim = 60, 8
+    base = rng.normal(size=dim)
+    vecs = base[None, :] + 0.01 * rng.normal(size=(n, dim))  # one tight cluster
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                [v.astype(np.float32) for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array(np.zeros(n, dtype=np.int32)),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    fixture = str(tmp_path)
+
+    def _run():
+        return {
+            (r.vec_a, r.vec_b): r.cosine
+            for r in _Q["dedup_embedding_bucketed"].fn(spark, fixture).collect()
+        }
+
+    unsplit = _run()  # default cap: single diagonal cell, pre-split plan
+    assert len(unsplit) == n * (n - 1) // 2  # the cluster is fully above-threshold
+    monkeypatch.setattr(S, "BUCKET_PAIR_CAP", 10)  # force m = ceil(60/10) = 6
+    split = _run()
+    assert split == unsplit
+
+
 def test_dedup_exact_keeps_one_per_hash(spark, sf_dir):
     df = _Q["dedup_exact"].fn(spark, sf_dir)
     n = df.count()
