@@ -166,6 +166,13 @@ HEADLINE = [
     "join_bucketed_colocated",
     "sink_partition_overwrite_dynamic",
     "filter_not_in_null_aware",
+    # Round-7 additions (new-operator freeze lifted): simhash hamming
+    # pairs, z-order encode/decode, hashing-trick features, exact
+    # per-label centroids.
+    "dedup_simhash_nn",
+    "fn_morton",
+    "text_hashing_vectorizer",
+    "embedding_label_centroids",
 ]
 
 

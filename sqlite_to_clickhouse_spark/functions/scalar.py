@@ -307,6 +307,92 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Morton (Z-order) bit-interleaving: the magic-mask spread/compact ladder.
+# Each step is (v | v << s) & m (spread) or (v | v >> s) & m (compact); the
+# SAME ladder is emitted as a Spark Column tree and as DuckDB SQL text, so
+# the two engines execute identical 64-bit integer arithmetic.
+_MORTON_SPREAD = [(8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)]
+
+
+def _spread_col(v):
+    v = v.bitwiseAND(F.lit(0xFFFF))
+    for s, m in _MORTON_SPREAD:
+        v = (v.bitwiseOR(F.shiftleft(v, s))).bitwiseAND(F.lit(m))
+    return v
+
+
+def _compact_col(v):
+    v = v.bitwiseAND(F.lit(0x55555555))
+    for s, m in [(1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF), (8, 0x0000FFFF)]:
+        v = (v.bitwiseOR(F.shiftright(v, s))).bitwiseAND(F.lit(m))
+    return v
+
+
+def _spread_sql(v: str) -> str:
+    e = f"({v} & 65535)"
+    for s, m in _MORTON_SPREAD:
+        e = f"(({e} | ({e} << {s})) & {m})"
+    return e
+
+
+def _compact_sql(v: str) -> str:
+    e = f"({v} & {0x55555555})"
+    for s, m in [(1, 0x33333333), (2, 0x0F0F0F0F), (4, 0x00FF00FF), (8, 0x0000FFFF)]:
+        e = f"(({e} | ({e} >> {s})) & {m})"
+    return e
+
+
+_MORTON_CODE_SQL = (
+    f"({_spread_sql('user_id')} | ({_spread_sql('event_id')} << 1))"
+)
+
+
+@register(
+    "fn_morton",
+    oracle=f"""
+    SELECT event_id,
+           user_id & 65535                          AS x,
+           event_id & 65535                         AS y,
+           {_MORTON_CODE_SQL}                       AS morton,
+           {_compact_sql(_MORTON_CODE_SQL)}         AS dec_x,
+           {_compact_sql(f'({_MORTON_CODE_SQL} >> 1)')} AS dec_y
+    FROM events
+    """,
+    tags=("function", "bitwise"),
+)
+def fn_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton / Z-order encode + decode of a 2-D integer key (ClickHouse's
+    ``mortonEncode`` / ``mortonDecode``): interleave the low 16 bits of
+    (user_id, event_id) into one 32-bit code and split it back.
+
+    Why it's an engine op and not a curiosity: sorting (or range-
+    partitioning) a 100 TB fact table by the Morton code of its two
+    hottest filter columns gives min/max-zone data skipping on BOTH
+    columns from ONE sort order — the Z-order layout trick behind
+    ClickHouse/Delta/Iceberg data skipping. The encode itself is the
+    classic magic-mask spread ladder — four shift+mask steps per
+    dimension, pure whole-stage-codegen integer ops, no UDF — and the
+    oracle executes the literally identical ladder (both sides are
+    emitted from one table of (shift, mask) steps).
+
+    The decode columns double as an in-band roundtrip proof: dec_x/dec_y
+    must equal x/y on every row, and the differential gate checks all
+    six columns against DuckDB.
+    """
+    ev = table(spark, sf_dir, "events")
+    code = _spread_col(F.col("user_id")).bitwiseOR(
+        F.shiftleft(_spread_col(F.col("event_id")), 1)
+    )
+    return ev.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("x"),
+        F.col("event_id").bitwiseAND(F.lit(65535)).alias("y"),
+        code.alias("morton"),
+        _compact_col(code).alias("dec_x"),
+        _compact_col(F.shiftright(code, 1)).alias("dec_y"),
+    )
+
+
 @register(
     "fn_url",
     oracle="""

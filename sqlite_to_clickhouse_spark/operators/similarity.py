@@ -1242,6 +1242,54 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label, pos,
+           CAST(SUM(CAST(ROUND(v * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT label,
+             CAST(generate_subscripts(embedding, 1) AS BIGINT) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    tags=("llm", "similarity"),
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label elementwise centroid sums over the embedding corpus —
+    the class-centroid stage behind hard-negative mining, diversity
+    sampling, and k-means seeding in a training-data pipeline.
+
+    Emits exact integer evidence ``(label, pos, sum_e6, n)`` — the
+    centroid is ``sum_e6 / (1e6 · n)`` — instead of a float mean: each
+    element is widened float→double (exact) and fixed-pointed to 1e-6
+    units BEFORE the sum, so the aggregate is a BIGINT whose value is
+    independent of partitioning and summation order (the revenue_e4
+    pattern, joins.py). A double mean would hash-diverge between Spark's
+    partial-aggregate tree and DuckDB's single-threaded fold on the last
+    ulp.
+
+    Scale shape: posexplode fans each row into dim scalar rows map-side,
+    then ONE shuffle on (label, pos) with partial aggregation — the
+    combiner collapses each partition to at most |labels|·dim rows, so
+    shuffle bytes are bounded by cardinality, not corpus size. No
+    driver-side state of any kind.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode(F.col("embedding"))).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("pos"),  # 1-based like SQL
+        F.round(F.col("col").cast("double") * 1000000).cast("long").alias("v_e6"),
+    )
+    return ex.groupBy("label", "pos").agg(
+        F.sum("v_e6").alias("sum_e6"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     probes: DataFrame,

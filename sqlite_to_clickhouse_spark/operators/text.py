@@ -1125,3 +1125,50 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(novel / F.count(F.lit(1)).cast("double"), 6).alias("novelty"),
         )
     )
+
+
+N_FEATURES = 1024  # hashing-trick feature-space width
+
+
+@register(
+    "text_hashing_vectorizer",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)
+                % {N_FEATURES} AS BIGINT)  AS feature,
+           CAST(COUNT(*) AS BIGINT)        AS tf
+    FROM (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+      FROM documents
+    )
+    GROUP BY doc_id, feature
+    """,
+    tags=("llm", "text"),
+)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick bag-of-words features (HashingVectorizer /
+    HashingTF): each token is hashed into a FIXED feature space of
+    N_FEATURES buckets and term frequencies are counted per (doc,
+    bucket) — the stateless featurization stage for quality classifiers
+    and fastText-style filters over a training corpus.  Stateless is the
+    100 TB point: unlike text_tfidf's vocabulary, there is no fitted
+    dictionary to build, broadcast, or version — any executor can
+    featurize any shard independently, and collisions are part of the
+    contract (mirrored exactly in the oracle, which buckets through the
+    identical md5→60-bit→mod pipeline).
+
+    Plan: explode tokens map-side, ONE partially-aggregated shuffle on
+    (doc_id, feature) — combiner-bounded like every hash groupBy.  The
+    token hash is the engine-portable 60-bit md5 prefix (fn_hash /
+    dedup family spelling), non-negative, so Spark's % and DuckDB's %
+    agree without pmod gymnastics.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("t"))
+    feat = (
+        F.conv(F.substring(F.md5("t"), 1, 15), 16, 10)
+        .cast("long") % N_FEATURES
+    )
+    return tok.select("doc_id", feat.alias("feature")).groupBy(
+        "doc_id", "feature"
+    ).agg(F.count(F.lit(1)).alias("tf"))

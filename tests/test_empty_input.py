@@ -54,6 +54,11 @@ _OPS = [
     "join_bucketed_colocated",
     "sink_partition_overwrite_dynamic",
     "filter_not_in_null_aware",
+    # round-7 additions (freeze lifted)
+    "fn_morton",
+    "embedding_label_centroids",
+    "text_hashing_vectorizer",
+    "dedup_simhash_nn",
 ]
 
 
@@ -84,6 +89,8 @@ _BLANK_OPS = [
     "dedup_keep_best",
     "text_char_entropy",
     "text_compression_ratio",
+    # blank docs = all-zero simhash fingerprints: must be dropped pre-band
+    "dedup_simhash_nn",
 ]
 
 

@@ -176,6 +176,69 @@ def test_bucketed_dedup_hot_bucket_split_is_complete(spark, tmp_path, monkeypatc
     assert split == unsplit
 
 
+def test_simhash_nn_banding_is_lossless_vs_brute_force(spark, sf_dir):
+    """dedup_simhash_nn's recall theorem, checked empirically against an
+    INDEPENDENT driver-side reimplementation (hashlib md5 + numpy votes,
+    no Spark, no DuckDB): with HAMMING_T < SIMHASH_BANDS, at least one
+    band of any ≤T-distance pair matches exactly (pigeonhole), so the
+    banded per-doc nearest neighbor must equal the brute-force all-pairs
+    nearest neighbor — not approximate it."""
+    import hashlib
+
+    import numpy as np
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        HAMMING_T,
+        SIMHASH_NN_BITS,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    bits = np.arange(SIMHASH_NN_BITS, dtype=np.int64)
+    fps = {}
+    for r in docs:
+        toks = sorted({t for t in (r.text or "").split(" ") if t})
+        if not toks:
+            continue
+        h = np.array(
+            [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks],
+            dtype=np.int64,
+        )
+        votes = (2 * ((h[:, None] >> bits[None, :]) & 1) - 1).sum(axis=0)
+        fps[r.doc_id] = int(((votes > 0).astype(np.int64) << bits).sum())
+    expect = {}
+    ids = sorted(fps)
+    for a in ids:
+        best = None
+        for b in ids:
+            if b == a:
+                continue
+            d = bin(fps[a] ^ fps[b]).count("1")
+            if d <= HAMMING_T and (best is None or (d, b) < best):
+                best = (d, b)
+        if best is not None:
+            expect[a] = (best[1], best[0])
+    got = {
+        r.doc_id: (r.nn_doc, r.hamming)
+        for r in _Q["dedup_simhash_nn"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_morton_roundtrip_on_fixture(spark, sf_dir):
+    """fn_morton's decode must invert its encode on every row — checked
+    against the INPUT columns, not the oracle (which shares the bit
+    ladder and would mask a ladder bug)."""
+    for r in _Q["fn_morton"].fn(spark, sf_dir).collect():
+        assert (r.dec_x, r.dec_y) == (r.x, r.y)
+        # interleave definition: bit i of x lands at bit 2i of the code
+        expect = 0
+        for i in range(16):
+            expect |= ((r.x >> i) & 1) << (2 * i)
+            expect |= ((r.y >> i) & 1) << (2 * i + 1)
+        assert r.morton == expect
+
+
 def test_dedup_exact_keeps_one_per_hash(spark, sf_dir):
     df = _Q["dedup_exact"].fn(spark, sf_dir)
     n = df.count()

@@ -61,6 +61,10 @@ _OPS = [
     # event_type diverged (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST);
     # both sides now pin NULLS FIRST.
     "stream_windowed_topk",
+    # round-7 additions: NULL text / NULL label paths
+    "dedup_simhash_nn",
+    "text_hashing_vectorizer",
+    "embedding_label_centroids",
 ]
 
 

@@ -41,6 +41,9 @@ _OPS = [
     "text_char_entropy",
     "text_tfidf",
     "doc_fingerprint",
+    # round-7 additions: md5-of-UTF-8 token hashing must agree byte-wise
+    "text_hashing_vectorizer",
+    "dedup_simhash_nn",
 ]
 
 
