@@ -143,6 +143,17 @@ DEFAULT_OPS = [
     # Dynamic partition overwrite: full layout write + one-partition
     # rewrite + table read-back — all table-linear.
     "sink_partition_overwrite_dynamic",
+    # Round-7 additions. dedup_simhash_nn: the identical-fp collapse is
+    # what keeps the densified fixture (K id-offset near-copies) from
+    # going quadratic — the K copies of each doc share a fingerprint, so
+    # banding sees the same ~distinct-fp count at every K and wall should
+    # track the fingerprint pass (linear). hashing_vectorizer /
+    # label_centroids: explode + combiner-bounded groupBy, linear.
+    # fn_morton: pure projection.
+    "dedup_simhash_nn",
+    "text_hashing_vectorizer",
+    "embedding_label_centroids",
+    "fn_morton",
 ]
 
 
