@@ -173,6 +173,7 @@ HEADLINE = [
     "fn_morton",
     "text_hashing_vectorizer",
     "embedding_label_centroids",
+    "pipeline_data_quality",
 ]
 
 

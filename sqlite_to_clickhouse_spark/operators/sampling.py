@@ -476,3 +476,92 @@ def sample_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(plan), "source")
         .select("doc_id", "source", F.explode(epochs).alias("epoch"))
     )
+
+
+_DQ_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderdate",
+    "o_orderpriority",
+    "o_orderstatus",
+    "o_totalprice_c",
+)
+
+
+def _dq_oracle() -> str:
+    per_col = " UNION ALL ".join(
+        f"""
+        SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT)                    AS n,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT)       AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT)         AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR)                   AS min_s,
+               CAST(MAX({c}) AS VARCHAR)                   AS max_s
+        FROM t"""
+        for c in _DQ_COLS
+    )
+    return f"""
+    WITH t AS (
+      SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
+             o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS o_totalprice_c
+      FROM orders
+    )
+    {per_col}
+    """
+
+
+@register("pipeline_data_quality", oracle=_dq_oracle(), tags=("pipeline",))
+def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profile quality gate over the orders table — the dbt-test /
+    Deequ-style stats a pipeline asserts before training or publishing:
+    per column, row count, NULL count, exact distinct count, and
+    stringified min/max.  One row per profiled column, all-scalar.
+
+    Shapes that matter at 100 TB:
+    - ONE scan feeds every statistic: all 6×4 aggregates ride a single
+      global aggregation. The multiple exact COUNT(DISTINCT)s make
+      Catalyst plan an Expand (each input row fans to one row per
+      distinct aggregate) — a 6× map-side multiplication traded for
+      single-pass I/O, the standard engine answer; swap in
+      approx_count_distinct per column when exactness isn't contractual
+      (agg_approx_distinct is the certified analog).
+    - The money column profiles in exact 10^-2-dollar integer units
+      (the revenue_e4 pattern): a double min/max stringifies
+      differently across engines ('1.5E4' vs '15000.0'), a BIGINT is
+      format-stable.
+    - min/max of the date and text columns stringify to ISO dates /
+      binary-collation strings, identical in both engines.
+    """
+    o = table(spark, sf_dir, "orders")
+    cols = [
+        ("o_orderkey", F.col("o_orderkey")),
+        ("o_custkey", F.col("o_custkey")),
+        ("o_orderdate", F.col("o_orderdate")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_totalprice_c", F.round(F.col("o_totalprice") * 100).cast("long")),
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for name, c in cols:
+        aggs += [
+            F.count(c).alias(f"cnt_{name}"),
+            F.count_distinct(c).alias(f"dst_{name}"),
+            F.min(c).cast("string").alias(f"min_{name}"),
+            F.max(c).cast("string").alias(f"max_{name}"),
+        ]
+    row = o.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("column_name"),
+                F.col("n").alias("n"),
+                (F.col("n") - F.col(f"cnt_{name}")).alias("n_null"),
+                F.col(f"dst_{name}").alias("n_distinct"),
+                F.col(f"min_{name}").alias("min_s"),
+                F.col(f"max_{name}").alias("max_s"),
+            )
+            for name, _ in cols
+        ]
+    )
+    return row.select(F.explode(profile).alias("s")).select("s.*")

@@ -65,6 +65,8 @@ _OPS = [
     "dedup_simhash_nn",
     "text_hashing_vectorizer",
     "embedding_label_centroids",
+    # profiles nulled o_totalprice / o_orderpriority columns directly
+    "pipeline_data_quality",
 ]
 
 
