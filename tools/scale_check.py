@@ -154,6 +154,9 @@ DEFAULT_OPS = [
     "text_hashing_vectorizer",
     "embedding_label_centroids",
     "fn_morton",
+    # Single-scan profile with a 6x Expand for the exact distincts —
+    # wall should track the scan.
+    "pipeline_data_quality",
 ]
 
 
