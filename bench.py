@@ -174,6 +174,7 @@ HEADLINE = [
     "text_hashing_vectorizer",
     "embedding_label_centroids",
     "pipeline_data_quality",
+    "events_active_users",
 ]
 
 

@@ -59,6 +59,8 @@ _OPS = [
     "embedding_label_centroids",
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
+    "pipeline_data_quality",
+    "events_active_users",
 ]
 
 
@@ -76,9 +78,10 @@ def test_op_degrades_on_empty_corpus(spark, empty_sf_dir, name):
     df = _Q[name].fn(spark, empty_sf_dir)
     rows = df.collect()
     assert df.columns  # schema survives
-    # Bound-as-result gates may emit invariant rows; everything else
-    # should be empty or a single all-NULL/zero aggregate row.
-    assert len(rows) <= 5
+    # Bound-as-result gates may emit invariant rows, and the column
+    # profiler emits one (all-zero) row per profiled column; everything
+    # else should be empty or a single all-NULL/zero aggregate row.
+    assert len(rows) <= 6
 
 
 _BLANK_OPS = [

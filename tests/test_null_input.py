@@ -67,6 +67,8 @@ _OPS = [
     "embedding_label_centroids",
     # profiles nulled o_totalprice / o_orderpriority columns directly
     "pipeline_data_quality",
+    # NULL ts/user filter parity in the distinct day-user reduction
+    "events_active_users",
 ]
 
 

@@ -157,6 +157,9 @@ DEFAULT_OPS = [
     # Single-scan profile with a 6x Expand for the exact distincts —
     # wall should track the scan.
     "pipeline_data_quality",
+    # Contribution-trick DAU/WAU/MAU: shuffle is 30x distinct day-user
+    # pairs (activity-bounded), never 30x events — should track input.
+    "events_active_users",
 ]
 
 
