@@ -175,6 +175,8 @@ HEADLINE = [
     "embedding_label_centroids",
     "pipeline_data_quality",
     "events_active_users",
+    "fn_geohash",
+    "sample_exact_quota",
 ]
 
 

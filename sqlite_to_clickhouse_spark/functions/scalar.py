@@ -906,6 +906,79 @@ def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_oracle() -> str:
+    lon_q = "CAST(FLOOR((lon + 180.0) / 360.0 * 32768.0) AS BIGINT)"
+    lat_q = "CAST(FLOOR((lat + 90.0) / 180.0 * 32768.0) AS BIGINT)"
+    code = f"({_spread_sql(lat_q)} | ({_spread_sql(lon_q)} << 1))"
+    chars = " || ".join(
+        f"substring('{_GEOHASH_ALPHABET}', "
+        f"CAST((({code} >> {25 - 5 * g}) & 31) + 1 AS INT), 1)"
+        for g in range(6)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               (c_custkey % 17000) / 100.0 - 85.0  AS lat,
+               (c_custkey % 35000) / 100.0 - 175.0 AS lon
+        FROM customer
+    )
+    SELECT c_custkey,
+           round(lat, 2)  AS lat,
+           round(lon, 2)  AS lon,
+           {code}         AS cell30,
+           {chars}        AS geohash6
+    FROM pts
+    """
+
+
+@register("fn_geohash", oracle=_geohash_oracle(), tags=("fn", "geo", "clickhouse"))
+def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``geohashEncode`` analog: 6-character geohash (30 bits)
+    of the key-derived synthetic coordinates from fn_geo.
+
+    A geohash is exactly a Morton code over quantized (lon, lat) plus a
+    base32 rendering — so the encode REUSES fn_morton's spread ladder
+    (identical (shift, mask) steps emitted as both the Column tree and
+    the oracle SQL): quantize each axis to 15 bits with the closed-form
+    floor (no iterative bisection), interleave with lon on the odd/MSB
+    bits per the geohash spec, then map the six 5-bit groups through the
+    standard alphabet. Everything is integer arithmetic and
+    whole-stage-codegen string ops; the raw 30-bit cell id is emitted
+    alongside (`cell30`) because it is the actual JOIN/GROUP key a
+    spatial pipeline uses at 100 TB — prefix-range scans and cell
+    aggregations on a BIGINT, with the string form only for humans."""
+    c = table(spark, sf_dir, "customer")
+    lat = (F.col("c_custkey") % 17000) / 100.0 - 85.0
+    lon = (F.col("c_custkey") % 35000) / 100.0 - 175.0
+    lon_q = F.floor((lon + 180.0) / 360.0 * 32768.0).cast("long")
+    lat_q = F.floor((lat + 90.0) / 180.0 * 32768.0).cast("long")
+    code = _spread_col(lat_q).bitwiseOR(F.shiftleft(_spread_col(lon_q), 1))
+    bound = c.select(
+        "c_custkey",
+        F.round(lat, 2).alias("lat"),
+        F.round(lon, 2).alias("lon"),
+        code.alias("cell30"),
+    )
+    alpha = F.lit(_GEOHASH_ALPHABET)
+    geohash = F.concat(
+        *[
+            F.substring(
+                alpha,
+                (
+                    F.shiftright(F.col("cell30"), 25 - 5 * g).bitwiseAND(F.lit(31))
+                    + 1
+                ).cast("int"),
+                1,
+            )
+            for g in range(6)
+        ]
+    )
+    return bound.select("c_custkey", "lat", "lon", "cell30", geohash.alias("geohash6"))
+
+
 @register(
     "fn_geo",
     oracle="""

@@ -565,3 +565,47 @@ def pipeline_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return row.select(F.explode(profile).alias("s")).select("s.*")
+
+
+QUOTA_PER_GROUP = 50
+
+
+@register(
+    "sample_exact_quota",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    ) WHERE rk <= {QUOTA_PER_GROUP}
+    """,
+    tags=("sampling", "llm"),
+)
+def sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-quota stratified sampling: EXACTLY min(quota, |group|) docs
+    per language, chosen by a deterministic hash order — the "cap every
+    domain at N documents" mixing primitive.  Differs from
+    sample_stratified_hash (per-row Bernoulli at a rate: quota only in
+    expectation) and from plain topk_per_group (rank by a DATA column:
+    biased): hashing the key gives an unbiased pseudo-random draw that
+    is reproducible across engines, retries, and partitionings.
+
+    Scale shape: one shuffle on the group key, per-partition sorted rank
+    scan, no group materialization.  Skew note: a giant group costs one
+    task's SORT of its rows (not its pairs); at 100 TB pre-prune with a
+    per-partition LIMIT-quota (any partial top-quota by hash is a
+    superset of the global one) — the standard TakeOrdered-per-group
+    refinement, documented rather than wired because bench groups are
+    language-sized.
+    """
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
+        .filter(F.col("rk") <= QUOTA_PER_GROUP)
+    )

@@ -61,6 +61,8 @@ _OPS = [
     "dedup_simhash_nn",
     "pipeline_data_quality",
     "events_active_users",
+    "fn_geohash",
+    "sample_exact_quota",
 ]
 
 

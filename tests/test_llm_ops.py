@@ -239,6 +239,41 @@ def test_morton_roundtrip_on_fixture(spark, sf_dir):
         assert r.morton == expect
 
 
+def test_geohash_matches_reference_bisection(spark, sf_dir):
+    """fn_geohash's closed-form quantize+interleave must equal the
+    textbook iterative-bisection geohash — an INDEPENDENT construction
+    (the op and its oracle share the spread ladder, so this is the check
+    that the ladder encodes the actual geohash spec, lon on the first
+    bit, standard alphabet)."""
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def reference(lat, lon, precision=6):
+        lat_lo, lat_hi, lon_lo, lon_hi = -90.0, 90.0, -180.0, 180.0
+        bits, out, even = 0, [], True
+        ch = 0
+        for _ in range(precision * 5):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                bit = lon >= mid
+                lon_lo, lon_hi = (mid, lon_hi) if bit else (lon_lo, mid)
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                bit = lat >= mid
+                lat_lo, lat_hi = (mid, lat_hi) if bit else (lat_lo, mid)
+            ch = (ch << 1) | int(bit)
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(alphabet[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rows = _Q["fn_geohash"].fn(spark, sf_dir).limit(200).collect()
+    assert rows
+    for r in rows:
+        assert r.geohash6 == reference(r.lat, r.lon), (r.lat, r.lon)
+
+
 def test_dedup_exact_keeps_one_per_hash(spark, sf_dir):
     df = _Q["dedup_exact"].fn(spark, sf_dir)
     n = df.count()

@@ -69,6 +69,8 @@ _OPS = [
     "pipeline_data_quality",
     # NULL ts/user filter parity in the distinct day-user reduction
     "events_active_users",
+    # NULL lang partitions must rank identically in both engines
+    "sample_exact_quota",
 ]
 
 

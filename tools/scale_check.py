@@ -160,6 +160,10 @@ DEFAULT_OPS = [
     # Contribution-trick DAU/WAU/MAU: shuffle is 30x distinct day-user
     # pairs (activity-bounded), never 30x events — should track input.
     "events_active_users",
+    # Geohash: pure projection. Exact-quota sample: one group-key
+    # shuffle + rank scan; output is quota-capped (rows ~flat at K).
+    "fn_geohash",
+    "sample_exact_quota",
 ]
 
 
