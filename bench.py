@@ -177,6 +177,7 @@ HEADLINE = [
     "events_active_users",
     "fn_geohash",
     "sample_exact_quota",
+    "agg_quantile_exact_weighted",
 ]
 
 

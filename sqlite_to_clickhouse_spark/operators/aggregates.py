@@ -1191,3 +1191,70 @@ def agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("sum_total"),
     )
+
+
+_QEW_ORACLE = """
+    WITH w AS (
+      SELECT l_returnflag AS flag,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v_c,
+             CAST(ROUND(l_quantity) AS BIGINT)            AS wt
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    ),
+    agg AS (
+      SELECT flag, v_c, CAST(SUM(wt) AS BIGINT) AS wt
+      FROM w GROUP BY flag, v_c
+    ),
+    cum AS (
+      SELECT flag, v_c,
+             CAST(SUM(wt) OVER (PARTITION BY flag ORDER BY v_c) AS BIGINT) AS cw,
+             CAST(SUM(wt) OVER (PARTITION BY flag) AS BIGINT)              AS tw
+      FROM agg
+    )
+    SELECT flag,
+           CAST(MIN(CASE WHEN cw >= 0.5 * tw THEN v_c END) AS BIGINT) AS med_c,
+           CAST(MIN(CASE WHEN cw >= 0.9 * tw THEN v_c END) AS BIGINT) AS p90_c
+    FROM cum GROUP BY flag
+"""
+
+
+@register(
+    "agg_quantile_exact_weighted", oracle=_QEW_ORACLE, tags=("agg", "clickhouse")
+)
+def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``quantileExactWeighted`` analog: exact weighted median
+    and p90 of the (centi-unit) extended price per return flag, weighted
+    by quantity — the duplication-aware quantile (a row with weight w
+    counts as w observations, without materializing w rows).
+
+    Construction — the only exact distributed form: merge duplicate
+    values first (hash groupBy (key, value): the heavy reduction, fully
+    combiner-parallel — the shuffle carries DISTINCT values, bounded by
+    the value domain, not row count), then one window pass over the
+    per-key sorted distinct values accumulating weight, then pick the
+    first value whose cumulative weight clears q·total. Ties between
+    engines can't happen: values are unique per key after the merge, so
+    the default RANGE window frame and a ROWS frame agree. Values ride
+    in exact 10⁻²-dollar BIGINTs end-to-end (no float summation
+    anywhere), so the gate needs no rounding tolerance at all."""
+    li = table(spark, sf_dir, "lineitem")
+    w = li.filter(
+        F.col("l_extendedprice").isNotNull() & F.col("l_quantity").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v_c"),
+        F.round(F.col("l_quantity")).cast("long").alias("wt"),
+    )
+    agg = w.groupBy("flag", "v_c").agg(F.sum("wt").alias("wt"))
+    cum = agg.select(
+        "flag",
+        "v_c",
+        F.sum("wt").over(Window.partitionBy("flag").orderBy("v_c")).alias("cw"),
+        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
+    )
+    pick = lambda q: F.min(  # noqa: E731
+        F.when(F.col("cw") >= F.lit(q) * F.col("tw"), F.col("v_c"))
+    )
+    return cum.groupBy("flag").agg(
+        pick(0.5).alias("med_c"), pick(0.9).alias("p90_c")
+    )

@@ -71,6 +71,8 @@ _OPS = [
     "events_active_users",
     # NULL lang partitions must rank identically in both engines
     "sample_exact_quota",
+    # NULL price/quantity rows must drop identically pre-merge
+    "agg_quantile_exact_weighted",
 ]
 
 

@@ -164,6 +164,9 @@ DEFAULT_OPS = [
     # shuffle + rank scan; output is quota-capped (rows ~flat at K).
     "fn_geohash",
     "sample_exact_quota",
+    # Weighted quantile: shuffle carries DISTINCT (key, value) pairs —
+    # value-domain-bounded, wall should track the merge scan.
+    "agg_quantile_exact_weighted",
 ]
 
 
