@@ -1218,6 +1218,31 @@ _QEW_ORACLE = """
 """
 
 
+def weighted_quantiles(
+    df: DataFrame, key: str, val: str, weight: str, qs: dict[str, float]
+) -> DataFrame:
+    """Library API: exact weighted quantiles of integer ``val`` per
+    ``key`` — ClickHouse quantileExactWeighted semantics (first value
+    whose cumulative weight reaches q·total over the weight-merged
+    sorted values). ``qs`` maps output column name → quantile. See
+    agg_quantile_exact_weighted for the plan rationale."""
+    agg = df.groupBy(key, val).agg(F.sum(weight).alias("__w"))
+    cum = agg.select(
+        key,
+        val,
+        F.sum("__w").over(Window.partitionBy(key).orderBy(val)).alias("__cw"),
+        F.sum("__w").over(Window.partitionBy(key)).alias("__tw"),
+    )
+    return cum.groupBy(key).agg(
+        *[
+            F.min(
+                F.when(F.col("__cw") >= F.lit(q) * F.col("__tw"), F.col(val))
+            ).alias(name)
+            for name, q in qs.items()
+        ]
+    )
+
+
 @register(
     "agg_quantile_exact_weighted", oracle=_QEW_ORACLE, tags=("agg", "clickhouse")
 )
@@ -1245,16 +1270,6 @@ def agg_quantile_exact_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v_c"),
         F.round(F.col("l_quantity")).cast("long").alias("wt"),
     )
-    agg = w.groupBy("flag", "v_c").agg(F.sum("wt").alias("wt"))
-    cum = agg.select(
-        "flag",
-        "v_c",
-        F.sum("wt").over(Window.partitionBy("flag").orderBy("v_c")).alias("cw"),
-        F.sum("wt").over(Window.partitionBy("flag")).alias("tw"),
-    )
-    pick = lambda q: F.min(  # noqa: E731
-        F.when(F.col("cw") >= F.lit(q) * F.col("tw"), F.col("v_c"))
-    )
-    return cum.groupBy("flag").agg(
-        pick(0.5).alias("med_c"), pick(0.9).alias("p90_c")
+    return weighted_quantiles(
+        w, "flag", "v_c", "wt", {"med_c": 0.5, "p90_c": 0.9}
     )

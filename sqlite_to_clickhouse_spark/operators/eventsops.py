@@ -755,12 +755,12 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "off", F.date_add(F.col("active_day"), F.col("off")).alias("day")
     )
-    # Only days that actually had activity anchor a window (inner join
-    # with the active-day set — broadcast-small: one row per day).
-    active_days = du.select("day").distinct()
+    # Only days that actually had activity anchor a window. That is
+    # exactly the days with dau ≥ 1 (an offset-0 contribution), so the
+    # filter rides the aggregate itself — no second pass over du, no
+    # anchor join.
     return (
-        contrib.join(F.broadcast(active_days), "day")
-        .groupBy("day")
+        contrib.groupBy("day")
         .agg(
             F.count_distinct(
                 F.when(F.col("off") == 0, F.col("user_id"))
@@ -770,4 +770,5 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wau"),
             F.count_distinct("user_id").alias("mau"),
         )
+        .filter(F.col("dau") >= 1)
     )

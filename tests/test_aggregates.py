@@ -105,3 +105,51 @@ def test_cms_overestimates_every_key(spark, sf_dir):
     for r in est:
         assert r["est_n"] >= r["true_n"], r.asDict()
         assert r["est_n"] - r["true_n"] <= cap, r.asDict()
+
+
+def test_weighted_quantiles_match_expansion_reference(spark):
+    """weighted_quantiles (the library under agg_quantile_exact_weighted)
+    must equal the definitional reference: EXPAND each row into `weight`
+    copies and take the classic exact lower quantile (first element at
+    cumulative count >= q*n) — property-tested over random weighted
+    multisets via hypothesis."""
+    from hypothesis import given, settings, strategies as st
+
+    from sqlite_to_clickhouse_spark.operators.aggregates import (
+        weighted_quantiles,
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b"]),
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=1, max_value=9),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(rows):
+        df = spark.createDataFrame(rows, "k string, v long, w long")
+        got = {
+            r.k: (r.q50, r.q90)
+            for r in weighted_quantiles(
+                df, "k", "v", "w", {"q50": 0.5, "q90": 0.9}
+            ).collect()
+        }
+        expect = {}
+        for k in {r[0] for r in rows}:
+            expanded = sorted(
+                v for kk, v, w in rows if kk == k for _ in range(w)
+            )
+            n = len(expanded)
+            # first index i (1-based) with i >= q*n:
+            import math
+
+            pick = lambda q: expanded[max(0, math.ceil(q * n) - 1)]  # noqa: E731
+            expect[k] = (pick(0.5), pick(0.9))
+        assert got == expect
+
+    run()
