@@ -45,6 +45,8 @@ def __getattr__(name):
         "pq_encode": "sqlite_to_clickhouse_spark.operators.similarity",
         "pca_components": "sqlite_to_clickhouse_spark.operators.similarity",
         "train_sample": "sqlite_to_clickhouse_spark.operators.similarity",
+        "l2_normalize": "sqlite_to_clickhouse_spark.operators.similarity",
+        "weighted_quantiles": "sqlite_to_clickhouse_spark.operators.aggregates",
         "pagerank": "sqlite_to_clickhouse_spark.operators.graph",
         "triangle_stats": "sqlite_to_clickhouse_spark.operators.graph",
         "replacing_dedup": "sqlite_to_clickhouse_spark.migrate",
