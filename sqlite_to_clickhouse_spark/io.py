@@ -16,6 +16,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def read_marker(marker: str) -> "str | None":
+    """Read a cache-validity marker, None when absent/unreadable — the
+    mandatory companion to ``build_lock``'s double-checked re-check."""
+    try:
+        with open(marker) as fh:
+            return fh.read().strip()
+    except OSError:
+        return None
+
+
 @contextlib.contextmanager
 def build_lock(path: str):
     """Exclusive cross-process lock for rebuilding a shared /tmp cache dir

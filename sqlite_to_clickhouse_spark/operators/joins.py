@@ -901,27 +901,38 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the join would silently read A's layout.  Per-tag names make the
     # catalog entry a pure function of sf_dir, like the path itself.
     t_orders, t_lineitem = f"coloc_orders_{tag}", f"coloc_lineitem_{tag}"
-    def _cached() -> str | None:
-        try:
-            with open(marker) as fh:
-                return fh.read().strip()
-        except OSError:
-            return None
+
+    def _register_existing(t_name: str, df, sub: str, key: str) -> None:
+        # Register the already-on-disk bucketed layout in THIS session's
+        # catalog without touching the files: the session-local catalog
+        # being cold is not a reason to rewrite (or rmtree) a layout a
+        # concurrent session may be mid-scan on — the exact race the
+        # lock exists to prevent. External bucketed DDL carries the
+        # bucket spec, so the exchange-free plan is identical to the
+        # write_bucketed path (plan-asserted in tests/test_bucketing.py).
+        ddl = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+        )
+        spark.sql(f"DROP TABLE IF EXISTS {t_name}")
+        spark.sql(
+            f"CREATE TABLE {t_name} ({ddl}) USING parquet "
+            f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+            f"LOCATION '{os.path.join(base, sub)}'"
+        )
+
+    from sqlite_to_clickhouse_spark.io import build_lock, read_marker
 
     have = spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(
         t_lineitem
     )
-    if _cached() != fp or not have:
-        from sqlite_to_clickhouse_spark.io import build_lock
-
-        # Serialize the rmtree+rewrite across processes and re-check the
-        # marker under the lock (io.build_lock) — a concurrent session's
-        # rebuild must not delete the layout this one is mid-write on.
+    if read_marker(marker) != fp or not have:
+        # Serialize rebuilds across processes and re-check the MARKER
+        # under the lock (io.build_lock): the loser of a build race (or
+        # any fresh process finding a valid on-disk layout) must only
+        # REGISTER, never rmtree — its session-local catalog being cold
+        # says nothing about the shared files' validity.
         with build_lock(base):
-            have = spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(
-                t_lineitem
-            )
-            if _cached() != fp or not have:
+            if read_marker(marker) != fp:
                 shutil.rmtree(base, ignore_errors=True)
                 os.makedirs(base, exist_ok=True)
                 write_bucketed(
@@ -934,6 +945,9 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 with open(marker, "w") as fh:
                     fh.write(fp)
+            else:
+                _register_existing(t_orders, o, "orders", "o_orderkey")
+                _register_existing(t_lineitem, li, "lineitem", "l_orderkey")
     bo, bl = spark.table(t_orders), spark.table(t_lineitem)
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (F.lit(1) - F.col("l_discount")) * 100

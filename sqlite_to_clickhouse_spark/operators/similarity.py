@@ -29,8 +29,6 @@ import os
 import numpy as np
 import pandas as pd
 
-from typing import Optional
-
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1815,27 +1813,19 @@ def _source_fingerprint(sf_dir: str) -> str:
         return "missing"
 
 
-def _read_marker(marker: str) -> Optional[str]:
-    try:
-        with open(marker) as fh:
-            return fh.read().strip()
-    except OSError:
-        return None
-
-
 def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
+    from sqlite_to_clickhouse_spark.io import build_lock, read_marker
+
     path = _index_cache_path(sf_dir)
     marker = os.path.join(path, "_GRAFT_INDEX_OK")
     fp = _source_fingerprint(sf_dir)
-    if _read_marker(marker) != fp:
-        from sqlite_to_clickhouse_spark.io import build_lock
-
+    if read_marker(marker) != fp:
         # Rebuilds are serialized across processes (io.build_lock) and the
         # marker is re-checked under the lock — the loser of a concurrent
         # race sees the winner's fresh marker and skips its own rmtree,
         # so nobody deletes a directory another session is building from.
         with build_lock(path):
-            if _read_marker(marker) != fp:
+            if read_marker(marker) != fp:
                 import shutil
 
                 shutil.rmtree(path, ignore_errors=True)

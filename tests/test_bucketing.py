@@ -55,3 +55,60 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed):
         assert got == want
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_coloc_cold_catalog_registers_without_rewrite(spark, sf_dir):
+    """A session whose catalog lacks the coloc tables but whose on-disk
+    layout + marker are valid (a fresh process after another session
+    built the cache) must REGISTER the existing external layout — never
+    rmtree/rewrite it (the files may be mid-scan in the builder session,
+    the cross-session race from ADVICE r6). Pins: files untouched,
+    results identical, and the registered-table plan still exchange-free
+    with bucket pruning metadata."""
+    import contextlib
+    import glob
+    import hashlib
+    import io as _io
+    import os
+    import tempfile
+
+    from sqlite_to_clickhouse_spark.registry import all_queries
+
+    fn = all_queries()["join_bucketed_colocated"].fn
+    first = {(r.o_orderkey, r.o_orderstatus): r.revenue_e4
+             for r in fn(spark, sf_dir).collect()}
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"graft_coloc_{tag}")
+    stamp = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(base, "*", "*.parquet"))
+    }
+    assert stamp, "expected an on-disk bucketed layout"
+
+    # Simulate the fresh process: cold catalog, valid marker + files.
+    spark.sql(f"DROP TABLE IF EXISTS coloc_orders_{tag}")
+    spark.sql(f"DROP TABLE IF EXISTS coloc_lineitem_{tag}")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = fn(spark, sf_dir)
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        # With broadcast off, the registered external bucketed tables must
+        # still give the exchange-free co-located SMJ — proof the DDL
+        # registration carried the bucket spec.
+        assert "Exchange" not in plan, plan
+        again = {
+            (r.o_orderkey, r.o_orderstatus): r.revenue_e4 for r in df.collect()
+        }
+        assert again == first
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    after = {
+        p: os.stat(p).st_mtime_ns
+        for p in glob.glob(os.path.join(base, "*", "*.parquet"))
+    }
+    assert after == stamp, "register-only path rewrote the shared layout"

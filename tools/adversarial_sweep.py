@@ -177,6 +177,13 @@ CORPUS_INDEPENDENT = {
     "scan_binary_files",
 }
 
+# Ops with a legitimately larger fixed empty-corpus output (mirrors
+# tests/test_empty_input.py::_EMPTY_ROWS_EXACT): exact expected counts,
+# so the tight <=5 generic bound stays in force for everything else.
+EMPTY_ROWS_EXACT = {
+    "pipeline_data_quality": 6,  # one all-zero profile row per column
+}
+
 
 def main() -> int:
     import duckdb
@@ -261,10 +268,12 @@ def main() -> int:
                 if mut == "empty":
                     rows = df.collect()
                     assert df.columns, "schema lost"
-                    if name not in CORPUS_INDEPENDENT:
-                        # ≤6: bound-as-result gates emit invariant rows and
-                        # the column profiler emits one zero-row per column.
-                        assert len(rows) <= 6, f"{len(rows)} rows from empty corpus"
+                    if name in EMPTY_ROWS_EXACT:
+                        assert len(rows) == EMPTY_ROWS_EXACT[name], (
+                            f"{len(rows)} rows from empty corpus"
+                        )
+                    elif name not in CORPUS_INDEPENDENT:
+                        assert len(rows) <= 5, f"{len(rows)} rows from empty corpus"
                 elif q.oracle is None:
                     assert df.count() >= 0 and df.columns
                 else:
