@@ -129,3 +129,38 @@ def test_hash_modes_plan_identical_and_conf_resolved(spark):
         )
     finally:
         spark.conf.unset("spark.graft.minhash.hash")
+
+
+def test_hash_modes_agree_on_fixture_pairs(spark, sf_dir):
+    """The two hash families are INDEPENDENT LSH draws: at the 0.95
+    threshold the 4×12 band curve gives ≈0.955 per-pair recall per
+    mode, so the expected mutual overlap is ≈0.95² ≈ 0.91 on a corpus
+    whose near-dup mass sits at the threshold boundary (this fixture's
+    does). Assert the same ≥0.90 floor the exact-vs-LSH recall test
+    uses — flipping the production flag must move recall by the band
+    curve's noise, never collapse it."""
+    from pyspark.sql import functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        ).alias("tk"),
+    )
+    md5_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(toks, "doc_id", "tk", hash_mode="md5").collect()
+    }
+    xx_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            toks, "doc_id", "tk", hash_mode="xxhash64"
+        ).collect()
+    }
+    assert md5_pairs and xx_pairs
+    overlap = len(md5_pairs & xx_pairs)
+    assert overlap / len(md5_pairs) >= 0.90, (len(md5_pairs), len(xx_pairs))
+    assert overlap / len(xx_pairs) >= 0.90, (len(md5_pairs), len(xx_pairs))
