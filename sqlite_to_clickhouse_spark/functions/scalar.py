@@ -406,7 +406,7 @@ def fn_morton(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'https' END                             AS proto
     FROM documents
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL function family (ClickHouse domain()/path()/extractURLParameter
@@ -444,7 +444,7 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE ts < TIMESTAMP '2024-01-03 00:00:00'
     GROUP BY bucket_ts
     """,
-    tags=("fn", "events"),
+    tags=("function", "events"),
 )
 def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Epoch-aligned 15-minute bucketing (ClickHouse toStartOfInterval /
@@ -473,7 +473,7 @@ def fn_time_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents a
     JOIN documents b ON b.doc_id = a.doc_id + 1
     """,
-    tags=("fn", "text"),
+    tags=("function", "text"),
 )
 def fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Levenshtein distance (ClickHouse editDistance) between consecutive
@@ -508,7 +508,7 @@ def fn_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
            repeat(o_orderstatus, 3)                      AS status3
     FROM orders
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """printf-style formatting + pad/reverse/repeat (ClickHouse format()/
@@ -537,7 +537,7 @@ def fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m
     FROM orders
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar arithmetic beyond fn_date: month-end, quarter, day-of-year,
@@ -563,7 +563,7 @@ def fn_date_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
            '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
     FROM events
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed JSON round trip: parse props into a typed struct (from_json
@@ -590,7 +590,7 @@ def fn_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(atan2(l_quantity, l_tax + 1), 6) AS qt_atan2
     FROM lineitem
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcendental/math family (sqrt/exp/ln/sin/atan2 — the ClickHouse
@@ -617,7 +617,7 @@ def fn_math_advanced(spark: SparkSession, sf_dir: str) -> DataFrame:
            regexp_matches(text, 'dup|spark')            AS mentions_engine
     FROM documents
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex family beyond extract: group-backreference replace (Java $n
@@ -648,7 +648,7 @@ def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
                ks := [n_nationkey, n_regionkey]))       AS nested_json
     FROM nation
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Struct construction, dot-field access, nesting (struct in struct,
@@ -686,7 +686,7 @@ def fn_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
            TRY_CAST(l_quantity AS INTEGER)        AS qty_int
     FROM lineitem
     """,
-    tags=("fn",),
+    tags=("function",),
 )
 def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Error-safe arithmetic and casts: try_divide NULLs on
@@ -784,7 +784,7 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
                               AS TIMESTAMP))) AS TIMESTAMP) AS roundtrip
     FROM orders
     """,
-    tags=("fn", "date"),
+    tags=("function", "date"),
 )
 def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Timezone conversion battery (ClickHouse toTimeZone analog): UTC
@@ -833,7 +833,7 @@ def fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
            (o1 = 10 OR (o1 = 192 AND o2 = 168)) AS is_private
     FROM ips
     """,
-    tags=("fn", "clickhouse"),
+    tags=("function", "clickhouse"),
 )
 def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IPv4 function battery (ClickHouse IPv4StringToNum /
@@ -880,7 +880,7 @@ def fn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
            lower(hex(sha256(text)))                       AS digest_sha256
     FROM documents
     """,
-    tags=("fn", "clickhouse"),
+    tags=("function", "clickhouse"),
 )
 def fn_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary encoding battery (ClickHouse base64Encode/hex/MD5/SHA256
@@ -934,7 +934,7 @@ def _geohash_oracle() -> str:
     """
 
 
-@register("fn_geohash", oracle=_geohash_oracle(), tags=("fn", "geo", "clickhouse"))
+@register("fn_geohash", oracle=_geohash_oracle(), tags=("function", "geo", "clickhouse"))
 def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``geohashEncode`` analog: 6-character geohash (30 bits)
     of the key-derived synthetic coordinates from fn_geo.
@@ -1002,7 +1002,7 @@ def fn_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
                || CASE WHEN lon >= 0 THEN 'E' ELSE 'W' END AS quadrant
     FROM pts
     """,
-    tags=("fn", "geo", "clickhouse"),
+    tags=("function", "geo", "clickhouse"),
 )
 def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geo function battery — the ClickHouse ``greatCircleDistance`` /
@@ -1055,7 +1055,7 @@ def fn_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
     LEFT JOIN region r ON r.r_regionkey = n.n_regionkey
     """,
-    tags=("fn", "join"),
+    tags=("function", "join"),
 )
 def fn_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ClickHouse ``dictGet`` analog: dimension enrichment through an

@@ -29,7 +29,7 @@ def read_marker(marker: str) -> "str | None":
 @contextlib.contextmanager
 def build_lock(path: str):
     """Exclusive cross-process lock for rebuilding a shared /tmp cache dir
-    (bucketed-coloc layout, persisted ANN index).
+    (bucketed-coloc layout, persisted ANN/dedup index).
 
     The rebuild pattern is rmtree + rewrite; without a lock, two sessions
     on the same sf_dir can delete the directory out from under each
@@ -38,14 +38,126 @@ def build_lock(path: str):
     lock itself.  Callers must RE-CHECK their cache marker after
     acquiring the lock (double-checked locking): the process that was
     queued behind the winner sees a fresh marker and skips its rebuild.
+
+    The lockfile is opened via ``os.open(..., 0o666)`` (honoring umask)
+    rather than ``open(..., "w")``: a plain ``open`` creates a 0644 file,
+    and on a shared multi-user /tmp the SECOND OS user then hits EACCES
+    opening the first user's lockfile — a crash where mere contention was
+    expected (ADVICE r7). Cache paths are additionally per-user
+    (``cache_base``), so this is defense in depth, not the only guard.
     """
     lockfile = f"{path}.lock"
-    with open(lockfile, "w") as fh:
+    fd = os.open(lockfile, os.O_CREAT | os.O_RDWR, 0o666)
+    with os.fdopen(fd, "r+") as fh:
         fcntl.flock(fh, fcntl.LOCK_EX)
         try:
             yield
         finally:
             fcntl.flock(fh, fcntl.LOCK_UN)
+
+
+def cache_base(kind: str, key: str) -> str:
+    """Per-user /tmp cache root for ``kind`` keyed by ``key`` (usually the
+    sf_dir).  Including the OS user in the path makes cross-user /tmp
+    collisions (EACCES on another user's 0755 dir or 0644 lockfile)
+    structurally impossible — ADVICE r7."""
+    import getpass
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(key.encode()).hexdigest()[:12]
+    try:
+        user = getpass.getuser()
+    except OSError:  # no passwd entry (some containers)
+        user = f"uid{os.getuid()}"
+    return os.path.join(tempfile.gettempdir(), f"graft_{kind}_{user}_{tag}")
+
+
+GEN_MARKER = "_GRAFT_GEN_OK"
+_GEN_GC_TTL_S = 6 * 3600
+
+
+def _gc_generations(base: str, keep: str) -> None:
+    """Lazily delete generation dirs other than ``keep`` that are older
+    than the TTL.  Called only under ``build_lock(base)``.  The TTL is
+    the read-grace window: a generation is deleted only long after any
+    scan that started against it has finished, so GC never races a
+    reader the way rebuild-in-place did."""
+    import shutil
+    import time
+
+    now = time.time()
+    try:
+        entries = os.listdir(base)
+    except OSError:
+        return
+    for name in entries:
+        if not name.startswith("gen-") or name == keep:
+            continue
+        p = os.path.join(base, name)
+        try:
+            if now - os.stat(p).st_mtime > _GEN_GC_TTL_S:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            continue
+
+
+def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = False) -> str:
+    """Immutable-generation shared cache (ADVICE r7): every (re)build goes
+    into a FRESH ``gen-*`` subdirectory and the ``CURRENT`` pointer file
+    swings to it atomically, so no session ever rmtree's or overwrites a
+    layout another session is mid-scan on — the residual read race of the
+    old rebuild-in-place protocol.  Old generations are GC'd lazily by
+    age (``_gc_generations``), long after their readers are gone.
+
+    ``fp`` fingerprints the source data (size+mtime of the input parquet);
+    a regenerated fixture yields a new fingerprint, hence a new
+    generation.  ``force=True`` builds a fresh generation even when a
+    valid one exists (the "a build is a fresh build" gate ops) — the
+    SERIAL file makes each forced build's directory name unique.
+
+    ``build(gen_dir)`` must write the cache contents into ``gen_dir``;
+    the generation becomes visible only after its marker + CURRENT land.
+    Returns the absolute path of the valid generation directory.
+    """
+    import hashlib
+    import shutil
+
+    base = cache_base(kind, key)
+    os.makedirs(base, exist_ok=True)
+    cur_file = os.path.join(base, "CURRENT")
+
+    def _valid() -> "str | None":
+        cur = read_marker(cur_file)
+        if not cur or "/" in cur or cur.startswith("."):
+            return None
+        gen = os.path.join(base, cur)
+        ok = read_marker(os.path.join(gen, GEN_MARKER)) == fp
+        return gen if ok else None
+
+    got = None if force else _valid()
+    if got:
+        return got
+    with build_lock(base):
+        got = None if force else _valid()
+        if got:
+            return got
+        serial = int(read_marker(os.path.join(base, "SERIAL")) or "0") + 1
+        with open(os.path.join(base, "SERIAL"), "w") as fh:
+            fh.write(str(serial))
+        name = "gen-" + hashlib.md5(f"{fp}:{serial}".encode()).hexdigest()[:16]
+        gen = os.path.join(base, name)
+        shutil.rmtree(gen, ignore_errors=True)  # debris of a failed build
+        os.makedirs(gen)
+        build(gen)
+        with open(os.path.join(gen, GEN_MARKER), "w") as fh:
+            fh.write(fp)
+        tmp = cur_file + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(name)
+        os.replace(tmp, cur_file)  # atomic pointer swap
+        _gc_generations(base, keep=name)
+    return gen
 
 
 TABLES = (

@@ -871,19 +871,20 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The layout is built ONCE per source-fixture generation and reused —
     that IS the bucketing contract (pay the shuffle at layout time,
-    amortize over every query); the cache marker fingerprints the source
-    parquet (size+mtime, the _ensure_index pattern) so a regenerated
-    fixture rebuilds rather than serving a stale layout.
+    amortize over every query).  Each generation lives in an IMMUTABLE
+    fingerprint-keyed subdirectory (io.ensure_generation, ADVICE r7): a
+    regenerated fixture builds a NEW directory and swings the CURRENT
+    pointer, so a concurrent session mid-scan on the old layout is never
+    rmtree'd out from under — the residual read race of the old
+    rebuild-in-place protocol.  Stale generations are GC'd lazily by age.
     """
-    import hashlib
     import os
-    import shutil
-    import tempfile
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
+    from sqlite_to_clickhouse_spark.io import ensure_generation
     from sqlite_to_clickhouse_spark.sources.sinks import write_bucketed
 
     fp = "|".join(
@@ -892,62 +893,48 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in ("orders", "lineitem")
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"graft_coloc_{tag}")
-    marker = os.path.join(base, "_GRAFT_COLOC_OK")
-    # Catalog names carry the fixture tag: table names are session-global,
-    # so un-tagged names registered for fixture A would satisfy the
-    # tableExists check while fixture B's on-disk marker validates — and
-    # the join would silently read A's layout.  Per-tag names make the
-    # catalog entry a pure function of sf_dir, like the path itself.
-    t_orders, t_lineitem = f"coloc_orders_{tag}", f"coloc_lineitem_{tag}"
+
+    def _build(gen: str) -> None:
+        gtag = os.path.basename(gen)[4:]  # strip "gen-"
+        write_bucketed(
+            o, f"coloc_orders_{gtag}", ["o_orderkey"], 8,
+            sort_cols=["o_orderkey"], path=os.path.join(gen, "orders"),
+        )
+        write_bucketed(
+            li, f"coloc_lineitem_{gtag}", ["l_orderkey"], 8,
+            sort_cols=["l_orderkey"], path=os.path.join(gen, "lineitem"),
+        )
+
+    gen = ensure_generation("coloc", sf_dir, fp, _build)
+    # Catalog names carry the GENERATION tag: table names are
+    # session-global, so names keyed on anything coarser (sf_dir alone)
+    # could satisfy tableExists while pointing at a different layout.
+    # Per-generation names make the catalog entry a pure function of the
+    # immutable on-disk path, so a registered entry can never go stale.
+    gtag = os.path.basename(gen)[4:]
+    t_orders, t_lineitem = f"coloc_orders_{gtag}", f"coloc_lineitem_{gtag}"
 
     def _register_existing(t_name: str, df, sub: str, key: str) -> None:
         # Register the already-on-disk bucketed layout in THIS session's
-        # catalog without touching the files: the session-local catalog
-        # being cold is not a reason to rewrite (or rmtree) a layout a
-        # concurrent session may be mid-scan on — the exact race the
-        # lock exists to prevent. External bucketed DDL carries the
-        # bucket spec, so the exchange-free plan is identical to the
+        # catalog without touching the files (cold catalog after another
+        # process built the generation). External bucketed DDL carries
+        # the bucket spec, so the exchange-free plan is identical to the
         # write_bucketed path (plan-asserted in tests/test_bucketing.py).
         ddl = ", ".join(
             f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
         )
-        spark.sql(f"DROP TABLE IF EXISTS {t_name}")
         spark.sql(
-            f"CREATE TABLE {t_name} ({ddl}) USING parquet "
+            f"CREATE TABLE IF NOT EXISTS {t_name} ({ddl}) USING parquet "
             f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
-            f"LOCATION '{os.path.join(base, sub)}'"
+            f"LOCATION '{os.path.join(gen, sub)}'"
         )
 
-    from sqlite_to_clickhouse_spark.io import build_lock, read_marker
-
-    have = spark.catalog.tableExists(t_orders) and spark.catalog.tableExists(
-        t_lineitem
-    )
-    if read_marker(marker) != fp or not have:
-        # Serialize rebuilds across processes and re-check the MARKER
-        # under the lock (io.build_lock): the loser of a build race (or
-        # any fresh process finding a valid on-disk layout) must only
-        # REGISTER, never rmtree — its session-local catalog being cold
-        # says nothing about the shared files' validity.
-        with build_lock(base):
-            if read_marker(marker) != fp:
-                shutil.rmtree(base, ignore_errors=True)
-                os.makedirs(base, exist_ok=True)
-                write_bucketed(
-                    o, t_orders, ["o_orderkey"], 8,
-                    sort_cols=["o_orderkey"], path=os.path.join(base, "orders"),
-                )
-                write_bucketed(
-                    li, t_lineitem, ["l_orderkey"], 8,
-                    sort_cols=["l_orderkey"], path=os.path.join(base, "lineitem"),
-                )
-                with open(marker, "w") as fh:
-                    fh.write(fp)
-            else:
-                _register_existing(t_orders, o, "orders", "o_orderkey")
-                _register_existing(t_lineitem, li, "lineitem", "l_orderkey")
+    if not (
+        spark.catalog.tableExists(t_orders)
+        and spark.catalog.tableExists(t_lineitem)
+    ):
+        _register_existing(t_orders, o, "orders", "o_orderkey")
+        _register_existing(t_lineitem, li, "lineitem", "l_orderkey")
     bo, bl = spark.table(t_orders), spark.table(t_lineitem)
     rev_e4 = F.round(F.col("l_extendedprice") * 100).cast("long") * F.round(
         (F.lit(1) - F.col("l_discount")) * 100

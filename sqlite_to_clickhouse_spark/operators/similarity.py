@@ -374,7 +374,10 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def _assign(batches):
+    def _assign_blocks(batches):
+        """Shared centroid-assignment core: yields (vid, V, vn, buckets)
+        numpy blocks.  Both kernels below wrap it, so the probe and the
+        pair path can never disagree on an assignment."""
         if len(cids) == 0:
             return
         cn = np.zeros(len(cids))
@@ -404,14 +407,26 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # map to +inf, ties still break to the lowest cent_id.
                 cos = np.where(np.isnan(cos), np.inf, cos)
                 best = np.argmax(cos, axis=1)  # first max = lowest cent_id
-                yield pd.DataFrame(
-                    {
-                        "vec_id": vid,
-                        "__e": list(V),
-                        "__en": vn,
-                        "bucket": cids[best],
-                    }
-                )
+                yield vid, V, vn, cids[best]
+
+    def _assign(batches):
+        for vid, V, vn, buckets in _assign_blocks(batches):
+            yield pd.DataFrame(
+                {"vec_id": vid, "__e": list(V), "__en": vn, "bucket": buckets}
+            )
+
+    def _assign_counts(batches):
+        # Probe spelling: same flops, but the Arrow output is per-block
+        # (bucket, n) partials — a handful of rows — instead of the full
+        # vector table.  mapInPandas cannot column-prune the wide __e/__en
+        # output, so probing via the full kernel paid its serialization
+        # twice per invocation (ADVICE r7); this map-side pre-aggregated
+        # probe costs the n·k mult-adds and ~nothing else, and nothing is
+        # persisted across the probe (no executor-memory footprint at
+        # 100 TB, unlike a persist() of the corpus-wide assignment).
+        for _vid, _V, _vn, buckets in _assign_blocks(batches):
+            u, c = np.unique(buckets, return_counts=True)
+            yield pd.DataFrame({"bucket": u, "n": c.astype(np.int64)})
 
     assigned = e.select("vec_id", "embedding").mapInPandas(_assign, assign_schema)
 
@@ -423,13 +438,23 @@ def dedup_embedding_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vector in sub-cell g joins every cell pair containing g, so each
     # in-bucket pair lands in exactly one task and coverage stays
     # complete while per-task work drops to (|bucket|/m)².  The size
-    # probe is one extra count pass over the assignment kernel (n·k
+    # probe is one extra narrow-output pass over the assignment core (n·k
     # map-side mult-adds — small next to the O(n²/k) pair stage it
     # bounds); balanced corpora see m=1 everywhere and the one-cell path
     # is the exact pre-split plan.
+    probe_schema = T.StructType(
+        [
+            T.StructField("bucket", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
     sizes = {
         r["bucket"]: r["n"]
-        for r in assigned.groupBy("bucket").agg(F.count("*").alias("n")).collect()
+        for r in e.select("vec_id", "embedding")
+        .mapInPandas(_assign_counts, probe_schema)
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+        .collect()
         if r["n"] > BUCKET_PAIR_CAP
     }
     if sizes:
@@ -1792,14 +1817,6 @@ def ann_index_query(
     )
 
 
-def _index_cache_path(sf_dir: str) -> str:
-    import hashlib as _hl
-    import tempfile as _tf
-
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join(_tf.gettempdir(), f"graft_ann_index_{tag}")
-
-
 def _source_fingerprint(sf_dir: str) -> str:
     """(size, mtime) fingerprint of the embeddings parquet the index was
     built from — the fixture REGENERATES between driver rounds while /tmp
@@ -1813,27 +1830,32 @@ def _source_fingerprint(sf_dir: str) -> str:
         return "missing"
 
 
-def _ensure_index(spark: SparkSession, sf_dir: str) -> str:
-    from sqlite_to_clickhouse_spark.io import build_lock, read_marker
+def _ensure_index(spark: SparkSession, sf_dir: str, *, force: bool = False):
+    """Valid persisted IVF-PQ index path for ``sf_dir``, building a FRESH
+    immutable generation if none matches the source fingerprint
+    (io.ensure_generation — every build lands in a new subdirectory and
+    the CURRENT pointer swaps atomically, so a concurrent session
+    mid-scan on the previous index is never rmtree'd out from under it).
 
-    path = _index_cache_path(sf_dir)
-    marker = os.path.join(path, "_GRAFT_INDEX_OK")
+    Returns ``(path, manifest)``: ``manifest`` is the component→row-count
+    dict from the build that ran, or ``None`` when a cached generation
+    was reused (no build, no manifest)."""
+    from sqlite_to_clickhouse_spark.io import ensure_generation
+
     fp = _source_fingerprint(sf_dir)
-    if read_marker(marker) != fp:
-        # Rebuilds are serialized across processes (io.build_lock) and the
-        # marker is re-checked under the lock — the loser of a concurrent
-        # race sees the winner's fresh marker and skips its own rmtree,
-        # so nobody deletes a directory another session is building from.
-        with build_lock(path):
-            if read_marker(marker) != fp:
-                import shutil
+    manifest: dict = {}
 
-                shutil.rmtree(path, ignore_errors=True)
-                e = table(spark, sf_dir, "embeddings")
-                ann_index_build(spark, e, path)
-                with open(marker, "w") as fh:
-                    fh.write(fp)
-    return path
+    def _build(gen: str) -> None:
+        e = table(spark, sf_dir, "embeddings")
+        manifest.update(
+            {
+                r["component"]: r["n_rows"]
+                for r in ann_index_build(spark, e, gen).collect()
+            }
+        )
+
+    path = ensure_generation("ann_index", sf_dir, fp, _build, force=force)
+    return path, (manifest or None)
 
 
 @register(
@@ -1852,21 +1874,13 @@ def sim_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserts its own invariants in-band and the oracle expects all-TRUE):
     every vector produced exactly one code row, the centroid count is in
     (0, #seeds] (empty clusters may drop, never grow), and the codebook
-    table is exactly m×k rows by construction."""
-    import shutil
+    table is exactly m×k rows by construction.
 
-    from sqlite_to_clickhouse_spark.io import build_lock
-
-    path = _index_cache_path(sf_dir)
-    with build_lock(path):  # serialize vs concurrent _ensure_index rebuilds
-        shutil.rmtree(path, ignore_errors=True)  # a build is a fresh build
-        e = table(spark, sf_dir, "embeddings")
-        manifest = {
-            r["component"]: r["n_rows"]
-            for r in ann_index_build(spark, e, path).collect()
-        }
-        with open(os.path.join(path, "_GRAFT_INDEX_OK"), "w") as fh:
-            fh.write(_source_fingerprint(sf_dir))
+    ``force=True``: a build is a fresh build — it lands in a NEW immutable
+    generation directory (never rmtree-ing the one a concurrent session
+    may be scanning) and CURRENT swings to it."""
+    _, manifest = _ensure_index(spark, sf_dir, force=True)
+    e = table(spark, sf_dir, "embeddings")
     n_vec = e.count()
     n_seeds = e.filter(F.col("vec_id") % CENTROID_EVERY == 0).count()
     # An EMPTY corpus legitimately builds an empty-but-well-formed index
@@ -1905,7 +1919,7 @@ def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the inline ivfpq_topk pairs (pinned in
     test_persisted_index_matches_inline_ivfpq), so its recall is the
     same number."""
-    path = _ensure_index(spark, sf_dir)
+    path, _ = _ensure_index(spark, sf_dir)
     return _recall_gate(
         spark,
         sf_dir,

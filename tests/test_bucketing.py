@@ -59,36 +59,38 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir, bucketed):
 
 def test_coloc_cold_catalog_registers_without_rewrite(spark, sf_dir):
     """A session whose catalog lacks the coloc tables but whose on-disk
-    layout + marker are valid (a fresh process after another session
-    built the cache) must REGISTER the existing external layout — never
-    rmtree/rewrite it (the files may be mid-scan in the builder session,
-    the cross-session race from ADVICE r6). Pins: files untouched,
-    results identical, and the registered-table plan still exchange-free
-    with bucket pruning metadata."""
+    generation is valid (a fresh process after another session built the
+    cache) must REGISTER the existing immutable generation — never write
+    a new one (the files may be mid-scan in the builder session, the
+    cross-session race from ADVICE r6/r7). Pins: files untouched, same
+    generation dir resolved, results identical, and the registered-table
+    plan still exchange-free with bucket pruning metadata."""
     import contextlib
     import glob
-    import hashlib
     import io as _io
     import os
-    import tempfile
 
+    from sqlite_to_clickhouse_spark.io import cache_base, read_marker
     from sqlite_to_clickhouse_spark.registry import all_queries
 
     fn = all_queries()["join_bucketed_colocated"].fn
     first = {(r.o_orderkey, r.o_orderstatus): r.revenue_e4
              for r in fn(spark, sf_dir).collect()}
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    base = os.path.join(tempfile.gettempdir(), f"graft_coloc_{tag}")
+    base = cache_base("coloc", sf_dir)
+    gen_name = read_marker(os.path.join(base, "CURRENT"))
+    assert gen_name, "expected a CURRENT generation pointer"
+    gen = os.path.join(base, gen_name)
     stamp = {
         p: os.stat(p).st_mtime_ns
-        for p in glob.glob(os.path.join(base, "*", "*.parquet"))
+        for p in glob.glob(os.path.join(gen, "*", "*.parquet"))
     }
     assert stamp, "expected an on-disk bucketed layout"
 
-    # Simulate the fresh process: cold catalog, valid marker + files.
-    spark.sql(f"DROP TABLE IF EXISTS coloc_orders_{tag}")
-    spark.sql(f"DROP TABLE IF EXISTS coloc_lineitem_{tag}")
+    # Simulate the fresh process: cold catalog, valid generation on disk.
+    gtag = gen_name[4:]
+    spark.sql(f"DROP TABLE IF EXISTS coloc_orders_{gtag}")
+    spark.sql(f"DROP TABLE IF EXISTS coloc_lineitem_{gtag}")
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
@@ -109,6 +111,9 @@ def test_coloc_cold_catalog_registers_without_rewrite(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     after = {
         p: os.stat(p).st_mtime_ns
-        for p in glob.glob(os.path.join(base, "*", "*.parquet"))
+        for p in glob.glob(os.path.join(gen, "*", "*.parquet"))
     }
     assert after == stamp, "register-only path rewrote the shared layout"
+    assert read_marker(os.path.join(base, "CURRENT")) == gen_name, (
+        "register-only path swung CURRENT to a new generation"
+    )

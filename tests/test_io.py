@@ -227,3 +227,61 @@ def test_build_lock_serializes_racing_rebuilds(tmp_path):
     assert seen and all(v == "part1part2" for v in seen)
     with open(marker) as fh:
         assert fh.read() == fp
+
+
+def test_ensure_generation_immutable_builds(tmp_path, monkeypatch):
+    """io.ensure_generation (ADVICE r7): builds land in fresh immutable
+    gen-* directories with an atomic CURRENT pointer — a rebuild (new
+    fingerprint or force=True) NEVER deletes or rewrites the directory a
+    concurrent reader may be mid-scan on; old generations are GC'd only
+    past the age TTL."""
+    import os
+
+    import sqlite_to_clickhouse_spark.io as io_mod
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-resolve from TMPDIR
+    try:
+        builds = []
+
+        def build(tag):
+            def _b(gen):
+                builds.append(tag)
+                with open(os.path.join(gen, "data"), "w") as fh:
+                    fh.write(tag)
+            return _b
+
+        g1 = io_mod.ensure_generation("t", "key", "fpA", build("b1"))
+        assert builds == ["b1"] and open(os.path.join(g1, "data")).read() == "b1"
+        # Cached: same fp -> same dir, no rebuild.
+        assert io_mod.ensure_generation("t", "key", "fpA", build("b2")) == g1
+        assert builds == ["b1"]
+        # Forced: NEW dir, CURRENT swings, the old generation's files are
+        # untouched (a reader mid-scan on g1 is safe).
+        g2 = io_mod.ensure_generation("t", "key", "fpA", build("b3"), force=True)
+        assert g2 != g1 and builds == ["b1", "b3"]
+        assert open(os.path.join(g1, "data")).read() == "b1"
+        base = os.path.dirname(g1)
+        assert io_mod.read_marker(os.path.join(base, "CURRENT")) == os.path.basename(g2)
+        # New fingerprint: another new dir; both predecessors survive
+        # (younger than the GC TTL).
+        g3 = io_mod.ensure_generation("t", "key", "fpB", build("b4"))
+        assert g3 not in (g1, g2) and builds == ["b1", "b3", "b4"]
+        assert os.path.exists(g1) and os.path.exists(g2)
+        # Aged-out generations are GC'd by the next build.
+        old = os.path.join(base, "gen-deadbeefdeadbeef")
+        os.makedirs(old, exist_ok=True)
+        past = 10 * 3600
+        st = os.stat(old)
+        os.utime(old, (st.st_atime - past, st.st_mtime - past))
+        g4 = io_mod.ensure_generation("t", "key", "fpC", build("b5"))
+        assert not os.path.exists(old), "TTL-aged generation not GC'd"
+        assert os.path.exists(g4)
+        # Per-user scoping: the base path embeds the OS user.
+        import getpass
+
+        assert getpass.getuser() in os.path.basename(base)
+    finally:
+        tempfile.tempdir = None

@@ -522,7 +522,7 @@ def test_persisted_index_matches_inline_ivfpq(spark, sf_dir):
     )
 
     e, probes = _ann_probes(spark, sf_dir)
-    path = _ensure_index(spark, sf_dir)
+    path, _ = _ensure_index(spark, sf_dir)
     inline = {
         (r.probe_id, r.vec_id): r.cosine
         for r in ivfpq_topk(e, probes, k=TOP_K, nprobe=NPROBE).collect()
@@ -554,7 +554,7 @@ def test_index_query_prunes_bucket_partitions(spark, sf_dir):
     from sqlite_to_clickhouse_spark.io import table as _table
     from pyspark.sql import functions as _F
 
-    path = _ensure_index(spark, sf_dir)
+    path, _ = _ensure_index(spark, sf_dir)
     e = _table(spark, sf_dir, "embeddings")
     probes = e.filter(_F.col("vec_id") < N_PROBES).select(
         _F.col("vec_id").alias("probe_id"), _F.col("embedding").alias("p_emb")
