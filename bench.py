@@ -178,6 +178,11 @@ HEADLINE = [
     "fn_geohash",
     "sample_exact_quota",
     "agg_quantile_exact_weighted",
+    # Round-8 additions: persisted-index incremental dedup. index_build
+    # times the corpus banding + partitioned write; incremental times the
+    # batch-vs-index serving path (pruned band read + bucket join).
+    "dedup_index_build",
+    "dedup_incremental",
 ]
 
 

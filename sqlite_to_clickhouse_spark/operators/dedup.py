@@ -34,6 +34,8 @@ actually targets — at >99.9 % recall.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -203,7 +205,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(pair_pred: str = "TRUE") -> str:
     band_pairs = ", ".join(
         f"CAST(('0x' || substring(md5('{i}|' || "
         + " || '|' || ".join(
@@ -257,6 +259,7 @@ def _minhash_oracle() -> str:
     FROM cand
     WHERE CAST(len(list_intersect(tk_a, tk_b)) AS DOUBLE)
           / (len(tk_a) + len(tk_b) - len(list_intersect(tk_a, tk_b))) >= {JACCARD_T}
+      AND ({pair_pred})
     """
 
 
@@ -305,45 +308,12 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    tokens_col: str,
-    *,
-    n_hashes: int = N_HASHES,
-    n_bands: int = N_BANDS,
-    threshold: float = JACCARD_T,
-    hash_mode: str | None = None,
-) -> DataFrame:
-    """Generic MinHash-LSH near-dup pairs (library API): rows (id, token
-    array) in, verified pairs (id_a, id_b, jaccard >= threshold) out.
-
-    Requires ids < 2^32 (pairs are packed into one 64-bit key for the
-    dedup shuffle). Plan shape and rationale: see dedup_fuzzy_minhash.
-
-    ``hash_mode`` picks the base/band hash family — the ONLY thing that
-    changes; the plan (scan → sig kernel → band explode → bucket
-    self-join → distinct → verify join) is identical either way:
-
-    - ``"md5"`` (default): md5 truncated to a 60-bit long.  Bit-identical
-      in DuckDB, which is what lets the whole LSH path be differentially
-      gate-tested — the correctness spelling.
-    - ``"xxhash64"``: Spark's codegen'd 64-bit xxHash intrinsic — no
-      digest string, no substring/conv decode, ~5× cheaper per token.
-      The production spelling for a 100 TB corpus, where the md5 forest
-      is pure gate tax; not DuckDB-reproducible, so it is covered by the
-      exact-dup-recovery + plan-shape-parity tests and the bench A/B
-      (bench.py ``derived.minhash_xxhash64_sec``) instead of the oracle.
-
-    When ``hash_mode`` is None it resolves from the session conf key
-    ``spark.graft.minhash.hash`` (default ``md5``), so a deployment flips
-    the fleet with one conf line and the gate keeps the md5 default."""
-    if hash_mode is None:
-        hash_mode = df.sparkSession.conf.get("spark.graft.minhash.hash", "md5")
-    if hash_mode not in ("md5", "xxhash64"):
-        raise ValueError(f"unknown minhash hash_mode: {hash_mode!r}")
-
+def _minhash_family(hash_mode: str):
+    """The switchable base/band hash closures — the ONLY thing that
+    differs between the md5 gate spelling and the xxhash64 production
+    spelling (see minhash_lsh_pairs docstring)."""
     if hash_mode == "md5":
+
         def _base_hash(t):
             return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
@@ -356,11 +326,47 @@ def minhash_lsh_pairs(
                 10,
             ).cast("long")
     else:
+
         def _base_hash(t):
             return F.xxhash64(t)
 
         def _band_key(i, parts):
             return F.xxhash64(F.lit(i), *parts)
+
+    return _base_hash, _band_key
+
+
+def minhash_bands_tokens(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    hash_mode: str | None = None,
+):
+    """Signature/banding front half of the MinHash-LSH pipeline, shared by
+    the one-shot pair search (minhash_lsh_pairs) and the persisted-index
+    incremental path (minhash_index_build / minhash_index_dedup) — one
+    implementation, so the two paths can never band differently.
+
+    Returns ``(bands, tokh)``:
+
+    - ``bands``: one row per (doc, band) — ``(__id, bk)`` with ``bk`` the
+      8-byte band key.  Token-less documents (blank/whitespace text) are
+      dropped here: their all-null signatures would otherwise share the
+      constant empty-band keys and form ONE quadratic hot bucket (the
+      classic LSH blank-document blowup), and their pairs are
+      verify-stage no-ops anyway (NULL Jaccard).
+    - ``tokh``: ``(__id, __tk32)`` — the doc's distinct 31-bit-masked
+      token hashes as array<int> for the exact-Jaccard verify stage
+      (4 B/element in Tungsten, half the shuffle bytes of longs).
+    """
+    if hash_mode is None:
+        hash_mode = df.sparkSession.conf.get("spark.graft.minhash.hash", "md5")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown minhash hash_mode: {hash_mode!r}")
+    _base_hash, _band_key = _minhash_family(hash_mode)
 
     rows_per_band = n_hashes // n_bands
     toks = df.select(
@@ -417,40 +423,9 @@ def minhash_lsh_pairs(
     # persist at 73 s vs 32 s without (materialization + InMemoryRelation
     # scan costs dominate recompute; at 1× the difference is noise). Let
     # both join branches pipeline from the scan.
-    # Token-less documents (blank/whitespace text) carry an all-null
-    # signature; without this filter they'd all share the constant
-    # md5("i|") band keys and form ONE quadratic hot bucket — the classic
-    # LSH blank-document blowup. Their pairs are verify-stage no-ops
-    # anyway (NULL Jaccard), so dropping them pre-band is result-neutral
-    # and removes the O(blanks²) candidate join at corpus scale.
     bands = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
         "__id", F.explode(band_keys).alias("bk")
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    # Pack the pair into one long so the dedup shuffle hashes a single
-    # 8-byte key.
-    cand = (
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select((F.col("a.__id") * F.lit(2**32) + F.col("b.__id")).alias("pair"))
-        .dropDuplicates()
-        .select(
-            F.expr(f"pair div {2**32}").alias("id_a"),
-            (F.col("pair") % F.lit(2**32)).alias("id_b"),
-        )
-    )
-    # Verify on 31-bit-masked token hashes held as array<int>: Tungsten
-    # packs int arrays at 4 B/element vs 8 B for the 60-bit longs, halving
-    # the per-pair haul through the verify join's shuffle (the one stage
-    # that spilled at the 100× scale check, SURVEY §6.1). The mask +
-    # distinct is applied IDENTICALLY in the DuckDB oracle (hashed32 CTE),
-    # so a rare in-doc 31-bit collision merges the same tokens on both
-    # sides — no fixture lottery. Not persisted: recomputing the md5 forest
-    # for each verify-join side pipelines from the scan and measured faster
-    # than materializing at both 1× and 10× (same finding as the band
-    # table above).
     tokh = toks.select(
         "__id",
         F.array_distinct(
@@ -459,6 +434,39 @@ def minhash_lsh_pairs(
             )
         ).alias("__tk32"),
     )
+    return bands, tokh
+
+
+def _packed_distinct(pairs: DataFrame) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b in, ids < 2^32): pack the
+    pair into ONE long so the dedup shuffle hashes a single 8-byte key —
+    a pair can collide in up to n_bands bands, so rows entering the
+    distinct are multiplied, and this stage's bytes dominate the LSH
+    shuffle."""
+    return (
+        pairs.select(
+            (F.col("id_a") * F.lit(2**32) + F.col("id_b")).alias("pair")
+        )
+        .dropDuplicates()
+        .select(
+            F.expr(f"pair div {2**32}").alias("id_a"),
+            (F.col("pair") % F.lit(2**32)).alias("id_b"),
+        )
+    )
+
+
+def _verify_jaccard(
+    cand: DataFrame, tokh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of a slim candidate list against the
+    (__id, __tk32) token store: join the candidates back to the tokens
+    (tiny vs. the raw collision list — the planner broadcasts it at bench
+    scale, and at cluster scale it degrades to a clean shuffle join on
+    doc id) and threshold on the exact token-set Jaccard.  Verifying on
+    31-bit int arrays (4 B/element) rather than longs halves the bytes
+    hauled through this join's shuffle — the one stage that spilled at
+    the 100× scale check (SURVEY §6.1).  The mask + distinct is mirrored
+    in the DuckDB oracle (hashed32 CTE)."""
     ta, tb = tokh.alias("ta"), tokh.alias("tb")
     pairs = (
         cand.join(ta, F.col("id_a") == F.col("ta.__id"))
@@ -477,6 +485,298 @@ def minhash_lsh_pairs(
     jac = F.try_divide(n_inter, F.size("tk_a") + F.size("tk_b") - n_inter)
     return pairs.filter(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    *,
+    n_hashes: int = N_HASHES,
+    n_bands: int = N_BANDS,
+    threshold: float = JACCARD_T,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Generic MinHash-LSH near-dup pairs (library API): rows (id, token
+    array) in, verified pairs (id_a, id_b, jaccard >= threshold) out.
+
+    Requires ids < 2^32 (pairs are packed into one 64-bit key for the
+    dedup shuffle). Plan shape and rationale: see dedup_fuzzy_minhash.
+
+    ``hash_mode`` picks the base/band hash family — the ONLY thing that
+    changes; the plan (scan → sig kernel → band explode → bucket
+    self-join → distinct → verify join) is identical either way:
+
+    - ``"md5"`` (default): md5 truncated to a 60-bit long.  Bit-identical
+      in DuckDB, which is what lets the whole LSH path be differentially
+      gate-tested — the correctness spelling.
+    - ``"xxhash64"``: Spark's codegen'd 64-bit xxHash intrinsic — no
+      digest string, no substring/conv decode, ~5× cheaper per token.
+      The production spelling for a 100 TB corpus, where the md5 forest
+      is pure gate tax; not DuckDB-reproducible, so it is covered by the
+      exact-dup-recovery + plan-shape-parity tests and the bench A/B
+      (bench.py ``derived.minhash_md5_sec``) instead of the oracle.
+
+    When ``hash_mode`` is None it resolves from the session conf key
+    ``spark.graft.minhash.hash`` (default ``md5``), so a deployment flips
+    the fleet with one conf line and the gate keeps the md5 default."""
+    bands, tokh = minhash_bands_tokens(
+        df, id_col, tokens_col,
+        n_hashes=n_hashes, n_bands=n_bands, hash_mode=hash_mode,
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = _packed_distinct(
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
+        ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    return _verify_jaccard(cand, tokh, threshold)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: persisted MinHash band index + new-batch serving path
+# (VERDICT r7 item 4).  A production pipeline does not re-scan 100 TB per
+# ingest — it dedups each NEW batch against a persisted signature index
+# (the sim_index_build pattern, similarity.py): band keys partition the
+# index on disk, a batch probes only its own buckets (static partition
+# pruning), and the index grows by parquet APPEND — never a rewrite.
+# ---------------------------------------------------------------------------
+
+MINHASH_IDX_BUCKETS = 32  # on-disk partitions of the band table (pb = bk mod B)
+INCR_MOD, INCR_REM = 10, 7  # registered split: batch = doc_id % 10 == 7
+
+_IDX_BANDS_SCHEMA = "bk long, doc_id long, pb int"
+_IDX_TOKENS_SCHEMA = "doc_id long, tk32 array<int>"
+
+
+def _index_frames(bands: DataFrame, tokh: DataFrame):
+    """Project the minhash_bands_tokens output into the two persisted
+    index relations: ``bands`` (bk, doc_id, pb) and ``tokens``
+    (doc_id, tk32).  Only banded docs (non-blank) are stored — blank
+    docs never verify anyway, and storing them would recreate the blank
+    hot bucket ON DISK."""
+    b = bands.select(
+        F.col("bk"),
+        F.col("__id").alias("doc_id"),
+        F.pmod(F.col("bk"), F.lit(MINHASH_IDX_BUCKETS)).cast("int").alias("pb"),
+    )
+    t = tokh.filter(F.size("__tk32") > 0).select(
+        F.col("__id").alias("doc_id"), F.col("__tk32").alias("tk32")
+    )
+    return b, t
+
+
+def minhash_index_build(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    path: str,
+    *,
+    hash_mode: str | None = None,
+) -> None:
+    """Persist the MinHash signature index for a corpus at ``path``:
+    ``bands/`` parquet PARTITIONED BY the band-key bucket ``pb`` (so a
+    batch's lookup prunes to its probed directories) and ``tokens/``
+    parquet holding each doc's verify-stage token hashes.  Uses the SAME
+    banding front half as the one-shot search (minhash_bands_tokens), so
+    index lookups reproduce minhash_lsh_pairs bit-for-bit."""
+    bands, tokh = minhash_bands_tokens(df, id_col, tokens_col, hash_mode=hash_mode)
+    b, t = _index_frames(bands, tokh)
+    b.write.partitionBy("pb").parquet(os.path.join(path, "bands"))
+    t.write.parquet(os.path.join(path, "tokens"))
+
+
+def minhash_index_append(
+    df_new: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    path: str,
+    *,
+    hash_mode: str | None = None,
+) -> None:
+    """Fold a processed batch INTO the index: parquet append of the
+    batch's band + token rows.  Appends only add files — no existing
+    file is rewritten or deleted, so concurrent readers are safe (they
+    at worst miss the newest batch, which is exactly eventual-ingest
+    semantics).  Caller contract: the batch's ids are not already in the
+    index (dedup first, then append the keepers)."""
+    bands, tokh = minhash_bands_tokens(df_new, id_col, tokens_col, hash_mode=hash_mode)
+    b, t = _index_frames(bands, tokh)
+    b.write.partitionBy("pb").mode("append").parquet(os.path.join(path, "bands"))
+    t.write.mode("append").parquet(os.path.join(path, "tokens"))
+
+
+def minhash_index_dedup(
+    spark: SparkSession,
+    df_new: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    path: str,
+    *,
+    threshold: float = JACCARD_T,
+    hash_mode: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs of a NEW batch against the persisted index plus
+    within the batch itself — the incremental serving path.  Returns
+    (id_a, id_b, jaccard >= threshold), bit-identical to running
+    minhash_lsh_pairs over (index corpus ∪ batch) and keeping the pairs
+    that involve >= 1 batch doc (pinned by the append-twice property
+    test): banding is deterministic and shared, so the candidate set
+    decomposes exactly into batch×index (bucket join against the pruned
+    index partitions) ∪ batch×batch (self-join of the small batch).
+
+    Scale shape: the index side ships only (bk, doc_id) rows from the
+    PROBED pb partitions — the bucket set is collected driver-side
+    (bounded by MINHASH_IDX_BUCKETS, a few ints) and lands in the scan
+    as a static partition filter; token arrays join in only for the
+    verified-candidate ids.  Nothing rescans the corpus text."""
+    new_bands, new_tokh = minhash_bands_tokens(
+        df_new, id_col, tokens_col, hash_mode=hash_mode
+    )
+    probed = [
+        int(r["pb"])
+        for r in new_bands.select(
+            F.pmod(F.col("bk"), F.lit(MINHASH_IDX_BUCKETS)).cast("int").alias("pb")
+        )
+        .distinct()
+        .collect()  # bounded: <= MINHASH_IDX_BUCKETS values
+    ]
+    sources = []
+    if probed:
+        idx_b = (
+            spark.read.schema(_IDX_BANDS_SCHEMA)
+            .parquet(os.path.join(path, "bands"))
+            .filter(F.col("pb").isin(probed))  # static partition pruning
+            .alias("ib")
+        )
+        nb = new_bands.alias("nb")
+        sources.append(
+            nb.join(idx_b, F.col("nb.bk") == F.col("ib.bk"))
+            # Defensive: a batch id already present in the index (contract
+            # violation) must not emit a self-pair.
+            .filter(F.col("nb.__id") != F.col("ib.doc_id"))
+            .select(
+                F.least("nb.__id", "ib.doc_id").alias("id_a"),
+                F.greatest("nb.__id", "ib.doc_id").alias("id_b"),
+            )
+        )
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    sources.append(
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
+        ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    )
+    cand = sources[0]
+    for s in sources[1:]:
+        cand = cand.unionByName(s)
+    tokh_all = (
+        spark.read.schema(_IDX_TOKENS_SCHEMA)
+        .parquet(os.path.join(path, "tokens"))
+        .select(F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32"))
+        .unionByName(new_tokh.filter(F.size("__tk32") > 0))
+    )
+    return _verify_jaccard(_packed_distinct(cand), tokh_all, threshold)
+
+
+def _incr_batch_pred():
+    return F.col("doc_id") % INCR_MOD == INCR_REM
+
+
+def _doc_tokens(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.array_distinct(_tokens(F.col("text"))).alias("tk"))
+
+
+def _incr_index_path(
+    spark: SparkSession, sf_dir: str, hash_mode: str, *, force: bool = False
+) -> str:
+    """Valid persisted corpus index for the registered incremental ops,
+    built once per (documents fingerprint, hash family, split) into an
+    immutable generation dir (io.ensure_generation) and reused across
+    invocations — amortizing the build is the point of the index.
+    ``force=True``: a build is a fresh build (new generation, CURRENT
+    swings, concurrent readers of the old one are untouched)."""
+    from sqlite_to_clickhouse_spark.io import ensure_generation
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        fp = "missing"
+    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}"
+
+    def _build(gen: str) -> None:
+        corpus = table(spark, sf_dir, "documents").filter(~_incr_batch_pred())
+        minhash_index_build(
+            _doc_tokens(corpus), "doc_id", "tk", gen, hash_mode=hash_mode
+        )
+
+    return ensure_generation("minhash_idx", sf_dir, fp, _build, force=force)
+
+
+@register(
+    "dedup_index_build",
+    oracle=f"""
+    SELECT CAST({N_BANDS} * COUNT(*) AS BIGINT) AS band_rows,
+           CAST(COUNT(*) AS BIGINT) AS token_rows
+    FROM documents
+    WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+      AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    """,
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build + persist the corpus MinHash band index (force-fresh
+    generation) and report the on-disk relation sizes.  Differentially
+    oracled: every non-blank corpus doc contributes exactly N_BANDS band
+    rows and one token row, and blank/NULL docs contribute nothing (the
+    blank-hot-bucket guard, persisted edition) — DuckDB recomputes both
+    counts from the raw documents table, so a banding/filter drift on
+    the WRITTEN files (not just in-memory) breaks the gate."""
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    path = _incr_index_path(spark, sf_dir, hash_mode, force=True)
+    band_rows = (
+        spark.read.schema(_IDX_BANDS_SCHEMA)
+        .parquet(os.path.join(path, "bands"))
+        .count()
+    )
+    token_rows = (
+        spark.read.schema(_IDX_TOKENS_SCHEMA)
+        .parquet(os.path.join(path, "tokens"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(band_rows, token_rows)], "band_rows bigint, token_rows bigint"
+    )
+
+
+@register(
+    "dedup_incremental",
+    oracle=_minhash_oracle(
+        pair_pred=f"doc_a % {INCR_MOD} = {INCR_REM} OR doc_b % {INCR_MOD} = {INCR_REM}"
+    ),
+    tags=("llm", "dedup", "incremental"),
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup a NEW batch (doc_id % 10 == 7) against the persisted corpus
+    index — the 100 TB serving path: the corpus text is never rescanned,
+    the batch probes only its band-key partitions, and the result is
+    bit-identical to the full-corpus LSH restricted to pairs involving a
+    batch doc (the oracle recomputes exactly that ground truth from the
+    raw documents table in DuckDB, so the whole persisted path — write,
+    pruned read, bucket join, verify — is differentially gated)."""
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    path = _incr_index_path(spark, sf_dir, hash_mode)
+    batch = table(spark, sf_dir, "documents").filter(_incr_batch_pred())
+    return minhash_index_dedup(
+        spark, _doc_tokens(batch), "doc_id", "tk", path, hash_mode=hash_mode
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
     )
 
 

@@ -56,6 +56,9 @@ _OPS = [
     "filter_not_in_null_aware",
     # round-7 additions (freeze lifted)
     "fn_morton",
+    # round-8 additions (freeze lifted)
+    "dedup_index_build",
+    "dedup_incremental",
     "embedding_label_centroids",
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
@@ -98,6 +101,8 @@ def test_op_degrades_on_empty_corpus(spark, empty_sf_dir, name):
 _BLANK_OPS = [
     # divide-by-zero / banding hazards found by the blank-document sweep
     "dedup_fuzzy_minhash",
+    "dedup_index_build",
+    "dedup_incremental",
     "dedup_connected_components",
     "dedup_corpus_apply",
     "dedup_keep_best",

@@ -164,3 +164,87 @@ def test_hash_modes_agree_on_fixture_pairs(spark, sf_dir):
     overlap = len(md5_pairs & xx_pairs)
     assert overlap / len(md5_pairs) >= 0.90, (len(md5_pairs), len(xx_pairs))
     assert overlap / len(xx_pairs) >= 0.90, (len(md5_pairs), len(xx_pairs))
+
+
+def _pairs(df):
+    return {(r.id_a, r.id_b): r.jaccard for r in df.collect()}
+
+
+def test_incremental_index_append_twice_equals_once(spark, sf_dir, tmp_path):
+    """The persisted-index serving path (VERDICT r7 item 4): dedup of two
+    batches with an append between must equal dedup of the combined batch
+    against the same starting index — and both must equal the one-shot
+    full-corpus LSH restricted to pairs touching a batch doc.  Pinned on
+    the real fixture so the equality covers genuine near-dup pairs, not
+    just synthetic exact dups."""
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+        minhash_lsh_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    corpus = toks.filter(F.col("doc_id") % 5 >= 2)
+    b1 = toks.filter(F.col("doc_id") % 5 == 0)
+    b2 = toks.filter(F.col("doc_id") % 5 == 1)
+
+    p_two = str(tmp_path / "idx_two")
+    minhash_index_build(corpus, "doc_id", "tk", p_two)
+    r1 = _pairs(minhash_index_dedup(spark, b1, "doc_id", "tk", p_two))
+    minhash_index_append(b1, "doc_id", "tk", p_two)
+    r2 = _pairs(minhash_index_dedup(spark, b2, "doc_id", "tk", p_two))
+    assert not (set(r1) & set(r2)), "a pair surfaced in both steps"
+    two_step = {**r1, **r2}
+
+    p_one = str(tmp_path / "idx_one")
+    minhash_index_build(corpus, "doc_id", "tk", p_one)
+    one_shot = _pairs(
+        minhash_index_dedup(spark, b1.unionByName(b2), "doc_id", "tk", p_one)
+    )
+    assert two_step == one_shot
+
+    full = _pairs(minhash_lsh_pairs(toks, "doc_id", "tk"))
+    want = {
+        p: j for p, j in full.items() if p[0] % 5 <= 1 or p[1] % 5 <= 1
+    }
+    assert one_shot == want
+    assert one_shot, "fixture produced no near-dup pairs touching a batch"
+
+
+def test_incremental_lookup_prunes_band_partitions(spark, sf_dir, tmp_path):
+    """A small batch's index lookup must reach the bands scan as a
+    PartitionFilters entry on pb — the directory pruning that lets a
+    100 TB index serve a batch by reading only its probed buckets."""
+    import contextlib
+    import io as _io
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_build,
+        minhash_index_dedup,
+    )
+
+    docs = _doc_tokens(table(spark, sf_dir, "documents"))
+    path = str(tmp_path / "idx")
+    minhash_index_build(docs.filter(F.col("doc_id") % 10 != 7), "doc_id", "tk", path)
+    batch = docs.filter(F.col("doc_id") == 7).limit(1)
+    df = minhash_index_dedup(spark, batch, "doc_id", "tk", path)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    hits = [
+        l
+        for l in plan.splitlines()
+        if "PartitionFilters" in l and "pb" in l and "IN (" in l.upper()
+    ]
+    assert hits, f"no pb partition filter in plan:\n{plan}"

@@ -42,6 +42,8 @@ _OPS = [
     # crashed on NULLs before the guards
     "text_compression_ratio",
     "dedup_fuzzy_minhash",
+    "dedup_index_build",
+    "dedup_incremental",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

@@ -44,6 +44,8 @@ _OPS = [
     # round-7 additions: md5-of-UTF-8 token hashing must agree byte-wise
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
+    # round-8: persisted-index banding must agree with DuckDB byte-wise
+    "dedup_incremental",
 ]
 
 

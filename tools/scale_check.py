@@ -167,6 +167,13 @@ DEFAULT_OPS = [
     # Weighted quantile: shuffle carries DISTINCT (key, value) pairs —
     # value-domain-bounded, wall should track the merge scan.
     "agg_quantile_exact_weighted",
+    # Round-8: incremental dedup. index_build is the one-shot banding
+    # pass + partitioned write (linear in corpus tokens); incremental is
+    # banding of the ~10% batch + a slim (bk, doc_id) bucket join against
+    # the index partitions + candidate-bounded verify — linear in input
+    # with pair-output allowance like the other LSH ops.
+    "dedup_index_build",
+    "dedup_incremental",
 ]
 
 
