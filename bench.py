@@ -216,16 +216,29 @@ def main() -> None:
     # Warm-up: JVM + codegen + parquet footer caches, not measured.
     registry[names[0]].fn(spark, sf_dir).count()
 
+    # The minhash-family ops are TIMED under the xxhash64 production
+    # spelling (VERDICT r7 item 5: the headline number should be the
+    # deployable one) — the md5 gate spelling is re-timed into
+    # derived.minhash_md5_sec below.  Correctness parity between the two
+    # families is pinned by tests/test_minhash_property.py.
+    _PROD_HASH_OPS = {"dedup_fuzzy_minhash"}
+
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     cold_total = 0.0
     for pass_no in (1, 2):
         for name in names:
             fn = registry[name].fn
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            dt = time.perf_counter() - t0
+            if name in _PROD_HASH_OPS:
+                spark.conf.set("spark.graft.minhash.hash", "xxhash64")
+            try:
+                t0 = time.perf_counter()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                dt = time.perf_counter() - t0
+            finally:
+                if name in _PROD_HASH_OPS:
+                    spark.conf.unset("spark.graft.minhash.hash")
             if pass_no == 1:
                 cold_total += dt
             if name not in timings or dt < timings[name]:
@@ -248,24 +261,21 @@ def main() -> None:
             rows["migrate_sqlite_roundtrip"] / timings["migrate_sqlite_roundtrip"]
         )
 
-    # A/B of the minhash hash family (VERDICT r6 item 5): the pinned
-    # dedup_fuzzy_minhash timing above IS the md5 gate spelling; this
-    # re-times the same pipeline under the xxhash64 production flag.
-    # Same warm JVM, min of two passes, identical plan shape (pinned by
-    # tests/test_minhash_property.py) — the delta is the md5 parity tax.
+    # A/B of the minhash hash family: since r8 the pinned
+    # dedup_fuzzy_minhash timing above IS the xxhash64 production
+    # spelling (the deployable number); this re-times the same pipeline
+    # under the md5 gate flag, so the r4-r7 md5-timed history stays
+    # comparable via derived.minhash_md5_sec.  Same warm JVM, min of two
+    # passes, identical plan shape — the delta is the md5 parity tax.
     if "dedup_fuzzy_minhash" in timings:
-        spark.conf.set("spark.graft.minhash.hash", "xxhash64")
-        try:
-            xx_best = None
-            for _ in (1, 2):
-                t0 = time.perf_counter()
-                registry["dedup_fuzzy_minhash"].fn(spark, sf_dir).count()
-                dt = time.perf_counter() - t0
-                xx_best = dt if xx_best is None else min(xx_best, dt)
-            derived["minhash_md5_sec"] = timings["dedup_fuzzy_minhash"]
-            derived["minhash_xxhash64_sec"] = round(xx_best, 4)
-        finally:
-            spark.conf.unset("spark.graft.minhash.hash")
+        md5_best = None
+        for _ in (1, 2):
+            t0 = time.perf_counter()
+            registry["dedup_fuzzy_minhash"].fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            md5_best = dt if md5_best is None else min(md5_best, dt)
+        derived["minhash_md5_sec"] = round(md5_best, 4)
+        derived["minhash_xxhash64_sec"] = timings["dedup_fuzzy_minhash"]
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     pinned = {n: round(timings[n], 3) for n in PINNED_44 if n in timings}
