@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import pytest
 
+pytestmark = pytest.mark.spark_heavy  # full-registry sweep module (see README: two-command split)
+
 from sqlite_to_clickhouse_spark.registry import all_queries
 from tests.utils import assert_df_matches_oracle
 

@@ -652,3 +652,36 @@ def test_compression_ratio_orders_text_quality(spark):
     assert 0 < rows[2] < rows[1] < rows[3]
     assert rows[2] < 0.1  # pure repetition collapses
     assert rows[3] > 0.4  # hex noise resists deflate
+
+
+def test_decode_payload_real_codec_same_schema():
+    """VERDICT r7 item 6: when a real codec (PIL) is installed, the
+    image/* decode path must emit the SAME feature keys and types as the
+    deterministic fake — so wiring a codec can never change the Spark
+    plumbing (schema, UDF signature, batch shape). Skips cleanly in
+    codec-less containers."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+
+    import io as _io
+
+    from sqlite_to_clickhouse_spark.operators.multimodal import (
+        decode_payload_stub,
+    )
+
+    img = PIL_Image.new("RGB", (4, 3), color=(120, 7, 200))
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    real = decode_payload_stub(payload, media_type="image/png")
+    fake = decode_payload_stub(payload)  # text/plain -> deterministic fake
+    assert set(real) == set(fake) == {"n_bytes", "first_byte", "checksum"}
+    for k in real:
+        assert type(real[k]) is type(fake[k]), k
+    assert real["n_bytes"] == len(payload)
+    assert real["first_byte"] == payload[0]
+    # Pixel-derived, deterministic: a 4x3 solid image's grayscale bytes.
+    gray = PIL_Image.open(_io.BytesIO(payload)).convert("L").tobytes()
+    assert real["checksum"] == sum(gray) % 65536

@@ -22,6 +22,8 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
+pytestmark = pytest.mark.spark_heavy  # full-registry sweep module (see README: two-command split)
+
 from sqlite_to_clickhouse_spark.io import TABLES
 from sqlite_to_clickhouse_spark.registry import all_queries
 from tests.utils import assert_df_matches_oracle
