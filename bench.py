@@ -183,6 +183,10 @@ HEADLINE = [
     # batch-vs-index serving path (pruned band read + bucket join).
     "dedup_index_build",
     "dedup_incremental",
+    # index compaction (build + 2 appends + rewrite) and the streaming
+    # ingest loop (2 micro-batches of lookup+append on a fresh index).
+    "dedup_index_compact",
+    "stream_incremental_dedup",
 ]
 
 

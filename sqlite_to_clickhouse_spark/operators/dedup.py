@@ -780,6 +780,88 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
+    """Rewrite an append-grown index into a compacted copy at ``dst``:
+    every ingest batch appends one small file per touched pb partition,
+    so after thousands of batches each partition is thousands of KB-size
+    files — the small-file problem that destroys lookup throughput via
+    per-file open/footer cost.  The compaction re-clusters bands by pb
+    (one shuffle) and rewrites with a row-group-sized file target; per
+    partition it is embarrassingly parallel, and in production it runs
+    against a NEW generation dir (the io.ensure_generation pattern) so
+    in-flight lookups on the old layout are never disturbed."""
+    (
+        spark.read.schema(_IDX_BANDS_SCHEMA)
+        .parquet(os.path.join(path, "bands"))
+        .repartition("pb")
+        .write.partitionBy("pb")
+        .option("maxRecordsPerFile", 5_000_000)
+        .parquet(os.path.join(dst, "bands"))
+    )
+    (
+        spark.read.schema(_IDX_TOKENS_SCHEMA)
+        .parquet(os.path.join(path, "tokens"))
+        .coalesce(8)
+        .write.option("maxRecordsPerFile", 5_000_000)
+        .parquet(os.path.join(dst, "tokens"))
+    )
+
+
+@register(
+    "dedup_index_compact",
+    oracle=f"""
+    SELECT CAST({N_BANDS} * COUNT(*) AS BIGINT) AS band_rows,
+           CAST(COUNT(*) AS BIGINT) AS token_rows
+    FROM documents
+    WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    """,
+    tags=("llm", "dedup", "incremental", "maintenance"),
+)
+def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact an append-grown MinHash index and prove the rewrite is
+    content-preserving — the invariant a compaction job must never
+    silently break.  The op simulates the ingest lifecycle end-to-end:
+    build the corpus index, APPEND the new-doc batch in two micro-batch
+    halves (each append lands one more small file per touched pb
+    partition), compact into a fresh directory, and report the COMPACTED
+    copy's relation counts.  The DuckDB oracle recomputes both counts
+    from the raw documents table over ALL docs (corpus + both appends),
+    so a compaction that drops, duplicates, or mis-partitions rows
+    breaks the hash gate; file-count collapse and lookup-equality are
+    pinned in tests/test_minhash_property.py."""
+    import tempfile
+
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    docs = table(spark, sf_dir, "documents")
+    toks = _doc_tokens(docs)
+    base = tempfile.mkdtemp(prefix="graft_idx_compact_")
+    grown = os.path.join(base, "grown")
+    compacted = os.path.join(base, "compacted")
+    minhash_index_build(
+        toks.filter(~_incr_batch_pred()), "doc_id", "tk", grown,
+        hash_mode=hash_mode,
+    )
+    for half in (7, 17):
+        minhash_index_append(
+            toks.filter(F.col("doc_id") % 20 == half), "doc_id", "tk", grown,
+            hash_mode=hash_mode,
+        )
+    minhash_index_compact(spark, grown, compacted)
+    band_rows = (
+        spark.read.schema(_IDX_BANDS_SCHEMA)
+        .parquet(os.path.join(compacted, "bands"))
+        .count()
+    )
+    token_rows = (
+        spark.read.schema(_IDX_TOKENS_SCHEMA)
+        .parquet(os.path.join(compacted, "tokens"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(band_rows, token_rows)], "band_rows bigint, token_rows bigint"
+    )
+
+
 def _simhash_expr(tokens_col):
     """SimHash over SIMHASH_BITS bits of the 60-bit md5-derived token hash:
     bit b of the fingerprint is the sign of sum over tokens of ±1 by that

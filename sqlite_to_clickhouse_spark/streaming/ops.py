@@ -560,3 +560,105 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("win_start", "event_type", "cnt", "rn")
     )
+
+
+@register(
+    "stream_incremental_dedup",
+    oracle=None,  # replaced below: reuses the dedup_incremental oracle
+    tags=("streaming", "llm", "dedup", "incremental"),
+)
+def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup — the production loop a 100 TB corpus runs
+    per arriving batch: each micro-batch is (1) near-dup-checked against
+    the persisted MinHash band index via minhash_index_dedup (pruned
+    band-partition lookup + exact-Jaccard verify), then (2) folded INTO
+    the index via minhash_index_append (parquet append, new files only),
+    so the NEXT batch dedups against everything before it.  foreachBatch
+    runs micro-batches sequentially, which is exactly the ordering the
+    append-before-next-lookup contract needs.
+
+    The registered run stages the new-doc batch (doc_id % 10 == 7) as
+    two files and streams them with maxFilesPerTrigger=1 under an
+    AvailableNow trigger — two real micro-batches through a fresh
+    corpus-only index.  By the append-twice-equals-once theorem (pinned
+    in tests/test_minhash_property.py) the unioned per-batch results are
+    BIT-IDENTICAL to the one-shot dedup_incremental, so this streaming
+    op carries the same full-recompute DuckDB oracle — the stream is
+    hash-gated, not rows-only.  Each invocation builds its own index
+    copy in a temp dir: appends mutate the index, so the shared cached
+    generation (which dedup_incremental reuses) must never be the
+    append target."""
+    from sqlite_to_clickhouse_spark.io import table as _table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        _incr_batch_pred,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    idx = tempfile.mkdtemp(prefix="stream_incr_idx_")
+    minhash_index_build(
+        _doc_tokens(docs.filter(~_incr_batch_pred())), "doc_id", "tk", idx
+    )
+
+    batch = docs.filter(_incr_batch_pred())
+    stage = os.path.join(tempfile.mkdtemp(prefix="stream_incr_stage_"), "in")
+    # Two single-file writes into one monitored dir -> two micro-batches.
+    batch.filter(F.col("doc_id") % 20 == 7).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    batch.filter(F.col("doc_id") % 20 == 17).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+
+    out = os.path.join(tempfile.mkdtemp(prefix="stream_incr_out_"), "pairs")
+    pair_schema = "doc_a bigint, doc_b bigint, jaccard double"
+    # Pre-create so an empty batch (zero micro-batches) still reads back.
+    spark.createDataFrame([], pair_schema).write.parquet(out)
+    ckpt = tempfile.mkdtemp(prefix="stream_incr_ckpt_")
+
+    def handle(bdf: DataFrame, epoch_id: int) -> None:
+        toks = _doc_tokens(bdf)
+        minhash_index_dedup(spark, toks, "doc_id", "tk", idx).select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            "jaccard",
+        ).write.mode("append").parquet(out)
+        minhash_index_append(toks, "doc_id", "tk", idx)
+
+    q = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(pair_schema).parquet(out)
+
+
+def _wire_stream_incremental_oracle() -> None:
+    # The oracle IS dedup_incremental's full-recompute ground truth (see
+    # docstring); registry entries are frozen dataclasses, so rebuild.
+    from dataclasses import replace
+
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        INCR_MOD,
+        INCR_REM,
+        _minhash_oracle,
+    )
+    from sqlite_to_clickhouse_spark.registry import _REGISTRY
+
+    _REGISTRY["stream_incremental_dedup"] = replace(
+        _REGISTRY["stream_incremental_dedup"],
+        oracle=_minhash_oracle(
+            pair_pred=f"doc_a % {INCR_MOD} = {INCR_REM} OR doc_b % {INCR_MOD} = {INCR_REM}"
+        ),
+    )
+
+
+_wire_stream_incremental_oracle()

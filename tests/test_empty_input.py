@@ -61,6 +61,8 @@ _OPS = [
     # round-8 additions (freeze lifted)
     "dedup_index_build",
     "dedup_incremental",
+    "dedup_index_compact",
+    "stream_incremental_dedup",
     "embedding_label_centroids",
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
@@ -105,6 +107,8 @@ _BLANK_OPS = [
     "dedup_fuzzy_minhash",
     "dedup_index_build",
     "dedup_incremental",
+    "dedup_index_compact",
+    "stream_incremental_dedup",
     "dedup_connected_components",
     "dedup_corpus_apply",
     "dedup_keep_best",

@@ -248,3 +248,47 @@ def test_incremental_lookup_prunes_band_partitions(spark, sf_dir, tmp_path):
         if "PartitionFilters" in l and "pb" in l and "IN (" in l.upper()
     ]
     assert hits, f"no pb partition filter in plan:\n{plan}"
+
+
+def test_index_compaction_preserves_lookups_and_collapses_files(
+    spark, sf_dir, tmp_path
+):
+    """Compacting an append-grown index must (a) reduce the band file
+    count (that is its one job) and (b) serve BIT-IDENTICAL lookups —
+    content preservation stronger than the row-count gate: same pairs,
+    same jaccards, from the same batch."""
+    import glob
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_dedup,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    grown = str(tmp_path / "grown")
+    compacted = str(tmp_path / "compacted")
+    minhash_index_build(toks.filter(F.col("doc_id") % 5 > 1), "doc_id", "tk", grown)
+    minhash_index_append(toks.filter(F.col("doc_id") % 5 == 0), "doc_id", "tk", grown)
+    minhash_index_append(toks.filter(F.col("doc_id") % 5 == 1), "doc_id", "tk", grown)
+    minhash_index_compact(spark, grown, compacted)
+
+    def n_files(p):
+        return len(glob.glob(os.path.join(p, "bands", "**", "*.parquet"),
+                             recursive=True))
+
+    assert n_files(compacted) < n_files(grown), (
+        n_files(compacted), n_files(grown),
+    )
+
+    batch = toks.filter(F.col("doc_id") % 97 == 3)
+    before = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", grown))
+    after = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", compacted))
+    assert before == after
+    assert before, "lookup batch produced no pairs; pick a denser batch"

@@ -46,6 +46,8 @@ _OPS = [
     "dedup_fuzzy_minhash",
     "dedup_index_build",
     "dedup_incremental",
+    "dedup_index_compact",
+    "stream_incremental_dedup",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

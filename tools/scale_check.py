@@ -174,6 +174,11 @@ DEFAULT_OPS = [
     # with pair-output allowance like the other LSH ops.
     "dedup_index_build",
     "dedup_incremental",
+    # Compaction is a partitioned rewrite of the band/token relations —
+    # linear in index rows. The streaming loop is dedup_incremental split
+    # into 2 micro-batches + its own index build — linear like its parts.
+    "dedup_index_compact",
+    "stream_incremental_dedup",
 ]
 
 
