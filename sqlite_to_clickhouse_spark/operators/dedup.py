@@ -267,7 +267,10 @@ def _minhash_oracle(pair_pred: str = "TRUE") -> str:
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs, exact-Jaccard verified.
 
-    Pipeline (shingle → minhash → band → bucket-join → verify):
+    Pipeline (shingle → exact-set collapse → minhash → band →
+    bucket-join → verify → expand; the collapse/expand stages are the
+    round-8 addition — see minhash_lsh_pairs, which documents why only
+    one representative per distinct token set enters banding):
     1. distinct tokens per doc (the 1-gram shingle set), one md5 per
        token → 60-bit base hash (shared with the verify stage);
     2. 48 affine min-hashes per doc — (2s+1)·h + b_s mod M31 over the
@@ -520,9 +523,48 @@ def minhash_lsh_pairs(
 
     When ``hash_mode`` is None it resolves from the session conf key
     ``spark.graft.minhash.hash`` (default ``md5``), so a deployment flips
-    the fleet with one conf line and the gate keeps the md5 default."""
+    the fleet with one conf line and the gate keeps the md5 default.
+
+    **Exact-set collapse (round 8).** Identical token SETS share the
+    signature, the band keys, AND the Jaccard against every third doc —
+    so only one REPRESENTATIVE per distinct set enters banding, and the
+    cluster structure answers the rest analytically: within-cluster
+    pairs are J=1.0 by identity, and each verified representative pair
+    expands to all member cross pairs carrying the same Jaccard.  This
+    is the dedup_simhash_nn collapse applied to MinHash, and it is what
+    keeps boilerplate-heavy corpora (the 100 TB norm) from going
+    cluster-quadratic through the band join: the sf0.1 fixture's 248-doc
+    exact cluster alone contributed ~246 k of the 3.3 M pre-collapse
+    collision rows, and the verify stage intersected 2.05 M candidate
+    pairs where ~2 k representative pairs carried all the information
+    (measured round 8: 4.4 s → see bench).  Clustering groups by the
+    full sorted token-hash array — NOT a hash of it — so the collapse
+    is exact by construction, never probabilistic, and the result is
+    bit-identical to the uncollapsed plan (pinned by the property tests
+    and the unchanged DuckDB oracle, which still enumerates the
+    uncollapsed construction)."""
+    if hash_mode is None:
+        hash_mode = df.sparkSession.conf.get("spark.graft.minhash.hash", "md5")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown minhash hash_mode: {hash_mode!r}")
+    _base_hash, _ = _minhash_family(hash_mode)
+
+    keyed = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(
+            F.array_distinct(F.transform(F.col(tokens_col), _base_hash))
+        ).alias("__set"),
+    ).filter(F.size("__set") > 0)  # blank/NULL docs never band (as before)
+    reps = keyed.groupBy("__set").agg(F.min("__id").alias("__rep"))
+    # (member id, representative id) — doc-linear; the shuffles carry the
+    # token-hash array once (the banding path already ships 4 band keys
+    # per doc, so this is the same order of bytes).
+    members = keyed.join(reps, "__set").select("__id", "__rep")
+
+    rep_ids = members.filter(F.col("__id") == F.col("__rep")).select("__rep")
+    rep_df = df.join(rep_ids, F.col(id_col) == F.col("__rep")).drop("__rep")
     bands, tokh = minhash_bands_tokens(
-        df, id_col, tokens_col,
+        rep_df, id_col, tokens_col,
         n_hashes=n_hashes, n_bands=n_bands, hash_mode=hash_mode,
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -532,7 +574,37 @@ def minhash_lsh_pairs(
             (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
         ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
     )
-    return _verify_jaccard(cand, tokh, threshold)
+    rep_pairs = _verify_jaccard(cand, tokh, threshold)
+
+    # Expand representative pairs to member cross pairs (output-bound
+    # joins on 8-byte ids; clusters are disjoint so no duplicates), and
+    # emit within-cluster pairs analytically at J=1.0.
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__a"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    x, y = members.alias("x"), members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.__rep") == F.col("y.__rep"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
