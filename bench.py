@@ -225,7 +225,13 @@ def main() -> None:
     # deployable one) — the md5 gate spelling is re-timed into
     # derived.minhash_md5_sec below.  Correctness parity between the two
     # families is pinned by tests/test_minhash_property.py.
-    _PROD_HASH_OPS = {"dedup_fuzzy_minhash"}
+    _PROD_HASH_OPS = {
+        "dedup_fuzzy_minhash",
+        "dedup_index_build",
+        "dedup_incremental",
+        "dedup_index_compact",
+        "stream_incremental_dedup",
+    }
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}

@@ -459,7 +459,10 @@ def _packed_distinct(pairs: DataFrame) -> DataFrame:
 
 
 def _verify_jaccard(
-    cand: DataFrame, tokh: DataFrame, threshold: float
+    cand: DataFrame,
+    tokh: DataFrame,
+    threshold: float,
+    tokh_b: "DataFrame | None" = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of a slim candidate list against the
     (__id, __tk32) token store: join the candidates back to the tokens
@@ -469,8 +472,13 @@ def _verify_jaccard(
     31-bit int arrays (4 B/element) rather than longs halves the bytes
     hauled through this join's shuffle — the one stage that spilled at
     the 100× scale check (SURVEY §6.1).  The mask + distinct is mirrored
-    in the DuckDB oracle (hashed32 CTE)."""
-    ta, tb = tokh.alias("ta"), tokh.alias("tb")
+    in the DuckDB oracle (hashed32 CTE).
+
+    ``tokh_b``: optional separate token store for the id_b side (the
+    index-lookup path, where id_a is a batch doc and id_b an index
+    doc); defaults to ``tokh`` for the symmetric self-join case."""
+    ta = tokh.alias("ta")
+    tb = (tokh if tokh_b is None else tokh_b).alias("tb")
     pairs = (
         cand.join(ta, F.col("id_a") == F.col("ta.__id"))
         .join(tb, F.col("id_b") == F.col("tb.__id"))
@@ -488,6 +496,53 @@ def _verify_jaccard(
     jac = F.try_divide(n_inter, F.size("tk_a") + F.size("tk_b") - n_inter)
     return pairs.filter(jac >= threshold).select(
         "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _resolve_hash_mode(df: DataFrame, hash_mode: "str | None") -> str:
+    if hash_mode is None:
+        hash_mode = df.sparkSession.conf.get("spark.graft.minhash.hash", "md5")
+    if hash_mode not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown minhash hash_mode: {hash_mode!r}")
+    return hash_mode
+
+
+def _set_keyed(df: DataFrame, id_col: str, tokens_col: str, base_hash) -> DataFrame:
+    """(__id, __set) for every non-blank doc, where __set is the doc's
+    FULL sorted distinct token-hash array — the exact cluster key of the
+    round-8 collapse.  Same token SET ⟹ same __set ⟹ same minhash
+    signature ⟹ same band keys, so clustering on __set is lossless for
+    candidate generation by construction (never probabilistic: the key
+    is the array itself, not a hash of it).  Blank/NULL docs are dropped
+    here exactly as the banding stage drops them."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.array_sort(
+            F.array_distinct(F.transform(F.col(tokens_col), base_hash))
+        ).alias("__set"),
+    ).filter(F.size("__set") > 0)
+
+
+def _clusters(keyed: DataFrame) -> DataFrame:
+    """(__id, __rep) membership: representative = min id per distinct
+    set.  groupBy gets map-side partial aggregation (a boilerplate
+    cluster collapses before the wire); the join back is doc-linear.
+
+    PERSISTED (memory-and-disk): every caller fans the membership into
+    3-5 downstream joins (rep filter, two expansion sides, within-pairs
+    self-join), and each re-evaluation would repeat the array-keyed
+    groupBy+join over the full token-hash arrays — measured 2x whole-op
+    wall at sf0.1 when left to recompute.  The frame is two longs per
+    doc (tiny relative to the arrays it derives from), identical plans
+    share one cache entry across invocations, and eviction is safe (it
+    recomputes)."""
+    from pyspark.storagelevel import StorageLevel
+
+    reps = keyed.groupBy("__set").agg(F.min("__id").alias("__rep"))
+    return (
+        keyed.join(reps, "__set")
+        .select("__id", "__rep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
@@ -543,24 +598,10 @@ def minhash_lsh_pairs(
     bit-identical to the uncollapsed plan (pinned by the property tests
     and the unchanged DuckDB oracle, which still enumerates the
     uncollapsed construction)."""
-    if hash_mode is None:
-        hash_mode = df.sparkSession.conf.get("spark.graft.minhash.hash", "md5")
-    if hash_mode not in ("md5", "xxhash64"):
-        raise ValueError(f"unknown minhash hash_mode: {hash_mode!r}")
+    hash_mode = _resolve_hash_mode(df, hash_mode)
     _base_hash, _ = _minhash_family(hash_mode)
 
-    keyed = df.select(
-        F.col(id_col).alias("__id"),
-        F.array_sort(
-            F.array_distinct(F.transform(F.col(tokens_col), _base_hash))
-        ).alias("__set"),
-    ).filter(F.size("__set") > 0)  # blank/NULL docs never band (as before)
-    reps = keyed.groupBy("__set").agg(F.min("__id").alias("__rep"))
-    # (member id, representative id) — doc-linear; the shuffles carry the
-    # token-hash array once (the banding path already ships 4 band keys
-    # per doc, so this is the same order of bytes).
-    members = keyed.join(reps, "__set").select("__id", "__rep")
-
+    members = _clusters(_set_keyed(df, id_col, tokens_col, _base_hash))
     rep_ids = members.filter(F.col("__id") == F.col("__rep")).select("__rep")
     rep_df = df.join(rep_ids, F.col(id_col) == F.col("__rep")).drop("__rep")
     bands, tokh = minhash_bands_tokens(
@@ -614,30 +655,64 @@ def minhash_lsh_pairs(
 # (the sim_index_build pattern, similarity.py): band keys partition the
 # index on disk, a batch probes only its own buckets (static partition
 # pruning), and the index grows by parquet APPEND — never a rewrite.
+#
+# Index schema v2 (round 8): the exact-set collapse is PERSISTED.  Three
+# relations:
+#   bands/   (bk, doc_id, pb)        — doc_id is a cluster REPRESENTATIVE;
+#                                      one band row per band per DISTINCT
+#                                      token set, partitioned by pb.
+#   tokens/  (doc_id, tk32, rep_id)  — every banded member doc with its
+#                                      verify-stage token hashes and its
+#                                      cluster representative.
+#   sets/    (skey, rep_id)          — one row per distinct token set;
+#                                      skey is the FULL sorted token-hash
+#                                      array (exact, never a hash of it),
+#                                      consulted at append time so a new
+#                                      doc identical to an indexed set
+#                                      joins that cluster instead of
+#                                      spawning a duplicate representative.
+# A 248-member boilerplate cluster therefore costs 4 band rows and one
+# verify per colliding probe — not 248 of each — and the lookup expands
+# representative pairs to member pairs through `tokens/` (output-bound
+# joins on 8-byte ids).  Lossless by the same theorem as the in-memory
+# collapse: identical sets share signature and band keys.
 # ---------------------------------------------------------------------------
 
 MINHASH_IDX_BUCKETS = 32  # on-disk partitions of the band table (pb = bk mod B)
 INCR_MOD, INCR_REM = 10, 7  # registered split: batch = doc_id % 10 == 7
 
 _IDX_BANDS_SCHEMA = "bk long, doc_id long, pb int"
-_IDX_TOKENS_SCHEMA = "doc_id long, tk32 array<int>"
+_IDX_TOKENS_SCHEMA = "doc_id long, tk32 array<int>, rep_id long"
+_IDX_SETS_SCHEMA = "skey array<bigint>, rep_id long"
 
 
-def _index_frames(bands: DataFrame, tokh: DataFrame):
-    """Project the minhash_bands_tokens output into the two persisted
-    index relations: ``bands`` (bk, doc_id, pb) and ``tokens``
-    (doc_id, tk32).  Only banded docs (non-blank) are stored — blank
-    docs never verify anyway, and storing them would recreate the blank
-    hot bucket ON DISK."""
-    b = bands.select(
+def _band_frame(bands: DataFrame) -> DataFrame:
+    return bands.select(
         F.col("bk"),
         F.col("__id").alias("doc_id"),
         F.pmod(F.col("bk"), F.lit(MINHASH_IDX_BUCKETS)).cast("int").alias("pb"),
     )
-    t = tokh.filter(F.size("__tk32") > 0).select(
-        F.col("__id").alias("doc_id"), F.col("__tk32").alias("tk32")
+
+
+def _member_tokens(df, id_col, tokens_col, members, hash_mode) -> DataFrame:
+    """tokens/ rows for the given membership: (doc_id, tk32, rep_id).
+    Only banded (non-blank) members — blank docs never verify, and
+    storing them would recreate the blank hot bucket ON DISK."""
+    _, tokh = minhash_bands_tokens(df, id_col, tokens_col, hash_mode=hash_mode)
+    return (
+        tokh.join(members, "__id")
+        .filter(F.size("__tk32") > 0)
+        .select(
+            F.col("__id").alias("doc_id"),
+            F.col("__tk32").alias("tk32"),
+            F.col("__rep").alias("rep_id"),
+        )
     )
-    return b, t
+
+
+def _rep_subset(df: DataFrame, id_col: str, rep_ids: DataFrame) -> DataFrame:
+    """Filter ``df`` to representative rows (rep_ids: one __rep column)."""
+    return df.join(rep_ids, F.col(id_col) == F.col("__rep")).drop("__rep")
 
 
 def minhash_index_build(
@@ -648,16 +723,39 @@ def minhash_index_build(
     *,
     hash_mode: str | None = None,
 ) -> None:
-    """Persist the MinHash signature index for a corpus at ``path``:
-    ``bands/`` parquet PARTITIONED BY the band-key bucket ``pb`` (so a
-    batch's lookup prunes to its probed directories) and ``tokens/``
-    parquet holding each doc's verify-stage token hashes.  Uses the SAME
-    banding front half as the one-shot search (minhash_bands_tokens), so
-    index lookups reproduce minhash_lsh_pairs bit-for-bit."""
-    bands, tokh = minhash_bands_tokens(df, id_col, tokens_col, hash_mode=hash_mode)
-    b, t = _index_frames(bands, tokh)
-    b.write.partitionBy("pb").parquet(os.path.join(path, "bands"))
-    t.write.parquet(os.path.join(path, "tokens"))
+    """Persist the MinHash signature index for a corpus at ``path`` (see
+    the schema-v2 comment above).  Uses the SAME banding front half as
+    the one-shot search (minhash_bands_tokens), so index lookups
+    reproduce minhash_lsh_pairs bit-for-bit."""
+    hash_mode = _resolve_hash_mode(df, hash_mode)
+    base_hash, _ = _minhash_family(hash_mode)
+    from pyspark.storagelevel import StorageLevel
+
+    keyed = _set_keyed(df, id_col, tokens_col, base_hash)
+    # sets feeds the sets/ write AND the membership join; members feeds
+    # the rep filter AND the tokens/ write — persist both so the
+    # array-keyed aggregation runs once per build (the _clusters lesson).
+    sets = (
+        keyed.groupBy("__set")
+        .agg(F.min("__id").alias("__rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    members = (
+        keyed.join(sets, "__set")
+        .select("__id", "__rep")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    rep_ids = members.filter(F.col("__id") == F.col("__rep")).select("__rep")
+    bands, _ = minhash_bands_tokens(
+        _rep_subset(df, id_col, rep_ids), id_col, tokens_col, hash_mode=hash_mode
+    )
+    _band_frame(bands).write.partitionBy("pb").parquet(os.path.join(path, "bands"))
+    _member_tokens(df, id_col, tokens_col, members, hash_mode).write.parquet(
+        os.path.join(path, "tokens")
+    )
+    sets.select(
+        F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
+    ).write.parquet(os.path.join(path, "sets"))
 
 
 def minhash_index_append(
@@ -669,15 +767,57 @@ def minhash_index_append(
     hash_mode: str | None = None,
 ) -> None:
     """Fold a processed batch INTO the index: parquet append of the
-    batch's band + token rows.  Appends only add files — no existing
-    file is rewritten or deleted, so concurrent readers are safe (they
-    at worst miss the newest batch, which is exactly eventual-ingest
-    semantics).  Caller contract: the batch's ids are not already in the
+    batch's rows.  Appends only add files — no existing file is
+    rewritten or deleted, so concurrent readers are safe (they at worst
+    miss the newest batch, which is exactly eventual-ingest semantics).
+
+    Cluster maintenance: each new doc's set key is joined against
+    ``sets/`` — a doc identical to an INDEXED set becomes a member of
+    that cluster (one tokens/ row, no new bands); genuinely new sets
+    cluster among themselves and append their representative's bands +
+    sets rows.  Caller contract: the batch's ids are not already in the
     index (dedup first, then append the keepers)."""
-    bands, tokh = minhash_bands_tokens(df_new, id_col, tokens_col, hash_mode=hash_mode)
-    b, t = _index_frames(bands, tokh)
-    b.write.partitionBy("pb").mode("append").parquet(os.path.join(path, "bands"))
-    t.write.mode("append").parquet(os.path.join(path, "tokens"))
+    hash_mode = _resolve_hash_mode(df_new, hash_mode)
+    base_hash, _ = _minhash_family(hash_mode)
+    spark = df_new.sparkSession
+    from pyspark.storagelevel import StorageLevel
+
+    keyed = _set_keyed(df_new, id_col, tokens_col, base_hash)
+    idx_sets = spark.read.schema(_IDX_SETS_SCHEMA).parquet(
+        os.path.join(path, "sets")
+    )
+    # The matched/fresh split re-reads this subtree four ways (members
+    # union, new sets, rep filter, tokens write) — persist the joined
+    # frame once (the _clusters lesson; batch-sized, two longs + the key
+    # array per row).
+    m = keyed.join(
+        idx_sets, keyed["__set"] == idx_sets["skey"], "left"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    matched = m.filter(F.col("rep_id").isNotNull()).select(
+        "__id", F.col("rep_id").alias("__rep")
+    )
+    fresh_keyed = m.filter(F.col("rep_id").isNull()).select("__id", "__set")
+    new_sets = (
+        fresh_keyed.groupBy("__set")
+        .agg(F.min("__id").alias("__rep"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    new_members = fresh_keyed.join(new_sets, "__set").select("__id", "__rep")
+    members = matched.unionByName(new_members)
+    rep_ids = new_members.filter(F.col("__id") == F.col("__rep")).select("__rep")
+    bands, _ = minhash_bands_tokens(
+        _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
+        hash_mode=hash_mode,
+    )
+    _band_frame(bands).write.partitionBy("pb").mode("append").parquet(
+        os.path.join(path, "bands")
+    )
+    _member_tokens(df_new, id_col, tokens_col, members, hash_mode).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tokens"))
+    new_sets.select(
+        F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
+    ).write.mode("append").parquet(os.path.join(path, "sets"))
 
 
 def minhash_index_dedup(
@@ -699,14 +839,31 @@ def minhash_index_dedup(
     decomposes exactly into batch×index (bucket join against the pruned
     index partitions) ∪ batch×batch (self-join of the small batch).
 
-    Scale shape: the index side ships only (bk, doc_id) rows from the
-    PROBED pb partitions — the bucket set is collected driver-side
-    (bounded by MINHASH_IDX_BUCKETS, a few ints) and lands in the scan
-    as a static partition filter; token arrays join in only for the
-    verified-candidate ids.  Nothing rescans the corpus text."""
+    Scale shape: both sides are COLLAPSED to cluster representatives —
+    the index on disk (schema v2), the batch in-flight — so the bucket
+    join carries one row per distinct set per band, the verify stage
+    intersects token arrays once per representative pair, and member
+    pairs materialize only in the final output-bound expansion joins on
+    8-byte ids.  The probed pb set is collected driver-side (bounded by
+    MINHASH_IDX_BUCKETS, a few ints) and lands in the bands scan as a
+    static partition filter.  Nothing rescans the corpus text."""
+    hash_mode = _resolve_hash_mode(df_new, hash_mode)
+    base_hash, _ = _minhash_family(hash_mode)
+    b_members = _clusters(_set_keyed(df_new, id_col, tokens_col, base_hash))
+    rep_ids = b_members.filter(F.col("__id") == F.col("__rep")).select("__rep")
     new_bands, new_tokh = minhash_bands_tokens(
-        df_new, id_col, tokens_col, hash_mode=hash_mode
+        _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
+        hash_mode=hash_mode,
     )
+    # BATCH-sized frames fanned into 2-3 joins each (index join + self
+    # join + two verifies): persist them so the rep filter + sig kernel
+    # run once per lookup.  This inverts the corpus-side no-persist rule
+    # (minhash_bands_tokens docstring) because these are bounded by the
+    # BATCH, not the corpus — the exact asymmetry of the serving path.
+    from pyspark.storagelevel import StorageLevel
+
+    new_bands = new_bands.persist(StorageLevel.MEMORY_AND_DISK)
+    new_tokh = new_tokh.persist(StorageLevel.MEMORY_AND_DISK)
     probed = [
         int(r["pb"])
         for r in new_bands.select(
@@ -715,7 +872,13 @@ def minhash_index_dedup(
         .distinct()
         .collect()  # bounded: <= MINHASH_IDX_BUCKETS values
     ]
-    sources = []
+    idx_tok = spark.read.schema(_IDX_TOKENS_SCHEMA).parquet(
+        os.path.join(path, "tokens")
+    )
+
+    # batch-rep × index-rep candidates (sides kept distinct: id_a = batch
+    # rep, id_b = index rep — the token stores and expansions differ).
+    vs_pairs = None
     if probed:
         idx_b = (
             spark.read.schema(_IDX_BANDS_SCHEMA)
@@ -724,33 +887,69 @@ def minhash_index_dedup(
             .alias("ib")
         )
         nb = new_bands.alias("nb")
-        sources.append(
+        cand_vs = _packed_distinct(
             nb.join(idx_b, F.col("nb.bk") == F.col("ib.bk"))
             # Defensive: a batch id already present in the index (contract
             # violation) must not emit a self-pair.
             .filter(F.col("nb.__id") != F.col("ib.doc_id"))
             .select(
-                F.least("nb.__id", "ib.doc_id").alias("id_a"),
-                F.greatest("nb.__id", "ib.doc_id").alias("id_b"),
+                F.col("nb.__id").alias("id_a"),
+                F.col("ib.doc_id").alias("id_b"),
             )
         )
+        idx_rep_tok = idx_tok.filter(F.col("doc_id") == F.col("rep_id")).select(
+            F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32")
+        )
+        vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
+
+    # batch-rep × batch-rep candidates (the small self-join).
     a, b = new_bands.alias("a"), new_bands.alias("b")
-    sources.append(
+    cand_bb = _packed_distinct(
         a.join(
             b,
             (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
         ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
     )
-    cand = sources[0]
-    for s in sources[1:]:
-        cand = cand.unionByName(s)
-    tokh_all = (
-        spark.read.schema(_IDX_TOKENS_SCHEMA)
-        .parquet(os.path.join(path, "tokens"))
-        .select(F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32"))
-        .unionByName(new_tokh.filter(F.size("__tk32") > 0))
+    bb_pairs = _verify_jaccard(cand_bb, new_tokh, threshold)
+
+    # Expansions: representative pairs -> member pairs (output-bound).
+    ba = b_members.select(F.col("__rep").alias("id_a"), F.col("__id").alias("__a"))
+    bb = b_members.select(F.col("__rep").alias("id_b"), F.col("__id").alias("__b"))
+    out = (
+        bb_pairs.join(ba, "id_a")
+        .join(bb, "id_b")
+        .select(
+            F.least("__a", "__b").alias("id_a"),
+            F.greatest("__a", "__b").alias("id_b"),
+            "jaccard",
+        )
     )
-    return _verify_jaccard(_packed_distinct(cand), tokh_all, threshold)
+    if vs_pairs is not None:
+        im = idx_tok.select(F.col("rep_id").alias("id_b"), F.col("doc_id").alias("__b"))
+        out = out.unionByName(
+            vs_pairs.join(ba, "id_a")
+            .join(im, "id_b")
+            .select(
+                F.least("__a", "__b").alias("id_a"),
+                F.greatest("__a", "__b").alias("id_b"),
+                "jaccard",
+            )
+        )
+    x, y = b_members.alias("x"), b_members.alias("y")
+    within = (
+        x.join(
+            y,
+            (F.col("x.__rep") == F.col("y.__rep"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+        .filter(F.lit(1.0) >= F.lit(threshold))
+    )
+    return out.unionByName(within)
 
 
 def _incr_batch_pred():
@@ -765,11 +964,11 @@ def _incr_index_path(
     spark: SparkSession, sf_dir: str, hash_mode: str, *, force: bool = False
 ) -> str:
     """Valid persisted corpus index for the registered incremental ops,
-    built once per (documents fingerprint, hash family, split) into an
-    immutable generation dir (io.ensure_generation) and reused across
-    invocations — amortizing the build is the point of the index.
-    ``force=True``: a build is a fresh build (new generation, CURRENT
-    swings, concurrent readers of the old one are untouched)."""
+    built once per (documents fingerprint, hash family, split, schema
+    version) into an immutable generation dir (io.ensure_generation) and
+    reused across invocations — amortizing the build is the point of the
+    index.  ``force=True``: a build is a fresh build (new generation,
+    CURRENT swings, concurrent readers of the old one are untouched)."""
     from sqlite_to_clickhouse_spark.io import ensure_generation
 
     src = os.path.join(sf_dir, "documents.parquet")
@@ -778,7 +977,7 @@ def _incr_index_path(
         fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "missing"
-    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}"
+    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}|v2"
 
     def _build(gen: str) -> None:
         corpus = table(spark, sf_dir, "documents").filter(~_incr_batch_pred())
@@ -792,22 +991,30 @@ def _incr_index_path(
 @register(
     "dedup_index_build",
     oracle=f"""
-    SELECT CAST({N_BANDS} * COUNT(*) AS BIGINT) AS band_rows,
-           CAST(COUNT(*) AS BIGINT) AS token_rows
-    FROM documents
-    WHERE doc_id % {INCR_MOD} <> {INCR_REM}
-      AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    WITH sets AS (
+      SELECT list_sort(list_distinct(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)))) AS s
+      FROM documents
+      WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+        AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    )
+    SELECT CAST({N_BANDS} * COUNT(DISTINCT s) AS BIGINT) AS band_rows,
+           CAST(COUNT(*) AS BIGINT) AS token_rows,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS set_rows
+    FROM sets
     """,
     tags=("llm", "dedup", "incremental"),
 )
 def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build + persist the corpus MinHash band index (force-fresh
     generation) and report the on-disk relation sizes.  Differentially
-    oracled: every non-blank corpus doc contributes exactly N_BANDS band
-    rows and one token row, and blank/NULL docs contribute nothing (the
-    blank-hot-bucket guard, persisted edition) — DuckDB recomputes both
-    counts from the raw documents table, so a banding/filter drift on
-    the WRITTEN files (not just in-memory) breaks the gate."""
+    oracled against a DuckDB recompute from the raw documents table:
+    every DISTINCT non-blank token set contributes exactly N_BANDS band
+    rows and one sets/ row (the persisted exact-set collapse), every
+    non-blank doc one tokens/ row, and blank/NULL docs contribute
+    nothing — so a banding/clustering/filter drift on the WRITTEN files
+    (not just in-memory) breaks the gate."""
     hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
     path = _incr_index_path(spark, sf_dir, hash_mode, force=True)
     band_rows = (
@@ -820,8 +1027,14 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(path, "tokens"))
         .count()
     )
+    set_rows = (
+        spark.read.schema(_IDX_SETS_SCHEMA)
+        .parquet(os.path.join(path, "sets"))
+        .count()
+    )
     return spark.createDataFrame(
-        [(band_rows, token_rows)], "band_rows bigint, token_rows bigint"
+        [(band_rows, token_rows, set_rows)],
+        "band_rows bigint, token_rows bigint, set_rows bigint",
     )
 
 
@@ -839,7 +1052,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical to the full-corpus LSH restricted to pairs involving a
     batch doc (the oracle recomputes exactly that ground truth from the
     raw documents table in DuckDB, so the whole persisted path — write,
-    pruned read, bucket join, verify — is differentially gated)."""
+    pruned read, bucket join, verify, cluster expansion — is
+    differentially gated)."""
     hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
     path = _incr_index_path(spark, sf_dir, hash_mode)
     batch = table(spark, sf_dir, "documents").filter(_incr_batch_pred())
@@ -870,22 +1084,30 @@ def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
         .option("maxRecordsPerFile", 5_000_000)
         .parquet(os.path.join(dst, "bands"))
     )
-    (
-        spark.read.schema(_IDX_TOKENS_SCHEMA)
-        .parquet(os.path.join(path, "tokens"))
-        .coalesce(8)
-        .write.option("maxRecordsPerFile", 5_000_000)
-        .parquet(os.path.join(dst, "tokens"))
-    )
+    for rel, schema in (("tokens", _IDX_TOKENS_SCHEMA), ("sets", _IDX_SETS_SCHEMA)):
+        (
+            spark.read.schema(schema)
+            .parquet(os.path.join(path, rel))
+            .coalesce(8)
+            .write.option("maxRecordsPerFile", 5_000_000)
+            .parquet(os.path.join(dst, rel))
+        )
 
 
 @register(
     "dedup_index_compact",
     oracle=f"""
-    SELECT CAST({N_BANDS} * COUNT(*) AS BIGINT) AS band_rows,
-           CAST(COUNT(*) AS BIGINT) AS token_rows
-    FROM documents
-    WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    WITH sets AS (
+      SELECT list_sort(list_distinct(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)))) AS s
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    )
+    SELECT CAST({N_BANDS} * COUNT(DISTINCT s) AS BIGINT) AS band_rows,
+           CAST(COUNT(*) AS BIGINT) AS token_rows,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS set_rows
+    FROM sets
     """,
     tags=("llm", "dedup", "incremental", "maintenance"),
 )
@@ -896,12 +1118,16 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     build the corpus index, APPEND the new-doc batch in two micro-batch
     halves (each append lands one more small file per touched pb
     partition), compact into a fresh directory, and report the COMPACTED
-    copy's relation counts.  The DuckDB oracle recomputes both counts
-    from the raw documents table over ALL docs (corpus + both appends),
-    so a compaction that drops, duplicates, or mis-partitions rows
-    breaks the hash gate; file-count collapse and lookup-equality are
-    pinned in tests/test_minhash_property.py."""
+    copy's relation counts.  The DuckDB oracle recomputes all three
+    counts from the raw documents table over ALL docs (corpus + both
+    appends) — including the DISTINCT-set counts, which also gate the
+    append path's cluster maintenance (a batch doc identical to an
+    indexed set must join that cluster, never spawn a duplicate
+    representative); file-count collapse and lookup-equality are pinned
+    in tests/test_minhash_property.py."""
     import tempfile
+
+    import shutil
 
     hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
     docs = table(spark, sf_dir, "documents")
@@ -909,28 +1135,25 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="graft_idx_compact_")
     grown = os.path.join(base, "grown")
     compacted = os.path.join(base, "compacted")
-    minhash_index_build(
-        toks.filter(~_incr_batch_pred()), "doc_id", "tk", grown,
-        hash_mode=hash_mode,
-    )
+    # Clone the shared corpus generation (appends below mutate it); a
+    # file clone is the production snapshot, not a re-band of the corpus.
+    shutil.copytree(_incr_index_path(spark, sf_dir, hash_mode), grown)
     for half in (7, 17):
         minhash_index_append(
             toks.filter(F.col("doc_id") % 20 == half), "doc_id", "tk", grown,
             hash_mode=hash_mode,
         )
     minhash_index_compact(spark, grown, compacted)
-    band_rows = (
-        spark.read.schema(_IDX_BANDS_SCHEMA)
-        .parquet(os.path.join(compacted, "bands"))
-        .count()
-    )
-    token_rows = (
-        spark.read.schema(_IDX_TOKENS_SCHEMA)
-        .parquet(os.path.join(compacted, "tokens"))
-        .count()
-    )
+    counts = [
+        spark.read.schema(schema).parquet(os.path.join(compacted, rel)).count()
+        for rel, schema in (
+            ("bands", _IDX_BANDS_SCHEMA),
+            ("tokens", _IDX_TOKENS_SCHEMA),
+            ("sets", _IDX_SETS_SCHEMA),
+        )
+    ]
     return spark.createDataFrame(
-        [(band_rows, token_rows)], "band_rows bigint, token_rows bigint"
+        [tuple(counts)], "band_rows bigint, token_rows bigint, set_rows bigint"
     )
 
 

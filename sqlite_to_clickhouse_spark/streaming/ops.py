@@ -588,20 +588,26 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy in a temp dir: appends mutate the index, so the shared cached
     generation (which dedup_incremental reuses) must never be the
     append target."""
+    import shutil
+
     from sqlite_to_clickhouse_spark.io import table as _table
     from sqlite_to_clickhouse_spark.operators.dedup import (
         _doc_tokens,
         _incr_batch_pred,
+        _incr_index_path,
         minhash_index_append,
-        minhash_index_build,
         minhash_index_dedup,
     )
 
     docs = _table(spark, sf_dir, "documents")
-    idx = tempfile.mkdtemp(prefix="stream_incr_idx_")
-    minhash_index_build(
-        _doc_tokens(docs.filter(~_incr_batch_pred())), "doc_id", "tk", idx
-    )
+    # CLONE the shared corpus generation instead of rebuilding: appends
+    # mutate the index, so the stream needs its own copy — and a file
+    # clone is what a production snapshot is (near-free copy-on-write on
+    # object stores), vs re-banding the whole corpus per run.
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    src = _incr_index_path(spark, sf_dir, hash_mode)
+    idx = os.path.join(tempfile.mkdtemp(prefix="stream_incr_idx_"), "idx")
+    shutil.copytree(src, idx)
 
     batch = docs.filter(_incr_batch_pred())
     stage = os.path.join(tempfile.mkdtemp(prefix="stream_incr_stage_"), "in")
