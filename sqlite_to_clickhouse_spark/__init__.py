@@ -35,6 +35,10 @@ def __getattr__(name):
         "asof_join": "sqlite_to_clickhouse_spark.operators.joins",
         "salted_join": "sqlite_to_clickhouse_spark.operators.joins",
         "minhash_lsh_pairs": "sqlite_to_clickhouse_spark.operators.dedup",
+        "minhash_index_build": "sqlite_to_clickhouse_spark.operators.dedup",
+        "minhash_index_append": "sqlite_to_clickhouse_spark.operators.dedup",
+        "minhash_index_dedup": "sqlite_to_clickhouse_spark.operators.dedup",
+        "minhash_index_compact": "sqlite_to_clickhouse_spark.operators.dedup",
         "connected_components": "sqlite_to_clickhouse_spark.operators.dedup",
         "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
         "topk_cosine_blocked": "sqlite_to_clickhouse_spark.operators.similarity",
