@@ -285,3 +285,58 @@ def test_ensure_generation_immutable_builds(tmp_path, monkeypatch):
         assert getpass.getuser() in os.path.basename(base)
     finally:
         tempfile.tempdir = None
+
+
+def test_ensure_generation_racing_builders(tmp_path, monkeypatch):
+    """N processes race ensure_generation on one (kind, key, fp): the
+    build must run exactly once, every process must resolve the SAME
+    generation dir, and the built artifact must never be observed torn
+    (the immutable-generation analog of
+    test_build_lock_serializes_racing_rebuilds)."""
+    import multiprocessing as mp
+    import os
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+
+    def worker(q):
+        import os
+        import tempfile
+        import time
+
+        tempfile.tempdir = None  # re-resolve from TMPDIR in the child
+        from sqlite_to_clickhouse_spark.io import ensure_generation
+
+        def build(gen):
+            # a slow, torn-state-prone build
+            with open(os.path.join(gen, "data"), "w") as fh:
+                fh.write("part1")
+            time.sleep(0.05)
+            with open(os.path.join(gen, "data"), "a") as fh:
+                fh.write("part2")
+
+        for _ in range(3):
+            gen = ensure_generation("race", "key", "fp-1", build)
+            with open(os.path.join(gen, "data")) as fh:
+                q.put((gen, fh.read()))
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=worker, args=(q,)) for _ in range(6)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    seen = []
+    while not q.empty():
+        seen.append(q.get())
+    assert len(seen) == 18
+    gens = {g for g, _ in seen}
+    assert len(gens) == 1, f"racing builders produced {len(gens)} generations"
+    assert all(v == "part1part2" for _, v in seen), "torn build observed"
+    # Exactly one build: the single generation dir holds the one artifact
+    # and SERIAL advanced exactly once.
+    from sqlite_to_clickhouse_spark.io import read_marker
+
+    base = os.path.dirname(next(iter(gens)))
+    assert read_marker(os.path.join(base, "SERIAL")) == "1"
