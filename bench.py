@@ -187,6 +187,9 @@ HEADLINE = [
     # ingest loop (2 micro-batches of lookup+append on a fresh index).
     "dedup_index_compact",
     "stream_incremental_dedup",
+    # exact-set duplication histogram: one scan + two combiner-bounded
+    # groupBys, no joins.
+    "dedup_cluster_stats",
 ]
 
 
@@ -231,6 +234,7 @@ def main() -> None:
         "dedup_incremental",
         "dedup_index_compact",
         "stream_incremental_dedup",
+        "dedup_cluster_stats",
     }
 
     timings: dict[str, float] = {}

@@ -1852,3 +1852,54 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+@register(
+    "dedup_cluster_stats",
+    oracle=f"""
+    WITH sets AS (
+      SELECT list_sort(list_distinct(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)))) AS s
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    ),
+    clusters AS (SELECT s, COUNT(*) AS c FROM sets GROUP BY s)
+    SELECT CAST(c AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(c * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((c - 1) * COUNT(*) AS BIGINT) AS dup_docs
+    FROM clusters
+    GROUP BY c
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus duplication profile: the cluster-size histogram of exact
+    token-set duplicates — THE dashboard numbers a dedup pass is judged
+    by (what fraction of the corpus is duplicate mass, and whether it
+    sits in a few giant boilerplate clusters or a long tail of pairs).
+    ``dup_docs`` per row is the documents a keep-one-per-cluster pass
+    would delete at that cluster size; summing the column gives the
+    corpus dup rate.
+
+    Shape: one doc-linear pass (tokenize → hash → sort, all codegen) +
+    two combiner-bounded groupBys — first on the set key (boilerplate
+    clusters collapse map-side), then on the size.  No joins, no pair
+    enumeration; runs ahead of the LSH pass to size it.  Uses the same
+    _set_keyed cluster key as the collapse/index machinery, so its
+    numbers are exactly the clusters those paths exploit."""
+    hash_mode = _resolve_hash_mode(
+        table(spark, sf_dir, "documents"), None
+    )
+    base_hash, _ = _minhash_family(hash_mode)
+    keyed = _set_keyed(
+        _doc_tokens(table(spark, sf_dir, "documents")), "doc_id", "tk", base_hash
+    )
+    sizes = keyed.groupBy("__set").agg(F.count(F.lit(1)).alias("c"))
+    return sizes.groupBy("c").agg(
+        F.col("c").alias("cluster_size"),
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("c") * F.count(F.lit(1))).alias("n_docs"),
+        ((F.col("c") - F.lit(1)) * F.count(F.lit(1))).alias("dup_docs"),
+    ).drop("c")

@@ -63,6 +63,7 @@ _OPS = [
     "dedup_incremental",
     "dedup_index_compact",
     "stream_incremental_dedup",
+    "dedup_cluster_stats",
     "embedding_label_centroids",
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
@@ -109,6 +110,7 @@ _BLANK_OPS = [
     "dedup_incremental",
     "dedup_index_compact",
     "stream_incremental_dedup",
+    "dedup_cluster_stats",
     "dedup_connected_components",
     "dedup_corpus_apply",
     "dedup_keep_best",

@@ -48,6 +48,7 @@ _OPS = [
     "dedup_incremental",
     "dedup_index_compact",
     "stream_incremental_dedup",
+    "dedup_cluster_stats",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

@@ -179,6 +179,8 @@ DEFAULT_OPS = [
     # into 2 micro-batches + its own index build — linear like its parts.
     "dedup_index_compact",
     "stream_incremental_dedup",
+    # Duplication histogram: doc-linear scan + combiner-bounded groupBys.
+    "dedup_cluster_stats",
 ]
 
 
