@@ -1,0 +1,109 @@
+"""Detached-worktree A/B timer: is a bench delta really caused by code?
+
+Times the given registered queries at HEAD and at an OLD COMMIT on the
+same host, same fixture, same min-of-N protocol — the only comparison
+that isolates code from measurement context (cross-round bench numbers
+embed different fixture generations, warm-up sequences, and host load).
+Round-8 case study: sim_topk_cosine read +45% vs the r6 artifact even
+on a quiet box, but this A/B showed the r6-close commit was SLOWER than
+HEAD under identical conditions — no culprit commit existed.
+
+Each side runs in its OWN fresh process (a worktree for the old commit,
+the repo root for HEAD) so imports can't leak across trees.  The
+worktree is created detached under /tmp and removed afterwards.
+
+Usage:
+    python tools/ab_time.py <old-commit> <query> [query...]
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 python tools/ab_time.py ...
+
+Exit 0 always (this is a measurement, not a gate); read the table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+PASSES = 3
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, sys.argv[1])
+from sqlite_to_clickhouse_spark.session import get_spark
+from sqlite_to_clickhouse_spark.registry import all_queries
+
+sf_dir, names = sys.argv[2], sys.argv[3:]
+spark = get_spark("ab-time")
+reg = all_queries()
+out = {}
+known = [n for n in names if n in reg]
+if known:
+    reg[known[0]].fn(spark, sf_dir).count()  # warm-up
+for n in names:
+    if n not in reg:
+        out[n] = None
+        continue
+    best = None
+    for _ in range(%d):
+        t0 = time.perf_counter()
+        reg[n].fn(spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    out[n] = round(best, 4)
+print("ABTIME:" + json.dumps(out))
+""" % PASSES
+
+
+def run_side(tree: str, names: list[str]) -> dict:
+    p = subprocess.run(
+        [sys.executable, "-c", _CHILD, tree, SF_DIR, *names],
+        capture_output=True, text=True, timeout=1800,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("ABTIME:"):
+            return json.loads(line[len("ABTIME:"):])
+    raise SystemExit(
+        f"no timing line from {tree}\n--- stderr tail ---\n{p.stderr[-2000:]}"
+    )
+
+
+def main() -> None:
+    if len(sys.argv) < 3:
+        raise SystemExit(__doc__)
+    commit, names = sys.argv[1], sys.argv[2:]
+    wt = tempfile.mkdtemp(prefix="ab_time_")
+    subprocess.run(
+        ["git", "-C", REPO, "worktree", "add", "--detach", wt, commit],
+        check=True, capture_output=True,
+    )
+    try:
+        old = run_side(wt, names)
+        new = run_side(REPO, names)
+    finally:
+        subprocess.run(
+            ["git", "-C", REPO, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        subprocess.run(["git", "-C", REPO, "worktree", "prune"], capture_output=True)
+    print(f"{'query':34s} {commit[:10]:>10s} {'HEAD':>8s}  verdict")
+    for n in names:
+        o, h = old.get(n), new.get(n)
+        if o is None or h is None:
+            print(f"{n:34s} {'-':>10s} {'-':>8s}  (absent on one side)")
+            continue
+        if h <= o * 1.1:
+            v = "HEAD <= old: NOT a code regression"
+        elif h > o * 1.25:
+            v = f"HEAD {h/o:.2f}x old: code-caused — bisect {commit}..HEAD"
+        else:
+            v = "within 25% — noise band, re-run or widen passes"
+        print(f"{n:34s} {o:10.3f} {h:8.3f}  {v}")
+
+
+if __name__ == "__main__":
+    main()
