@@ -292,3 +292,62 @@ def test_index_compaction_preserves_lookups_and_collapses_files(
     after = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", compacted))
     assert before == after
     assert before, "lookup batch produced no pairs; pick a denser batch"
+
+
+def test_index_append_joins_existing_clusters(spark, tmp_path):
+    """Schema-v2 cluster maintenance: an appended doc whose token set is
+    already indexed must JOIN that cluster (one tokens/ row, no new
+    bands, no new sets/ row) — and a later lookup must surface it
+    through the member expansion at jaccard 1.0."""
+    import os
+
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _IDX_BANDS_SCHEMA,
+        _IDX_SETS_SCHEMA,
+        _IDX_TOKENS_SCHEMA,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+    )
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "doc_id long, tk array<string>")
+
+    A, B, C, D = ["a", "x", "y"], ["b", "p"], ["c", "q", "r"], ["d", "z"]
+    path = str(tmp_path / "idx")
+    minhash_index_build(frame([(0, A), (1, A), (2, B), (3, C)]),
+                        "doc_id", "tk", path)
+
+    def counts():
+        return tuple(
+            spark.read.schema(schema).parquet(os.path.join(path, rel)).count()
+            for rel, schema in (("bands", _IDX_BANDS_SCHEMA),
+                                ("tokens", _IDX_TOKENS_SCHEMA),
+                                ("sets", _IDX_SETS_SCHEMA))
+        )
+
+    assert counts() == (3 * 4, 4, 3)  # 3 distinct sets x 4 bands; 4 docs
+
+    # 10 joins cluster A (indexed); 11/12 form one NEW cluster D.
+    minhash_index_append(frame([(10, A), (11, D), (12, D)]), "doc_id", "tk", path)
+    b, t, s = counts()
+    assert s == 4, "appending an indexed set must not add a sets/ row"
+    assert b == 4 * 4, "appending an indexed set must not add band rows"
+    assert t == 7
+    reps = {
+        r.doc_id: r.rep_id
+        for r in spark.read.schema(_IDX_TOKENS_SCHEMA)
+        .parquet(os.path.join(path, "tokens")).collect()
+    }
+    assert reps[10] == 0 and reps[11] == 11 and reps[12] == 11
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_index_dedup(
+            spark, frame([(20, A), (21, D)]), "doc_id", "tk", path
+        ).collect()
+    }
+    assert got == {
+        (0, 20): 1.0, (1, 20): 1.0, (10, 20): 1.0,   # via cluster A expansion
+        (11, 21): 1.0, (12, 21): 1.0,                 # via cluster D expansion
+    }
