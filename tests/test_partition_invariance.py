@@ -29,6 +29,12 @@ _OPS = [
     "topk_per_group",
     "events_rfm",
     "dedup_substring_spans",
+    # round-8: the collapsed LSH + persisted-index serving path — rep
+    # choice (min id per set), expansions, and the pb-pruned index join
+    # must not depend on shuffle width.
+    "dedup_fuzzy_minhash",
+    "dedup_incremental",
+    "dedup_cluster_stats",
 ]
 
 
