@@ -190,6 +190,9 @@ HEADLINE = [
     # exact-set duplication histogram: one scan + two combiner-bounded
     # groupBys, no joins.
     "dedup_cluster_stats",
+    # jaccard histogram at floor 0.80: the fuzzy-minhash plan + a
+    # combiner-bounded groupBy over bins.
+    "dedup_threshold_sweep",
 ]
 
 

@@ -205,7 +205,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(pair_pred: str = "TRUE") -> str:
+def _minhash_oracle(pair_pred: str = "TRUE", threshold: float = JACCARD_T) -> str:
     band_pairs = ", ".join(
         f"CAST(('0x' || substring(md5('{i}|' || "
         + " || '|' || ".join(
@@ -258,7 +258,7 @@ def _minhash_oracle(pair_pred: str = "TRUE") -> str:
                  / (len(tk_a) + len(tk_b) - len(list_intersect(tk_a, tk_b))), 6) AS jaccard
     FROM cand
     WHERE CAST(len(list_intersect(tk_a, tk_b)) AS DOUBLE)
-          / (len(tk_a) + len(tk_b) - len(list_intersect(tk_a, tk_b))) >= {JACCARD_T}
+          / (len(tk_a) + len(tk_b) - len(list_intersect(tk_a, tk_b))) >= {threshold}
       AND ({pair_pred})
     """
 
@@ -1903,3 +1903,47 @@ def dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c") * F.count(F.lit(1))).alias("n_docs"),
         ((F.col("c") - F.lit(1)) * F.count(F.lit(1))).alias("dup_docs"),
     ).drop("c")
+
+
+_SWEEP_FLOOR = 0.80  # lowest threshold the sweep surveys
+_SWEEP_BIN_E6 = 50_000  # bin width 0.05 in 1e-6 jaccard units
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS ({_minhash_oracle(threshold=_SWEEP_FLOOR)})
+    SELECT CAST(ROUND(jaccard * 1000000) AS BIGINT) // {_SWEEP_BIN_E6} AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs
+    GROUP BY 1
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair histogram by Jaccard band (width 0.05, floor 0.80)
+    — the knob-tuning dashboard for the dedup threshold: "how many more
+    pairs would T=0.90 delete than T=0.95" read off one run instead of
+    re-running the pipeline per candidate T.  Counts are pairs the
+    4×12 banding CATCHES at each level (recall follows the band curve,
+    ~0.25 at J=0.80 rising to ~1 at J→1), which is exactly the
+    population a threshold change would act on; the oracle mirrors the
+    banded construction at the same floor, so the histogram is
+    differentially gated bit-for-bit.  Binning is integer math on the
+    6-dp-rounded jaccard (never FLOOR(j/0.05), whose float division
+    misbins exact boundaries like 0.95).  Same collapsed plan as
+    dedup_fuzzy_minhash — only the threshold and the final
+    combiner-bounded groupBy differ."""
+    d = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        _doc_tokens(d), "doc_id", "tk", threshold=_SWEEP_FLOOR
+    )
+    return (
+        pairs.select(
+            F.expr(
+                f"CAST(ROUND(jaccard * 1000000) AS BIGINT) div {_SWEEP_BIN_E6}"
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -64,6 +64,7 @@ _OPS = [
     "dedup_index_compact",
     "stream_incremental_dedup",
     "dedup_cluster_stats",
+    "dedup_threshold_sweep",
     "embedding_label_centroids",
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
@@ -111,6 +112,7 @@ _BLANK_OPS = [
     "dedup_index_compact",
     "stream_incremental_dedup",
     "dedup_cluster_stats",
+    "dedup_threshold_sweep",
     "dedup_connected_components",
     "dedup_corpus_apply",
     "dedup_keep_best",

@@ -49,6 +49,7 @@ _OPS = [
     "dedup_index_compact",
     "stream_incremental_dedup",
     "dedup_cluster_stats",
+    "dedup_threshold_sweep",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

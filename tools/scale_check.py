@@ -181,6 +181,9 @@ DEFAULT_OPS = [
     "stream_incremental_dedup",
     # Duplication histogram: doc-linear scan + combiner-bounded groupBys.
     "dedup_cluster_stats",
+    # Threshold histogram: the LSH plan at floor 0.80 (pair-output
+    # allowance applies) + a bin groupBy.
+    "dedup_threshold_sweep",
 ]
 
 
