@@ -238,6 +238,7 @@ def main() -> None:
         "dedup_index_compact",
         "stream_incremental_dedup",
         "dedup_cluster_stats",
+        "dedup_threshold_sweep",
     }
 
     timings: dict[str, float] = {}
