@@ -351,3 +351,71 @@ def test_index_append_joins_existing_clusters(spark, tmp_path):
         (0, 20): 1.0, (1, 20): 1.0, (10, 20): 1.0,   # via cluster A expansion
         (11, 21): 1.0, (12, 21): 1.0,                 # via cluster D expansion
     }
+
+
+def test_compaction_preserves_append_semantics(spark, sf_dir, tmp_path):
+    """Compaction must preserve ALL THREE relations' semantics — not just
+    lookup results: sets/ drives APPEND-time cluster maintenance, so a
+    compaction that dropped or duplicated sets rows would only corrupt
+    the index on the NEXT append.  Pin: appending the same batch to the
+    grown index and to its compacted copy yields identical lookups and
+    identical sets/ cardinality."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _IDX_SETS_SCHEMA,
+        _doc_tokens,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_dedup,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 5 >= 2)
+    b1 = toks.filter(F.col("doc_id") % 5 == 0)
+    b2 = toks.filter(F.col("doc_id") % 5 == 1)
+
+    grown = str(tmp_path / "grown")
+    compacted = str(tmp_path / "compacted")
+    minhash_index_build(corpus, "doc_id", "tk", grown)
+    minhash_index_append(b1, "doc_id", "tk", grown)
+    minhash_index_compact(spark, grown, compacted)
+
+    minhash_index_append(b2, "doc_id", "tk", grown)
+    minhash_index_append(b2, "doc_id", "tk", compacted)
+
+    def sets_n(p):
+        return (
+            spark.read.schema(_IDX_SETS_SCHEMA)
+            .parquet(os.path.join(p, "sets"))
+            .count()
+        )
+
+    assert sets_n(grown) == sets_n(compacted)
+    probe = toks.filter(F.col("doc_id") % 97 == 3)
+    a = _pairs(minhash_index_dedup(spark, probe, "doc_id", "tk", grown))
+    b = _pairs(minhash_index_dedup(spark, probe, "doc_id", "tk", compacted))
+    assert a == b and a, "post-compaction append diverged (or empty probe)"
+
+
+def test_stream_equals_batch_incremental(spark, sf_dir):
+    """End-to-end Spark-side parity: the streaming ingest loop's unioned
+    micro-batch output must equal the one-shot dedup_incremental result
+    exactly (the append-twice theorem, pinned here without the DuckDB
+    oracle in the loop)."""
+    from sqlite_to_clickhouse_spark.registry import all_queries
+
+    q = all_queries()
+    batch = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["dedup_incremental"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in q["stream_incremental_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch and batch
