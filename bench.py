@@ -193,6 +193,10 @@ HEADLINE = [
     # jaccard histogram at floor 0.80: the fuzzy-minhash plan + a
     # combiner-bounded groupBy over bins.
     "dedup_threshold_sweep",
+    # (dedup_lsh_recall is correctness-gated but excluded here, the
+    # dedup_connected_components precedent: it re-times the fuzzy-minhash
+    # subtree plus an exact all-pairs side whose cost the gate measures
+    # at sf0.01, not a serving-path number.)
 ]
 
 

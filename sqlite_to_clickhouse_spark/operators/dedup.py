@@ -1947,3 +1947,93 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "dedup_lsh_recall",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               list_transform(list_filter(string_split(text, ' '), t -> t <> ''),
+                              t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)),
+               h -> h & {MERSENNE31})) AS tk32
+      FROM documents
+      WHERE len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    ),
+    ex AS (
+      SELECT COUNT(*) AS n_exact
+      FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.tk32, b.tk32)) AS DOUBLE)
+            / (len(a.tk32) + len(b.tk32) - len(list_intersect(a.tk32, b.tk32)))
+            >= {JACCARD_T}
+    ),
+    caught AS (SELECT COUNT(*) AS n_caught FROM ({_minhash_oracle()}) q)
+    SELECT CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(n_caught AS BIGINT) AS n_caught,
+           ROUND(CAST(n_caught AS DOUBLE) / NULLIF(n_exact, 0), 6) AS recall
+    FROM ex, caught
+    """,
+    tags=("llm", "dedup"),
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH recall as a HASH-GATED number, not a probabilistic
+    bound: the exact pair count at J >= 0.95 (prefix-filtered inverted
+    index — lossless by the AllPairs theorem, see
+    jaccard_prefix_candidates — over the SAME 31-bit masked token-hash
+    space the LSH verify uses) against the banded pipeline's caught
+    count.  Caught pairs are verified in that space, hence a strict
+    subset of exact — recall = caught/exact is exactly defined, both
+    sides are deterministic, and the DuckDB oracle recomputes the exact
+    side by all-pairs enumeration and the caught side by the mirrored
+    band construction, so the measured recall itself must match
+    bit-for-bit.  This is the per-corpus answer to "is 4x12 banding
+    good enough for THIS data" — the band-curve math says ~0.955 at the
+    threshold; this op says what actually happened.
+
+    Scale shape: the exact side is the prefix-filtered plan (hot tokens
+    never enter prefixes — no posting-list blowup), the caught side is
+    the collapsed LSH plan; two count aggregates cross-joined into one
+    row.  md5 space on both sides by construction (the gate spelling);
+    the xxhash64 production family has its own recall pinned by
+    tests/test_minhash_property.py instead."""
+    d = table(spark, sf_dir, "documents")
+    toks = _doc_tokens(d)
+    base_hash, _ = _minhash_family("md5")
+    t32 = toks.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.transform("tk", base_hash),
+                lambda h: h.bitwiseAND(F.lit(MERSENNE31)),
+            )
+        ).alias("tk32"),
+    ).filter(F.size("tk32") > 0)
+    # Prefix filtering runs on the masked hashes spelled as strings (the
+    # machinery is token-type-agnostic; the total order just has to be
+    # shared), one global shard.
+    str_toks = t32.select(
+        "doc_id",
+        F.lit("all").alias("lang"),
+        F.transform("tk32", lambda h: h.cast("string")).alias("tk"),
+    )
+    cand = jaccard_prefix_candidates(str_toks, 19, 20)  # 19/20 == 0.95
+    ta = t32.select(F.col("doc_id").alias("doc_a"), F.col("tk32").alias("tk_a"))
+    tb = t32.select(F.col("doc_id").alias("doc_b"), F.col("tk32").alias("tk_b"))
+    n_inter = F.size(F.array_intersect("tk_a", "tk_b")).cast("double")
+    jac = F.try_divide(
+        n_inter, F.size("tk_a") + F.size("tk_b") - n_inter
+    )
+    exact = (
+        cand.join(ta, "doc_a").join(tb, "doc_b").filter(jac >= JACCARD_T)
+    )
+    caught = minhash_lsh_pairs(toks, "doc_id", "tk", hash_mode="md5")
+    ex = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    ca = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return ex.crossJoin(ca).select(
+        "n_exact",
+        "n_caught",
+        F.round(
+            F.try_divide(F.col("n_caught"), F.nullif("n_exact", F.lit(0))), 6
+        ).alias("recall"),
+    )

@@ -65,6 +65,7 @@ _OPS = [
     "stream_incremental_dedup",
     "dedup_cluster_stats",
     "dedup_threshold_sweep",
+    "dedup_lsh_recall",
     "embedding_label_centroids",
     "text_hashing_vectorizer",
     "dedup_simhash_nn",
@@ -113,6 +114,7 @@ _BLANK_OPS = [
     "stream_incremental_dedup",
     "dedup_cluster_stats",
     "dedup_threshold_sweep",
+    "dedup_lsh_recall",
     "dedup_connected_components",
     "dedup_corpus_apply",
     "dedup_keep_best",

@@ -50,6 +50,7 @@ _OPS = [
     "stream_incremental_dedup",
     "dedup_cluster_stats",
     "dedup_threshold_sweep",
+    "dedup_lsh_recall",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

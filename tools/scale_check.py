@@ -184,6 +184,9 @@ DEFAULT_OPS = [
     # Threshold histogram: the LSH plan at floor 0.80 (pair-output
     # allowance applies) + a bin groupBy.
     "dedup_threshold_sweep",
+    # Recall gate: prefix-filtered exact side (hot tokens never enter
+    # prefixes) + the collapsed LSH side; two count aggregates.
+    "dedup_lsh_recall",
 ]
 
 
