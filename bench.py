@@ -197,6 +197,13 @@ HEADLINE = [
     # dedup_connected_components precedent: it re-times the fuzzy-minhash
     # subtree plus an exact all-pairs side whose cost the gate measures
     # at sf0.01, not a serving-path number.)
+    # Round-9 additions: tombstone deletes (lookup under tombstones;
+    # compaction that physically applies them) and the incremental ANN
+    # story (frozen-quantizer append; append-then-serve recall query).
+    "dedup_incremental_deletes",
+    "dedup_index_delete_compact",
+    "sim_index_append",
+    "sim_index_incremental",
 ]
 
 
@@ -218,6 +225,23 @@ PINNED_44 = [
     "window_rolling_distinct", "text_line_dedup", "text_repetition",
     "text_decontaminate", "text_idf_filter", "sim_pq_quantize",
 ]
+
+
+def derived_ratios(timings: dict) -> dict:
+    """Cross-query derived metrics (unit-tested in tests/test_bench_meta.py).
+
+    ``dedup_incremental_vs_full`` (VERDICT r8 item 7): the incremental-
+    dedup amortization claim as a tracked number — serving one batch
+    against the persisted index vs re-running the full one-shot LSH.
+    < 1.0 means the serving path already wins at this sf; the gap widens
+    with corpus size (measured 0.25 at the 100× sweep) because the lookup
+    cost is batch-bounded while the one-shot re-bands the whole corpus."""
+    out: dict = {}
+    if timings.get("dedup_fuzzy_minhash") and timings.get("dedup_incremental"):
+        out["dedup_incremental_vs_full"] = round(
+            timings["dedup_incremental"] / timings["dedup_fuzzy_minhash"], 4
+        )
+    return out
 
 
 def main() -> None:
@@ -243,6 +267,8 @@ def main() -> None:
         "stream_incremental_dedup",
         "dedup_cluster_stats",
         "dedup_threshold_sweep",
+        "dedup_incremental_deletes",
+        "dedup_index_delete_compact",
     }
 
     timings: dict[str, float] = {}
@@ -298,6 +324,8 @@ def main() -> None:
             md5_best = dt if md5_best is None else min(md5_best, dt)
         derived["minhash_md5_sec"] = round(md5_best, 4)
         derived["minhash_xxhash64_sec"] = timings["dedup_fuzzy_minhash"]
+
+    derived.update(derived_ratios(timings))
 
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     pinned = {n: round(timings[n], 3) for n in PINNED_44 if n in timings}

@@ -39,12 +39,13 @@ def build_lock(path: str):
     acquiring the lock (double-checked locking): the process that was
     queued behind the winner sees a fresh marker and skips its rebuild.
 
-    The lockfile is opened via ``os.open(..., 0o666)`` (honoring umask)
-    rather than ``open(..., "w")``: a plain ``open`` creates a 0644 file,
-    and on a shared multi-user /tmp the SECOND OS user then hits EACCES
-    opening the first user's lockfile — a crash where mere contention was
-    expected (ADVICE r7). Cache paths are additionally per-user
-    (``cache_base``), so this is defense in depth, not the only guard.
+    The lockfile is opened via ``os.open(O_CREAT | O_RDWR)`` rather than
+    ``open(..., "w")`` so re-acquisition never O_TRUNCs a file another
+    process holds flock'd.  The 0o666 create mode is masked by umask
+    (typically landing at 0644), so it is NOT what prevents cross-user
+    EACCES — the real guard is that cache paths are per-OS-user
+    (``cache_base``), making another user's lockfile unreachable by
+    construction (ADVICE r7/r8).
     """
     lockfile = f"{path}.lock"
     fd = os.open(lockfile, os.O_CREAT | os.O_RDWR, 0o666)

@@ -523,7 +523,24 @@ def _set_keyed(df: DataFrame, id_col: str, tokens_col: str, base_hash) -> DataFr
     ).filter(F.size("__set") > 0)
 
 
-def _clusters(keyed: DataFrame) -> DataFrame:
+def _persist_md(df: DataFrame, persisted_out: "list | None" = None) -> DataFrame:
+    """MEMORY_AND_DISK persist that optionally RECORDS the persisted frame
+    in ``persisted_out`` so a looping caller (stream_incremental_dedup's
+    foreachBatch — one lookup+append per micro-batch, for the lifetime of
+    a production stream) can unpersist batch-scoped frames after each
+    batch materializes.  Disk-backed blocks are not auto-evicted, so
+    without the hand-back a long-running stream accumulates cached blocks
+    unboundedly (ADVICE r8).  One-shot callers pass nothing and rely on
+    session teardown, as before."""
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if persisted_out is not None:
+        persisted_out.append(df)
+    return df
+
+
+def _clusters(keyed: DataFrame, persisted_out: "list | None" = None) -> DataFrame:
     """(__id, __rep) membership: representative = min id per distinct
     set.  groupBy gets map-side partial aggregation (a boilerplate
     cluster collapses before the wire); the join back is doc-linear.
@@ -536,14 +553,9 @@ def _clusters(keyed: DataFrame) -> DataFrame:
     doc (tiny relative to the arrays it derives from), identical plans
     share one cache entry across invocations, and eviction is safe (it
     recomputes)."""
-    from pyspark.storagelevel import StorageLevel
-
     reps = keyed.groupBy("__set").agg(F.min("__id").alias("__rep"))
-    return (
-        keyed.join(reps, "__set")
-        .select("__id", "__rep")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    return _persist_md(keyed.join(reps, "__set").select("__id", "__rep"),
+                       persisted_out)
 
 
 def minhash_lsh_pairs(
@@ -765,6 +777,7 @@ def minhash_index_append(
     path: str,
     *,
     hash_mode: str | None = None,
+    persisted_out: "list | None" = None,
 ) -> None:
     """Fold a processed batch INTO the index: parquet append of the
     batch's rows.  Appends only add files — no existing file is
@@ -780,7 +793,6 @@ def minhash_index_append(
     hash_mode = _resolve_hash_mode(df_new, hash_mode)
     base_hash, _ = _minhash_family(hash_mode)
     spark = df_new.sparkSession
-    from pyspark.storagelevel import StorageLevel
 
     keyed = _set_keyed(df_new, id_col, tokens_col, base_hash)
     idx_sets = spark.read.schema(_IDX_SETS_SCHEMA).parquet(
@@ -790,17 +802,17 @@ def minhash_index_append(
     # union, new sets, rep filter, tokens write) — persist the joined
     # frame once (the _clusters lesson; batch-sized, two longs + the key
     # array per row).
-    m = keyed.join(
-        idx_sets, keyed["__set"] == idx_sets["skey"], "left"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    m = _persist_md(
+        keyed.join(idx_sets, keyed["__set"] == idx_sets["skey"], "left"),
+        persisted_out,
+    )
     matched = m.filter(F.col("rep_id").isNotNull()).select(
         "__id", F.col("rep_id").alias("__rep")
     )
     fresh_keyed = m.filter(F.col("rep_id").isNull()).select("__id", "__set")
-    new_sets = (
-        fresh_keyed.groupBy("__set")
-        .agg(F.min("__id").alias("__rep"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    new_sets = _persist_md(
+        fresh_keyed.groupBy("__set").agg(F.min("__id").alias("__rep")),
+        persisted_out,
     )
     new_members = fresh_keyed.join(new_sets, "__set").select("__id", "__rep")
     members = matched.unionByName(new_members)
@@ -820,6 +832,40 @@ def minhash_index_append(
     ).write.mode("append").parquet(os.path.join(path, "sets"))
 
 
+_IDX_TOMB_SCHEMA = "doc_id long"
+
+
+def _read_tombstones(spark: SparkSession, path: str) -> "DataFrame | None":
+    """The index's tombstone relation, or None when no delete has ever
+    run (the overwhelmingly common case — the existence check keeps the
+    no-delete lookup plan byte-identical to pre-tombstone rounds).  Local
+    fs existence check; an object-store deployment would list the prefix
+    instead."""
+    t = os.path.join(path, "tombstones")
+    if not os.path.isdir(t):
+        return None
+    return spark.read.schema(_IDX_TOMB_SCHEMA).parquet(t)
+
+
+def minhash_index_delete(ids: DataFrame, path: str, *, id_col: str = "doc_id") -> None:
+    """Delete docs from the index by TOMBSTONE — the GDPR-shape
+    counterpart of maintenance_delete_rows (etl.py) for the dedup index:
+    a right-to-be-forgotten request must take effect immediately but
+    must NOT force a rewrite of a 100 TB index.  The delete appends one
+    tiny parquet file of doc_ids to ``tombstones/`` (new files only —
+    same reader-safety contract as minhash_index_append); every lookup
+    anti-joins the member store against it (and re-elects cluster
+    representatives where needed, see minhash_index_dedup), so
+    delete-then-lookup is bit-identical to rebuild-without-the-deleted
+    (pinned in tests/test_minhash_property.py).  The next compaction
+    (minhash_index_compact) physically drops tombstoned rows and clears
+    the tombstone relation.  Contract: doc ids are never reused — a
+    tombstone is forever until compaction."""
+    ids.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tombstones"))
+
+
 def minhash_index_dedup(
     spark: SparkSession,
     df_new: DataFrame,
@@ -829,6 +875,7 @@ def minhash_index_dedup(
     *,
     threshold: float = JACCARD_T,
     hash_mode: str | None = None,
+    persisted_out: "list | None" = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against the persisted index plus
     within the batch itself — the incremental serving path.  Returns
@@ -849,7 +896,9 @@ def minhash_index_dedup(
     static partition filter.  Nothing rescans the corpus text."""
     hash_mode = _resolve_hash_mode(df_new, hash_mode)
     base_hash, _ = _minhash_family(hash_mode)
-    b_members = _clusters(_set_keyed(df_new, id_col, tokens_col, base_hash))
+    b_members = _clusters(
+        _set_keyed(df_new, id_col, tokens_col, base_hash), persisted_out
+    )
     rep_ids = b_members.filter(F.col("__id") == F.col("__rep")).select("__rep")
     new_bands, new_tokh = minhash_bands_tokens(
         _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
@@ -860,10 +909,8 @@ def minhash_index_dedup(
     # run once per lookup.  This inverts the corpus-side no-persist rule
     # (minhash_bands_tokens docstring) because these are bounded by the
     # BATCH, not the corpus — the exact asymmetry of the serving path.
-    from pyspark.storagelevel import StorageLevel
-
-    new_bands = new_bands.persist(StorageLevel.MEMORY_AND_DISK)
-    new_tokh = new_tokh.persist(StorageLevel.MEMORY_AND_DISK)
+    new_bands = _persist_md(new_bands, persisted_out)
+    new_tokh = _persist_md(new_tokh, persisted_out)
     probed = [
         int(r["pb"])
         for r in new_bands.select(
@@ -875,6 +922,22 @@ def minhash_index_dedup(
     idx_tok = spark.read.schema(_IDX_TOKENS_SCHEMA).parquet(
         os.path.join(path, "tokens")
     )
+    # Tombstone-aware lookup (GDPR-shape deletes, VERDICT r8 item 4): a
+    # deleted doc must vanish from every output pair WITHOUT an index
+    # rewrite.  ``tombstones/`` (written by minhash_index_delete) is
+    # anti-joined against the member store, so deleted members never
+    # expand into pairs; when a cluster REPRESENTATIVE is deleted the
+    # verify side re-elects min live member per cluster — sound because a
+    # v2 cluster IS a distinct token set, so every member's tk32 is
+    # identical to the rep's by construction.  Bands rows key clusters by
+    # the ORIGINAL rep id; that id stays valid as a cluster label (band
+    # keys derive from the token set, not the id), and fully-deleted
+    # clusters drop out in the verify inner join.  Compaction
+    # (minhash_index_compact) physically drops tombstoned rows and
+    # re-labels clusters by their live minimum.
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        idx_tok = idx_tok.join(tomb, "doc_id", "left_anti")
 
     # batch-rep × index-rep candidates (sides kept distinct: id_a = batch
     # rep, id_b = index rep — the token stores and expansions differ).
@@ -897,10 +960,26 @@ def minhash_index_dedup(
                 F.col("ib.doc_id").alias("id_b"),
             )
         )
-        idx_rep_tok = idx_tok.filter(F.col("doc_id") == F.col("rep_id")).select(
-            F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32")
-        )
-        vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
+        if tomb is not None:
+            # Representative re-election under deletes: one row per live
+            # cluster, keyed by the (possibly deleted) original rep id the
+            # bands rows carry.  min_by is deterministic; the tk32 arrays
+            # are identical within a cluster anyway (exact-set collapse).
+            idx_rep_tok = (
+                idx_tok.groupBy("rep_id")
+                .agg(F.min_by("tk32", "doc_id").alias("tk32"))
+                .select(
+                    F.col("rep_id").alias("__id"), F.col("tk32").alias("__tk32")
+                )
+            )
+            vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
+        else:
+            idx_rep_tok = idx_tok.filter(
+                F.col("doc_id") == F.col("rep_id")
+            ).select(
+                F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32")
+            )
+            vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
 
     # batch-rep × batch-rep candidates (the small self-join).
     a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -1075,20 +1154,45 @@ def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
     (one shuffle) and rewrites with a row-group-sized file target; per
     partition it is embarrassingly parallel, and in production it runs
     against a NEW generation dir (the io.ensure_generation pattern) so
-    in-flight lookups on the old layout are never disturbed."""
+    in-flight lookups on the old layout are never disturbed.
+
+    Compaction is also where TOMBSTONES (minhash_index_delete) are
+    physically applied: deleted members drop from tokens/, clusters with
+    no live member drop entirely, and surviving clusters are RE-LABELED
+    by their minimum live doc_id across bands/tokens/sets — band keys
+    derive from the token set, never the label, so relabeling is free —
+    after which the compacted index carries no tombstone relation at all
+    and is bit-identical to an index built on the corpus minus the
+    deleted docs (pinned in tests/test_minhash_property.py)."""
+    bands = spark.read.schema(_IDX_BANDS_SCHEMA).parquet(os.path.join(path, "bands"))
+    tokens = spark.read.schema(_IDX_TOKENS_SCHEMA).parquet(
+        os.path.join(path, "tokens")
+    )
+    sets = spark.read.schema(_IDX_SETS_SCHEMA).parquet(os.path.join(path, "sets"))
+    tomb = _read_tombstones(spark, path)
+    if tomb is not None:
+        tokens = tokens.join(tomb, "doc_id", "left_anti")
+        # old cluster label -> min live member (re-election); inner joins
+        # below drop fully-deleted clusters from every relation.
+        remap = tokens.groupBy("rep_id").agg(F.min("doc_id").alias("__new"))
+        tokens = tokens.join(remap, "rep_id").select(
+            "doc_id", "tk32", F.col("__new").alias("rep_id")
+        )
+        bands = bands.join(
+            remap, bands["doc_id"] == remap["rep_id"]
+        ).select("bk", F.col("__new").alias("doc_id"), "pb")
+        sets = sets.join(remap, "rep_id").select(
+            "skey", F.col("__new").alias("rep_id")
+        )
     (
-        spark.read.schema(_IDX_BANDS_SCHEMA)
-        .parquet(os.path.join(path, "bands"))
-        .repartition("pb")
+        bands.repartition("pb")
         .write.partitionBy("pb")
         .option("maxRecordsPerFile", 5_000_000)
         .parquet(os.path.join(dst, "bands"))
     )
-    for rel, schema in (("tokens", _IDX_TOKENS_SCHEMA), ("sets", _IDX_SETS_SCHEMA)):
+    for rel, df in (("tokens", tokens), ("sets", sets)):
         (
-            spark.read.schema(schema)
-            .parquet(os.path.join(path, rel))
-            .coalesce(8)
+            df.coalesce(8)
             .write.option("maxRecordsPerFile", 5_000_000)
             .parquet(os.path.join(dst, rel))
         )
@@ -1144,6 +1248,118 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_mode=hash_mode,
         )
     minhash_index_compact(spark, grown, compacted)
+    counts = [
+        spark.read.schema(schema).parquet(os.path.join(compacted, rel)).count()
+        for rel, schema in (
+            ("bands", _IDX_BANDS_SCHEMA),
+            ("tokens", _IDX_TOKENS_SCHEMA),
+            ("sets", _IDX_SETS_SCHEMA),
+        )
+    ]
+    return spark.createDataFrame(
+        [tuple(counts)], "band_rows bigint, token_rows bigint, set_rows bigint"
+    )
+
+
+DEL_MOD, DEL_REM = 30, 3  # registered delete set: corpus docs, doc_id % 30 == 3
+# (30·k + 3) % 10 ∈ {3} ≠ 7, so the deleted set never intersects the
+# ingest batch (doc_id % 10 == 7) — deletes target only INDEXED docs.
+
+
+def _clone_incr_index(spark: SparkSession, sf_dir: str, hash_mode: str) -> str:
+    """Private mutable copy of the shared corpus index generation (file
+    clone — the production snapshot analog): deletes and appends mutate,
+    so the cached generation other ops reuse must never be the target."""
+    import shutil
+    import tempfile
+
+    src = _incr_index_path(spark, sf_dir, hash_mode)
+    dst = os.path.join(tempfile.mkdtemp(prefix="graft_idx_del_"), "idx")
+    shutil.copytree(src, dst)
+    return dst
+
+
+def _deleted_ids(docs: DataFrame) -> DataFrame:
+    return docs.filter(
+        ~_incr_batch_pred() & (F.col("doc_id") % DEL_MOD == DEL_REM)
+    ).select("doc_id")
+
+
+@register(
+    "dedup_incremental_deletes",
+    oracle=_minhash_oracle(
+        pair_pred=(
+            f"(doc_a % {INCR_MOD} = {INCR_REM} OR doc_b % {INCR_MOD} = {INCR_REM}) "
+            f"AND doc_a % {DEL_MOD} <> {DEL_REM} AND doc_b % {DEL_MOD} <> {DEL_REM}"
+        )
+    ),
+    tags=("llm", "dedup", "incremental", "maintenance"),
+)
+def dedup_incremental_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup lookup against an index with TOMBSTONED deletes
+    (VERDICT r8 item 4) — the GDPR loop: a delete request lands
+    (minhash_index_delete: one tiny tombstone file, no index rewrite),
+    and every subsequent lookup must behave as if the deleted docs were
+    never indexed.  The op tombstones the corpus docs with
+    doc_id % 30 == 3 — at typical fixture cardinalities most docs are
+    their own cluster representative, so the delete set hits REP rows and
+    the gate exercises representative re-election, not just the member
+    anti-join — then runs the standard batch lookup.  The DuckDB oracle
+    recomputes ground truth from the raw documents table restricted to
+    pairs with no deleted endpoint: delete-then-lookup must be
+    bit-identical to rebuild-without-the-deleted."""
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    idx = _clone_incr_index(spark, sf_dir, hash_mode)
+    docs = table(spark, sf_dir, "documents")
+    minhash_index_delete(_deleted_ids(docs), idx)
+    batch = docs.filter(_incr_batch_pred())
+    return minhash_index_dedup(
+        spark, _doc_tokens(batch), "doc_id", "tk", idx, hash_mode=hash_mode
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        "jaccard",
+    )
+
+
+@register(
+    "dedup_index_delete_compact",
+    oracle=f"""
+    WITH sets AS (
+      SELECT list_sort(list_distinct(list_transform(
+               list_filter(string_split(text, ' '), t -> t <> ''),
+               t -> CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT)))) AS s
+      FROM documents
+      WHERE doc_id % {INCR_MOD} <> {INCR_REM}
+        AND doc_id % {DEL_MOD} <> {DEL_REM}
+        AND len(list_filter(string_split(text, ' '), t -> t <> '')) > 0
+    )
+    SELECT CAST({N_BANDS} * COUNT(DISTINCT s) AS BIGINT) AS band_rows,
+           CAST(COUNT(*) AS BIGINT) AS token_rows,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS set_rows
+    FROM sets
+    """,
+    tags=("llm", "dedup", "incremental", "maintenance"),
+)
+def dedup_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically apply tombstones via compaction and prove the rewrite
+    equals an index built on corpus-minus-deleted: tombstone the
+    doc_id % 30 == 3 corpus docs, compact into a fresh directory
+    (deleted members dropped, fully-deleted clusters dropped, surviving
+    clusters re-labeled by min live member, tombstone relation cleared),
+    and report the COMPACTED relation counts.  The DuckDB oracle
+    recomputes all three from the raw documents table with the deleted
+    docs excluded — a leak of any tombstoned row (or loss of any live
+    one) breaks the gate.  Tombstone-clearing and bit-level equivalence
+    to rebuild-without are pinned in tests/test_minhash_property.py."""
+    import tempfile
+
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    idx = _clone_incr_index(spark, sf_dir, hash_mode)
+    docs = table(spark, sf_dir, "documents")
+    minhash_index_delete(_deleted_ids(docs), idx)
+    compacted = os.path.join(tempfile.mkdtemp(prefix="graft_idx_delc_"), "idx")
+    minhash_index_compact(spark, idx, compacted)
     counts = [
         spark.read.schema(schema).parquet(os.path.join(compacted, rel)).count()
         for rel, schema in (

@@ -69,13 +69,19 @@ def decode_payload_stub(payload: bytes, media_type: str = "text/plain") -> dict:
     if codec is not None and media_type.startswith("image/"):
         import io as _io
 
-        img = codec.open(_io.BytesIO(bytes(payload)))
-        px = img.convert("L").tobytes()
-        return {
-            "n_bytes": n,
-            "first_byte": payload[0] if n else None,
-            "checksum": sum(px) % 65536,
-        }
+        try:
+            img = codec.open(_io.BytesIO(bytes(payload)))
+            px = img.convert("L").tobytes()
+            return {
+                "n_bytes": n,
+                "first_byte": payload[0] if n else None,
+                "checksum": sum(px) % 65536,
+            }
+        except Exception:
+            # Corrupt or mislabeled payload (ADVICE r8): a decode failure
+            # must degrade to the deterministic byte-derived features —
+            # never fail the whole Arrow batch for one bad row.
+            pass
     return {
         "n_bytes": n,
         "first_byte": payload[0] if n else None,

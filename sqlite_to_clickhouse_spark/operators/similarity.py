@@ -1817,6 +1817,90 @@ def ann_index_query(
     )
 
 
+def _load_quantizer(spark: SparkSession, path: str):
+    """Driver-side quantizer state of a persisted IVF-PQ index:
+    ``(books, cent_ids, C)`` numpy arrays, or ``None`` when the index was
+    built over an empty corpus (no codebook rows).  Bounded by contract:
+    m×k codebook rows + k centroid rows — the same tiny collect
+    ann_index_query has always done."""
+    brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    if not brows:
+        return None
+    m = 1 + max(r["j"] for r in brows)
+    kk = 1 + max(r["c"] for r in brows)
+    sub = len(brows[0]["sub"])
+    books = np.empty((m, kk, sub))
+    for r in brows:
+        books[r["j"], r["c"]] = r["sub"]
+    cent_rows = sorted(
+        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        key=lambda r: r[0],
+    )
+    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    return books, cent_ids, C
+
+
+def ann_index_append(
+    spark: SparkSession,
+    new_vectors: DataFrame,
+    path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a NEW vector batch into a persisted IVF-PQ index — the
+    100 TB embedding-store ingest path (VERDICT r8 item 3, mirroring
+    minhash_index_append): a production corpus grows by batches, and
+    re-fitting quantizers + re-encoding everything per ingest is a full
+    index rebuild the serving path cannot afford.
+
+    The quantizer state is FROZEN: centroids and codebooks are read from
+    the index (tiny driver collect) and the batch is encoded against them
+    in one Arrow pass — bucket assignment + PQ code per vector — then
+    parquet-APPENDED into the bucket-partitioned codes/ relation.  New
+    files only; no existing file is rewritten, so concurrent queries are
+    safe (at worst they miss the newest batch — eventual-ingest
+    semantics).  Appending with a frozen quantizer is exactly encoding
+    the union corpus with the corpus-fit quantizer, so append-then-query
+    equals build-on-union-with-frozen-state bit-for-bit (pinned in
+    tests/test_llm_ops.py).
+
+    Re-train trigger (operational contract, not code): frozen quantizers
+    drift as the data distribution moves — production monitors encode
+    distortion (pq_encode's recon_cosine over a sample of each batch) and
+    schedules ann_index_build into a fresh generation when it degrades;
+    the immutable-generation layout (io.ensure_generation) makes that
+    rebuild invisible to in-flight queries.
+
+    Raises ValueError on an index with no quantizer state (built over an
+    empty corpus): there is nothing sound to encode against — that case
+    IS the rebuild trigger."""
+    from pyspark.sql import types as T
+
+    q = _load_quantizer(spark, path)
+    if q is None:
+        raise ValueError(
+            "ann_index_append: index has no quantizer state (empty-corpus "
+            "build) — rebuild with ann_index_build instead"
+        )
+    books, cent_ids, C = q
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        V = np.array(list(v), dtype=np.float64)
+        return pd.Series(cent_ids[np.argmax(V @ C.T, axis=1)])
+
+    coded = new_vectors.select(
+        F.col(id_col),
+        _bucket(F.col(vec_col)).alias("bucket"),
+        _pq_code_col(books)(F.col(vec_col)).alias("pq_code"),
+    )
+    coded.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+        os.path.join(path, "codes")
+    )
+
+
 def _source_fingerprint(sf_dir: str) -> str:
     """(size, mtime) fingerprint of the embeddings parquet the index was
     built from — the fixture REGENERATES between driver rounds while /tmp
@@ -1924,6 +2008,146 @@ def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         lambda e, p: ann_index_query(spark, e, path, p, k=TOP_K, nprobe=NPROBE),
+        agg_floor=IVFPQ_AGG_RECALL_FLOOR,
+    )
+
+
+ANN_INCR_MOD, ANN_INCR_REM = 10, 7  # registered split: batch = vec_id % 10 == 7
+
+
+def _ann_batch_pred():
+    return F.col("vec_id") % ANN_INCR_MOD == ANN_INCR_REM
+
+
+def _ensure_incr_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Valid persisted CORPUS-ONLY IVF-PQ index (vectors with
+    vec_id % 10 != 7) for the registered incremental ANN ops, cached as
+    an immutable generation per (embeddings fingerprint, split) — the
+    dedup _incr_index_path pattern.  Registered ops CLONE it before
+    appending (appends mutate; the shared generation must stay
+    append-free)."""
+    from sqlite_to_clickhouse_spark.io import ensure_generation
+
+    fp = (
+        _source_fingerprint(sf_dir)
+        + f"|annincr|mod{ANN_INCR_MOD}r{ANN_INCR_REM}"
+    )
+
+    def _build(gen: str) -> None:
+        corpus = table(spark, sf_dir, "embeddings").filter(~_ann_batch_pred())
+        ann_index_build(spark, corpus, gen).collect()
+
+    return ensure_generation("ann_incr_idx", sf_dir, fp, _build)
+
+
+def _clone_incr_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Private mutable copy of the corpus ANN index (file clone — the
+    production snapshot analog, near-free copy-on-write on object
+    stores)."""
+    import shutil
+    import tempfile
+
+    src = _ensure_incr_ann_index(spark, sf_dir)
+    dst = os.path.join(tempfile.mkdtemp(prefix="ann_incr_idx_"), "idx")
+    shutil.copytree(src, dst)
+    return dst
+
+
+@register(
+    "sim_index_append",
+    oracle="""
+    SELECT 'codes_rows_eq_corpus_plus_batch' AS component, TRUE AS ok
+    UNION ALL SELECT 'quantizer_frozen', TRUE
+    UNION ALL SELECT 'append_added_files_only', TRUE
+    """,
+    tags=("llm", "similarity", "approx", "incremental"),
+)
+def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grow the persisted IVF-PQ index by a new vector batch
+    (ann_index_append) and gate the append contract bound-as-result (the
+    sim_index_build pattern — quantizer-dependent state can't be
+    recomputed in SQL, so the op asserts its own invariants in-band):
+
+    - ``codes_rows_eq_corpus_plus_batch``: after the append the codes
+      relation holds exactly one row per vector of corpus ∪ batch — no
+      row was lost, duplicated, or rewritten;
+    - ``quantizer_frozen``: the centroid/codebook files are byte-identical
+      before and after — an append must never silently re-train;
+    - ``append_added_files_only``: every pre-append codes file still
+      exists afterwards — the reader-safety contract (concurrent queries
+      scanning the old file set are never invalidated).
+
+    Empty-corpus degenerate case: there is no quantizer to freeze, so the
+    op performs the documented re-train trigger instead (ann_index_build
+    over the batch) and the checks collapse to their build-time
+    equivalents."""
+    import glob as _glob
+    import hashlib
+
+    def _state_digest(p: str) -> str:
+        h = hashlib.md5()
+        for rel in ("centroids", "codebooks"):
+            for f in sorted(_glob.glob(os.path.join(p, rel, "*.parquet"))):
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    def _code_files(p: str) -> set:
+        return {
+            os.path.relpath(f, p)
+            for f in _glob.glob(os.path.join(p, "codes", "**", "*.parquet"),
+                                recursive=True)
+        }
+
+    e = table(spark, sf_dir, "embeddings")
+    batch = e.filter(_ann_batch_pred())
+    n_all = e.count()
+    idx = _clone_incr_ann_index(spark, sf_dir)
+    pre_files = _code_files(idx)
+    pre_state = _state_digest(idx)
+    if _load_quantizer(spark, idx) is None:
+        # Empty corpus: the append IS a rebuild (see docstring).
+        ann_index_build(spark, batch, idx).collect()
+        pre_files = set()  # a rebuild replaces the (empty) file set
+        pre_state = _state_digest(idx)
+    elif batch.limit(1).count():
+        ann_index_append(spark, batch, idx)
+    post = spark.read.parquet(os.path.join(idx, "codes")).count() if n_all else 0
+    checks = [
+        ("codes_rows_eq_corpus_plus_batch", post == n_all),
+        ("quantizer_frozen", _state_digest(idx) == pre_state),
+        ("append_added_files_only", pre_files <= _code_files(idx)),
+    ]
+    return spark.createDataFrame(checks, "component STRING, ok BOOLEAN")
+
+
+@register(
+    "sim_index_incremental",
+    oracle=_recall_oracle(),
+    tags=("llm", "similarity", "approx", "incremental"),
+)
+def sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve top-k ANN from an APPEND-GROWN index: corpus index built
+    once (cached generation), the new batch (vec_id % 10 == 7)
+    parquet-appended with the frozen quantizer, then the standard routed
+    query over the grown index — the full ingest-then-serve loop a
+    100 TB embedding store runs per batch, with no corpus re-encode
+    anywhere.  Gate rendering: the same recall bound as sim_index_query
+    (exact side recomputed brute-force by DuckDB); appended vectors are
+    first-class — they are both findable (in the routed bucket scan) and
+    probe-visible (the exact rerank reads the raw vectors table).
+    Append-twice-equals-once and append≡frozen-encode-of-union are pinned
+    in tests/test_llm_ops.py."""
+    idx = _clone_incr_ann_index(spark, sf_dir)
+    batch = table(spark, sf_dir, "embeddings").filter(_ann_batch_pred())
+    if _load_quantizer(spark, idx) is None:
+        ann_index_build(spark, batch, idx).collect()  # empty-corpus rebuild
+    elif batch.limit(1).count():
+        ann_index_append(spark, batch, idx)
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e, p: ann_index_query(spark, e, idx, p, k=TOP_K, nprobe=NPROBE),
         agg_floor=IVFPQ_AGG_RECALL_FLOOR,
     )
 

@@ -622,17 +622,45 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(tempfile.mkdtemp(prefix="stream_incr_out_"), "pairs")
     pair_schema = "doc_a bigint, doc_b bigint, jaccard double"
     # Pre-create so an empty batch (zero micro-batches) still reads back.
-    spark.createDataFrame([], pair_schema).write.parquet(out)
+    spark.createDataFrame([], pair_schema).write.parquet(os.path.join(out, "ep-init"))
     ckpt = tempfile.mkdtemp(prefix="stream_incr_ckpt_")
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
+        # Idempotent by epoch_id (ADVICE r8): foreachBatch RETRIES a failed
+        # micro-batch under the same epoch_id, so (1) pair output goes to a
+        # per-epoch directory with mode("overwrite") — a retry replaces its
+        # own half-written output instead of blind-appending duplicates —
+        # and (2) the index append is guarded by a per-epoch marker written
+        # only AFTER the append commits, so a retry never re-appends (which
+        # would violate minhash_index_append's ids-not-already-indexed
+        # contract).  A crash between append and marker can still double-
+        # append — exactly-once there needs a transactional table format —
+        # but the common retry paths (lookup failure, output-write failure)
+        # are now replay-safe.
+        append_marker = os.path.join(idx, "_applied_epochs", str(epoch_id))
+        # Batch-scoped persisted frames are handed back and unpersisted per
+        # micro-batch: a production stream runs this loop indefinitely, and
+        # disk-backed cached blocks are never auto-evicted (ADVICE r8).
+        batch_persists: list = []
         toks = _doc_tokens(bdf)
-        minhash_index_dedup(spark, toks, "doc_id", "tk", idx).select(
-            F.col("id_a").alias("doc_a"),
-            F.col("id_b").alias("doc_b"),
-            "jaccard",
-        ).write.mode("append").parquet(out)
-        minhash_index_append(toks, "doc_id", "tk", idx)
+        try:
+            minhash_index_dedup(
+                spark, toks, "doc_id", "tk", idx, persisted_out=batch_persists
+            ).select(
+                F.col("id_a").alias("doc_a"),
+                F.col("id_b").alias("doc_b"),
+                "jaccard",
+            ).write.mode("overwrite").parquet(os.path.join(out, f"ep-{epoch_id}"))
+            if not os.path.exists(append_marker):
+                minhash_index_append(
+                    toks, "doc_id", "tk", idx, persisted_out=batch_persists
+                )
+                os.makedirs(os.path.dirname(append_marker), exist_ok=True)
+                with open(append_marker, "w"):
+                    pass
+        finally:
+            for frame in batch_persists:
+                frame.unpersist()
 
     q = (
         spark.readStream.schema(batch.schema)
@@ -644,7 +672,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    return spark.read.schema(pair_schema).parquet(out)
+    # One subdirectory per epoch (plus the ep-init empty seed): enumerate
+    # them explicitly — the layout is per-epoch by design (idempotence),
+    # not a partitioned table.
+    parts = [os.path.join(out, d) for d in sorted(os.listdir(out))]
+    return spark.read.schema(pair_schema).parquet(*parts)
 
 
 def _wire_stream_incremental_oracle() -> None:

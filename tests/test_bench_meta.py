@@ -1,0 +1,41 @@
+"""Bench harness meta-invariants — cheap structural checks that keep the
+benchmark honest without running it: the pinned round-over-round subset
+stays frozen inside HEADLINE, every timed name is a registered op, and the
+derived amortization ratio (VERDICT r8 item 7) is computed and tracked."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import bench
+from sqlite_to_clickhouse_spark.registry import all_queries
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_headline_names_are_registered_and_contain_pinned():
+    q = all_queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, f"HEADLINE names not in registry: {missing}"
+    assert set(bench.PINNED_44) <= set(bench.HEADLINE)
+    assert len(bench.PINNED_44) == 44  # frozen: extensions go to HEADLINE
+
+
+def test_derived_incremental_vs_full_ratio():
+    d = bench.derived_ratios(
+        {"dedup_fuzzy_minhash": 2.0, "dedup_incremental": 0.5}
+    )
+    assert d["dedup_incremental_vs_full"] == 0.25 > 0
+    # absent inputs -> absent key, never a crash or a zero-division
+    assert bench.derived_ratios({}) == {}
+    assert bench.derived_ratios({"dedup_fuzzy_minhash": 0.0}) == {}
+
+
+def test_committed_bench_full_tracks_the_ratio():
+    """BENCH_FULL.json is refreshed by every bench run and committed; from
+    round 9 on it must carry the amortization ratio as a positive number."""
+    with open(os.path.join(_REPO, "BENCH_FULL.json")) as fh:
+        full = json.load(fh)
+    ratio = full.get("derived", {}).get("dedup_incremental_vs_full")
+    assert ratio is not None and ratio > 0

@@ -73,6 +73,11 @@ _OPS = [
     "events_active_users",
     "fn_geohash",
     "sample_exact_quota",
+    # round-9 additions (freeze lifted)
+    "dedup_incremental_deletes",
+    "dedup_index_delete_compact",
+    "sim_index_append",
+    "sim_index_incremental",
 ]
 
 
@@ -122,6 +127,9 @@ _BLANK_OPS = [
     "text_compression_ratio",
     # blank docs = all-zero simhash fingerprints: must be dropped pre-band
     "dedup_simhash_nn",
+    # round-9: tombstoned lookup/compaction share the banding front half
+    "dedup_incremental_deletes",
+    "dedup_index_delete_compact",
 ]
 
 

@@ -419,3 +419,115 @@ def test_stream_equals_batch_incremental(spark, sf_dir):
         for r in q["stream_incremental_dedup"].fn(spark, sf_dir).collect()
     }
     assert stream == batch and batch
+
+
+def test_delete_then_lookup_equals_rebuild_without(spark, sf_dir, tmp_path):
+    """Tombstone deletes (minhash_index_delete, VERDICT r8 item 4): after
+    deleting docs from the index, a batch lookup must be BIT-IDENTICAL to
+    a lookup against an index REBUILT on corpus-minus-deleted — no
+    deleted endpoint may survive in any pair, no live pair may be lost.
+    The delete set is chosen so it hits cluster REPRESENTATIVES (asserted
+    below), so the equality covers the re-election path, not just the
+    member anti-join."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _IDX_TOKENS_SCHEMA,
+        _doc_tokens,
+        minhash_index_build,
+        minhash_index_dedup,
+        minhash_index_delete,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 10 != 7)
+    batch = toks.filter(F.col("doc_id") % 10 == 7)
+    del_pred = F.col("doc_id") % 30 == 3
+
+    p_del = str(tmp_path / "idx_del")
+    minhash_index_build(corpus, "doc_id", "tk", p_del)
+    # The delete set must include representative rows, or this test
+    # would silently stop covering re-election on a regenerated fixture.
+    reps_deleted = (
+        spark.read.schema(_IDX_TOKENS_SCHEMA)
+        .parquet(os.path.join(p_del, "tokens"))
+        .filter((F.col("doc_id") == F.col("rep_id")) & (F.col("doc_id") % 30 == 3))
+        .count()
+    )
+    assert reps_deleted > 0, "delete set hit no cluster representative"
+    minhash_index_delete(corpus.filter(del_pred).select("doc_id"), p_del)
+    got = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", p_del))
+
+    p_ref = str(tmp_path / "idx_ref")
+    minhash_index_build(corpus.filter(~del_pred), "doc_id", "tk", p_ref)
+    want = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", p_ref))
+
+    assert got == want
+    assert want, "fixture produced no pairs after deletion; loosen the split"
+    # And the tombstones actually removed something a plain lookup had.
+    p_plain = str(tmp_path / "idx_plain")
+    minhash_index_build(corpus, "doc_id", "tk", p_plain)
+    plain = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", p_plain))
+    dropped = {p for p in plain if p not in want}
+    assert dropped, "deletion removed no pair — delete set too sparse to test"
+
+
+def test_delete_compact_equals_rebuild_without(spark, sf_dir, tmp_path):
+    """Compaction physically applies tombstones: the compacted index's
+    three relations must be CONTENT-IDENTICAL to an index built on
+    corpus-minus-deleted (bands relabeled to the min live member exactly
+    as a rebuild would elect it), and the compacted copy must carry no
+    tombstone relation at all."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _IDX_BANDS_SCHEMA,
+        _IDX_SETS_SCHEMA,
+        _IDX_TOKENS_SCHEMA,
+        _doc_tokens,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_delete,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 10 != 7)
+    del_pred = F.col("doc_id") % 30 == 3
+
+    grown = str(tmp_path / "grown")
+    minhash_index_build(corpus, "doc_id", "tk", grown)
+    minhash_index_delete(corpus.filter(del_pred).select("doc_id"), grown)
+    compacted = str(tmp_path / "compacted")
+    minhash_index_compact(spark, grown, compacted)
+    assert not os.path.isdir(os.path.join(compacted, "tombstones"))
+
+    ref = str(tmp_path / "ref")
+    minhash_index_build(corpus.filter(~del_pred), "doc_id", "tk", ref)
+
+    def rel(p, name, schema, cols):
+        def freeze(v):  # array columns (skey, tk32) -> hashable tuples
+            return tuple(v) if isinstance(v, list) else v
+
+        return {
+            tuple(freeze(x) for x in r)
+            for r in spark.read.schema(schema)
+            .parquet(os.path.join(p, name))
+            .select(*cols)
+            .collect()
+        }
+
+    for name, schema, cols in (
+        ("bands", _IDX_BANDS_SCHEMA, ["bk", "doc_id"]),
+        ("sets", _IDX_SETS_SCHEMA, ["skey", "rep_id"]),
+        ("tokens", _IDX_TOKENS_SCHEMA, ["doc_id", "tk32", "rep_id"]),
+    ):
+        got = rel(compacted, name, schema, cols)
+        want = rel(ref, name, schema, cols)
+        assert got == want, f"{name} diverged: {len(got)} vs {len(want)} rows"
+        assert got, f"{name} empty — fixture too sparse to exercise the test"

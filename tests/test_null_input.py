@@ -51,6 +51,9 @@ _OPS = [
     "dedup_cluster_stats",
     "dedup_threshold_sweep",
     "dedup_lsh_recall",
+    # round-9: NULL text must tombstone/compact identically on both sides
+    "dedup_incremental_deletes",
+    "dedup_index_delete_compact",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

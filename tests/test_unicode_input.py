@@ -48,6 +48,8 @@ _OPS = [
     "dedup_simhash_nn",
     # round-8: persisted-index banding must agree with DuckDB byte-wise
     "dedup_incremental",
+    # round-9: tombstoned lookup shares that banding front half
+    "dedup_incremental_deletes",
 ]
 
 

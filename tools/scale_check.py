@@ -187,6 +187,19 @@ DEFAULT_OPS = [
     # Recall gate: prefix-filtered exact side (hot tokens never enter
     # prefixes) + the collapsed LSH side; two count aggregates.
     "dedup_lsh_recall",
+    # Round-9: tombstoned lookup = dedup_incremental + one anti-join of
+    # the member store against a ~3%-of-corpus tombstone relation and a
+    # per-cluster re-election aggregate — both index-row-linear.  The
+    # delete-compaction is the index_compact rewrite with the same
+    # anti-join/remap joins folded in — linear in index rows.
+    "dedup_incremental_deletes",
+    "dedup_index_delete_compact",
+    # Incremental ANN: append encodes only the ~10% batch (one Arrow
+    # pass, frozen quantizer — no refit, no corpus re-read) + a
+    # bucket-partitioned append; the serve query is sim_index_query's
+    # pruned-bucket plan on the grown index — both input-linear.
+    "sim_index_append",
+    "sim_index_incremental",
 ]
 
 
