@@ -789,3 +789,45 @@ def test_ann_incremental_query_finds_appended_vectors(spark, sf_dir):
     }
     batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
     assert batch_ids and batch_ids <= got, "appended ids missing from codes"
+
+
+def test_decode_payload_codec_branch_via_stub(monkeypatch):
+    """The real-codec branch and its decode-failure fallback (ADVICE r8),
+    executed in THIS container: PIL cannot be installed here (no pip),
+    so a stub codec with PIL.Image.open's interface drives the branch —
+    (a) a successful decode must checksum the PIXELS, not the bytes, and
+    (b) a decode that raises (corrupt/mislabeled payload) must degrade to
+    the deterministic byte-derived features, never propagate."""
+    from sqlite_to_clickhouse_spark.operators import multimodal
+
+    class _Img:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def tobytes(self):
+            return bytes([10, 20, 30])
+
+    class _GoodCodec:
+        @staticmethod
+        def open(fh):
+            return _Img()
+
+    class _BadCodec:
+        @staticmethod
+        def open(fh):
+            raise OSError("cannot identify image file")
+
+    payload = b"\x89PNG fake bytes"
+    byte_fake = multimodal.decode_payload_stub(payload)  # text/plain path
+
+    monkeypatch.setattr(multimodal, "_try_real_codec", lambda: _GoodCodec)
+    real = multimodal.decode_payload_stub(payload, media_type="image/png")
+    assert real["checksum"] == (10 + 20 + 30) % 65536  # pixel-derived
+    assert real["n_bytes"] == len(payload) == byte_fake["n_bytes"]
+    assert real["first_byte"] == payload[0]
+    assert set(real) == set(byte_fake)
+
+    monkeypatch.setattr(multimodal, "_try_real_codec", lambda: _BadCodec)
+    degraded = multimodal.decode_payload_stub(payload, media_type="image/png")
+    assert degraded == byte_fake  # falls back to the byte-derived features

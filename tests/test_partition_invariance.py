@@ -35,6 +35,9 @@ _OPS = [
     "dedup_fuzzy_minhash",
     "dedup_incremental",
     "dedup_cluster_stats",
+    # round-9: tombstoned lookup adds an anti-join + a per-cluster
+    # re-election aggregate (min_by) — both must be width-independent.
+    "dedup_incremental_deletes",
 ]
 
 
