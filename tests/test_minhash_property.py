@@ -531,3 +531,43 @@ def test_delete_compact_equals_rebuild_without(spark, sf_dir, tmp_path):
         want = rel(ref, name, schema, cols)
         assert got == want, f"{name} diverged: {len(got)} vs {len(want)} rows"
         assert got, f"{name} empty — fixture too sparse to exercise the test"
+
+
+def test_delete_then_append_then_lookup_equals_rebuild(spark, sf_dir, tmp_path):
+    """Delete/append INTERPLAY: tombstoning, then growing the index by a
+    new batch, then serving a second batch must equal the same
+    append+lookup against an index built without the deleted docs.  This
+    covers the subtle seam: an appended doc identical to a FULLY-DELETED
+    cluster joins that dead cluster's sets/ row in the tombstoned index
+    but forms a fresh cluster in the rebuilt one — the member-pair output
+    must be identical either way (cluster labels never leak)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+        minhash_index_delete,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 5 >= 2)
+    b1 = toks.filter(F.col("doc_id") % 5 == 0)
+    b2 = toks.filter(F.col("doc_id") % 5 == 1)
+    del_pred = F.col("doc_id") % 15 == 3  # subset of the corpus split
+
+    p_a = str(tmp_path / "tombstoned")
+    minhash_index_build(corpus, "doc_id", "tk", p_a)
+    minhash_index_delete(corpus.filter(del_pred).select("doc_id"), p_a)
+    minhash_index_append(b1, "doc_id", "tk", p_a)
+    got = _pairs(minhash_index_dedup(spark, b2, "doc_id", "tk", p_a))
+
+    p_b = str(tmp_path / "rebuilt")
+    minhash_index_build(corpus.filter(~del_pred), "doc_id", "tk", p_b)
+    minhash_index_append(b1, "doc_id", "tk", p_b)
+    want = _pairs(minhash_index_dedup(spark, b2, "doc_id", "tk", p_b))
+
+    assert got == want
+    assert want, "fixture produced no pairs; loosen the splits"
