@@ -39,6 +39,7 @@ def __getattr__(name):
         "minhash_index_append": "sqlite_to_clickhouse_spark.operators.dedup",
         "minhash_index_dedup": "sqlite_to_clickhouse_spark.operators.dedup",
         "minhash_index_compact": "sqlite_to_clickhouse_spark.operators.dedup",
+        "minhash_index_delete": "sqlite_to_clickhouse_spark.operators.dedup",
         "connected_components": "sqlite_to_clickhouse_spark.operators.dedup",
         "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
         "topk_cosine_blocked": "sqlite_to_clickhouse_spark.operators.similarity",
@@ -46,6 +47,7 @@ def __getattr__(name):
         "ivfpq_topk": "sqlite_to_clickhouse_spark.operators.similarity",
         "ann_index_build": "sqlite_to_clickhouse_spark.operators.similarity",
         "ann_index_query": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ann_index_append": "sqlite_to_clickhouse_spark.operators.similarity",
         "pq_encode": "sqlite_to_clickhouse_spark.operators.similarity",
         "pca_components": "sqlite_to_clickhouse_spark.operators.similarity",
         "train_sample": "sqlite_to_clickhouse_spark.operators.similarity",

@@ -960,26 +960,32 @@ def minhash_index_dedup(
                 F.col("ib.doc_id").alias("id_b"),
             )
         )
+        idx_rep_tok = idx_tok.filter(F.col("doc_id") == F.col("rep_id")).select(
+            F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32")
+        )
         if tomb is not None:
-            # Representative re-election under deletes: one row per live
-            # cluster, keyed by the (possibly deleted) original rep id the
-            # bands rows carry.  min_by is deterministic; the tk32 arrays
-            # are identical within a cluster anyway (exact-set collapse).
-            idx_rep_tok = (
-                idx_tok.groupBy("rep_id")
+            # Representative re-election under deletes — TOMBSTONE-bounded,
+            # never corpus-bounded: a deleted rep's row is already gone
+            # from the anti-joined member store, so the surviving rep rows
+            # serve verbatim (the map-side filter above), and only
+            # clusters whose rep_id IS tombstoned re-elect min live member
+            # (semi-join against the small tombstone set, then a groupBy
+            # over just those clusters' members).  min_by is deterministic;
+            # the tk32 arrays are identical within a cluster anyway
+            # (exact-set collapse), and the two branches are disjoint by
+            # construction (a tombstoned rep has no surviving rep row).
+            reelected = (
+                idx_tok.join(
+                    tomb.select(F.col("doc_id").alias("rep_id")), "rep_id", "semi"
+                )
+                .groupBy("rep_id")
                 .agg(F.min_by("tk32", "doc_id").alias("tk32"))
                 .select(
                     F.col("rep_id").alias("__id"), F.col("tk32").alias("__tk32")
                 )
             )
-            vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
-        else:
-            idx_rep_tok = idx_tok.filter(
-                F.col("doc_id") == F.col("rep_id")
-            ).select(
-                F.col("doc_id").alias("__id"), F.col("tk32").alias("__tk32")
-            )
-            vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
+            idx_rep_tok = idx_rep_tok.unionByName(reelected)
+        vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
 
     # batch-rep × batch-rep candidates (the small self-join).
     a, b = new_bands.alias("a"), new_bands.alias("b")
