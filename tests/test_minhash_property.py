@@ -249,6 +249,26 @@ def test_incremental_lookup_prunes_band_partitions(spark, sf_dir, tmp_path):
     ]
     assert hits, f"no pb partition filter in plan:\n{plan}"
 
+    # Tombstones must not cost the pruning: the same lookup against a
+    # tombstoned index keeps the static pb filter on the bands scan (the
+    # anti-join and re-election touch tokens/, never the bands path).
+    from sqlite_to_clickhouse_spark.operators.dedup import minhash_index_delete
+
+    minhash_index_delete(
+        docs.filter(F.col("doc_id") % 30 == 3).select("doc_id"), path
+    )
+    df_t = minhash_index_dedup(spark, batch, "doc_id", "tk", path)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df_t.explain("formatted")
+    plan_t = buf.getvalue()
+    hits_t = [
+        l
+        for l in plan_t.splitlines()
+        if "PartitionFilters" in l and "pb" in l and "IN (" in l.upper()
+    ]
+    assert hits_t, f"tombstones lost the pb partition filter:\n{plan_t}"
+
 
 def test_index_compaction_preserves_lookups_and_collapses_files(
     spark, sf_dir, tmp_path
