@@ -2013,6 +2013,14 @@ def sim_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_INCR_MOD, ANN_INCR_REM = 10, 7  # registered split: batch = vec_id % 10 == 7
+# Serving knob for append-grown indexes: the quantizer was trained on the
+# corpus only, so appended vectors sit slightly off-center in its Voronoi
+# cells and a borderline probe can route past its true neighbors.  The
+# standard compensation is MORE PROBING, not a re-train per ingest —
+# nprobe 4 (vs the full-trained index's 2) restored the last per-probe
+# recall miss at sf0.1 while still scanning only ~nprobe/k of the bucket
+# directories (the partition pruning is unchanged).
+ANN_INCR_NPROBE = 4
 
 
 def _ann_batch_pred():
@@ -2147,7 +2155,9 @@ def sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_gate(
         spark,
         sf_dir,
-        lambda e, p: ann_index_query(spark, e, idx, p, k=TOP_K, nprobe=NPROBE),
+        lambda e, p: ann_index_query(
+            spark, e, idx, p, k=TOP_K, nprobe=ANN_INCR_NPROBE
+        ),
         agg_floor=IVFPQ_AGG_RECALL_FLOOR,
     )
 
