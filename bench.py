@@ -204,6 +204,10 @@ HEADLINE = [
     "dedup_index_delete_compact",
     "sim_index_append",
     "sim_index_incremental",
+    # ANN tombstone deletes (lookup under tombstones; compaction that
+    # physically applies them with the quantizer untouched).
+    "sim_index_delete",
+    "sim_index_delete_compact",
 ]
 
 

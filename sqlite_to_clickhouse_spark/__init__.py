@@ -48,6 +48,8 @@ def __getattr__(name):
         "ann_index_build": "sqlite_to_clickhouse_spark.operators.similarity",
         "ann_index_query": "sqlite_to_clickhouse_spark.operators.similarity",
         "ann_index_append": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ann_index_delete": "sqlite_to_clickhouse_spark.operators.similarity",
+        "ann_index_compact": "sqlite_to_clickhouse_spark.operators.similarity",
         "pq_encode": "sqlite_to_clickhouse_spark.operators.similarity",
         "pca_components": "sqlite_to_clickhouse_spark.operators.similarity",
         "train_sample": "sqlite_to_clickhouse_spark.operators.similarity",

@@ -805,7 +805,7 @@ _RECALL_ORACLE = f"""
       SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
              {{cos}} AS cos
       FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
-      WHERE p.vec_id < {N_PROBES}
+      WHERE p.vec_id < {N_PROBES} AND ({{cand_pred}})
     ),
     exact AS (
       SELECT probe_id, vec_id
@@ -823,8 +823,13 @@ _RECALL_ORACLE = f"""
 """
 
 
-def _recall_oracle() -> str:
-    return _RECALL_ORACLE.format(cos=_cos_sql("p.embedding", "c.embedding"))
+def _recall_oracle(cand_pred: str = "TRUE") -> str:
+    """The brute-force recall ground truth; ``cand_pred`` restricts the
+    CANDIDATE side (e.g. excluding tombstoned vectors for the delete
+    gate) while probes stay the fixed vec_id < N_PROBES set."""
+    return _RECALL_ORACLE.format(
+        cos=_cos_sql("p.embedding", "c.embedding"), cand_pred=cand_pred
+    )
 
 
 def _recall_gate(
@@ -834,6 +839,7 @@ def _recall_gate(
     *,
     per_floor: float = ANN_PER_PROBE_RECALL_FLOOR,
     agg_floor: float,
+    cand_filter=None,
 ) -> DataFrame:
     """Run an ANN search and render it as the driver-gateable recall
     bound: per probe, the exact-top-k count (differential vs DuckDB) and
@@ -847,7 +853,10 @@ def _recall_gate(
     probes = e.filter(F.col("vec_id") < N_PROBES).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
     )
-    exact = topk_cosine(e, probes, k=TOP_K).select("probe_id", "vec_id")
+    # ``cand_filter`` restricts the exact CANDIDATE side only (the delete
+    # gate's live-vectors ground truth); probes stay the fixed set.
+    e_exact = e.filter(cand_filter) if cand_filter is not None else e
+    exact = topk_cosine(e_exact, probes, k=TOP_K).select("probe_id", "vec_id")
     ann = ann_fn(e, probes).select(
         "probe_id", "vec_id", F.lit(1).alias("hit")
     )
@@ -1697,6 +1706,73 @@ def ann_index_build(
     return spark.createDataFrame(manifest, "component STRING, n_rows BIGINT")
 
 
+def _read_ann_tombstones(
+    spark: SparkSession, path: str, id_col: str
+) -> "DataFrame | None":
+    """The ANN index's tombstone relation, or None when no delete has
+    ever run (the common case — the existence check keeps the no-delete
+    query plan unchanged).  Local fs check; an object-store deployment
+    would list the prefix."""
+    t = os.path.join(path, "tombstones")
+    if not os.path.isdir(t):
+        return None
+    return spark.read.schema(f"{id_col} long").parquet(t)
+
+
+def ann_index_delete(ids: DataFrame, path: str, *, id_col: str = "vec_id") -> None:
+    """Delete vectors from a persisted IVF-PQ index by TOMBSTONE — the
+    GDPR-shape counterpart of minhash_index_delete (dedup.py) for the
+    embedding store: the erased vector must stop being served as a
+    neighbor immediately, without rewriting a 100 TB codes relation.
+    Appends one tiny parquet file of ids to ``tombstones/`` (new files
+    only — concurrent queries are never invalidated); ann_index_query
+    anti-joins candidates against it right after the pruned bucket scan,
+    which is exactly equivalent to physical removal since the quantizer
+    and every surviving code row are untouched.  ann_index_compact
+    physically drops tombstoned rows and clears the relation.  Contract:
+    vector ids are never reused."""
+    ids.select(F.col(id_col).cast("long").alias(id_col)).write.mode(
+        "append"
+    ).parquet(os.path.join(path, "tombstones"))
+
+
+def ann_index_compact(
+    spark: SparkSession, path: str, dst: str, *, id_col: str = "vec_id"
+) -> None:
+    """Rewrite an append-grown/tombstoned IVF-PQ index into a compacted
+    copy at ``dst``: per-ingest appends leave one small file per touched
+    bucket partition (the same small-file problem minhash_index_compact
+    exists for), and tombstones accumulate until physically applied.
+    The codes relation is re-clustered by bucket minus the tombstoned
+    rows; the quantizer state (centroids/codebooks) is copied VERBATIM —
+    compaction never re-trains, so compacted-index queries are
+    bit-identical to tombstoned-index queries (pinned in
+    tests/test_llm_ops.py).  In production this writes into a fresh
+    io.ensure_generation dir so in-flight queries on the old layout are
+    undisturbed."""
+    import shutil
+
+    codes = spark.read.parquet(os.path.join(path, "codes"))
+    tomb = _read_ann_tombstones(spark, path, id_col)
+    if tomb is not None:
+        codes = codes.join(tomb, id_col, "left_anti")
+    if codes.limit(1).count() == 0:
+        # An empty partitioned write emits no parquet footer, leaving the
+        # compacted codes dir schema-less for readers — write the empty
+        # relation unpartitioned (schema embedded), like ann_index_build's
+        # empty-corpus branch.
+        codes.write.mode("overwrite").parquet(os.path.join(dst, "codes"))
+    else:
+        (
+            codes.repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("maxRecordsPerFile", 5_000_000)
+            .parquet(os.path.join(dst, "codes"))
+        )
+    for rel in ("centroids", "codebooks"):
+        shutil.copytree(os.path.join(path, rel), os.path.join(dst, rel))
+
+
 def ann_index_query(
     spark: SparkSession,
     vectors: DataFrame,
@@ -1778,6 +1854,16 @@ def ann_index_query(
     codes = spark.read.parquet(os.path.join(path, "codes")).filter(
         F.col("bucket").isin(sorted(wanted))
     )
+    # Tombstone-aware serving (ann_index_delete): deleted vectors drop out
+    # of the candidate set right after the pruned scan — an anti-join on
+    # the tiny tombstone relation (broadcast-sized by contract), exactly
+    # equivalent to physically removing their code rows (same quantizer,
+    # same ADC ranking over the survivors; pinned in tests/test_llm_ops.py
+    # against ann_index_compact's physical rewrite).  No tombstones → the
+    # plan is byte-identical to pre-delete rounds.
+    tomb = _read_ann_tombstones(spark, path, id_col)
+    if tomb is not None:
+        codes = codes.join(tomb, id_col, "left_anti")
     w_rerank = Window.partitionBy(probe_id_col).orderBy(
         F.desc("adc"), F.asc(id_col)
     )
@@ -2159,6 +2245,109 @@ def sim_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, e, idx, p, k=TOP_K, nprobe=ANN_INCR_NPROBE
         ),
         agg_floor=IVFPQ_AGG_RECALL_FLOOR,
+    )
+
+
+ANN_DEL_MOD, ANN_DEL_REM = 30, 3  # registered delete set: vec_id % 30 == 3
+
+
+def _clone_full_index(spark: SparkSession, sf_dir: str) -> str:
+    """Private mutable copy of the shared full-corpus index generation
+    (deletes mutate; the cached generation other ops reuse must never be
+    the target)."""
+    import shutil
+    import tempfile
+
+    src, _ = _ensure_index(spark, sf_dir)
+    dst = os.path.join(tempfile.mkdtemp(prefix="ann_del_idx_"), "idx")
+    shutil.copytree(src, dst)
+    return dst
+
+
+@register(
+    "sim_index_delete",
+    oracle=_recall_oracle(
+        cand_pred=f"c.vec_id % {ANN_DEL_MOD} <> {ANN_DEL_REM}"
+    ),
+    tags=("llm", "similarity", "approx", "maintenance"),
+)
+def sim_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN serving under TOMBSTONED deletes — the embedding store's GDPR
+    loop, mirroring dedup_incremental_deletes: ann_index_delete appends
+    one tiny tombstone file (no codes rewrite), and the routed query
+    anti-joins candidates against it right after the pruned bucket scan,
+    so an erased vector stops being served immediately.  Gate: the same
+    recall bound as sim_index_query, but the exact ground truth is
+    recomputed by DuckDB over the LIVE vectors only (candidate pred
+    vec_id % 30 <> 3) — so serving a deleted vector, or losing recall
+    against the live corpus, both break the gate.  Tombstoned-query ≡
+    physically-compacted-query bit-equality is pinned in
+    tests/test_llm_ops.py."""
+    idx = _clone_full_index(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    ann_index_delete(
+        e.filter(F.col("vec_id") % ANN_DEL_MOD == ANN_DEL_REM).select("vec_id"),
+        idx,
+    )
+    return _recall_gate(
+        spark,
+        sf_dir,
+        lambda e2, p: ann_index_query(spark, e2, idx, p, k=TOP_K, nprobe=NPROBE),
+        agg_floor=IVFPQ_AGG_RECALL_FLOOR,
+        cand_filter=F.col("vec_id") % ANN_DEL_MOD != ANN_DEL_REM,
+    )
+
+
+@register(
+    "sim_index_delete_compact",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS codes_rows,
+           TRUE AS quantizer_frozen,
+           TRUE AS tombstones_cleared
+    FROM embeddings
+    WHERE vec_id % {ANN_DEL_MOD} <> {ANN_DEL_REM}
+    """,
+    tags=("llm", "similarity", "approx", "maintenance"),
+)
+def sim_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physically apply ANN tombstones via compaction (ann_index_compact)
+    and prove the rewrite: the compacted codes relation must hold exactly
+    one row per LIVE vector (codes_rows is genuinely differential — the
+    DuckDB oracle counts embeddings minus the deleted split), the
+    quantizer files must be byte-identical (compaction never re-trains),
+    and the tombstone relation must be gone.  Query bit-equality between
+    the tombstoned and compacted copies is pinned in
+    tests/test_llm_ops.py."""
+    import glob as _glob
+    import hashlib
+    import tempfile
+
+    def _state_digest(p: str) -> str:
+        h = hashlib.md5()
+        for rel in ("centroids", "codebooks"):
+            for f in sorted(_glob.glob(os.path.join(p, rel, "*.parquet"))):
+                with open(f, "rb") as fh:
+                    h.update(fh.read())
+        return h.hexdigest()
+
+    idx = _clone_full_index(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    ann_index_delete(
+        e.filter(F.col("vec_id") % ANN_DEL_MOD == ANN_DEL_REM).select("vec_id"),
+        idx,
+    )
+    compacted = os.path.join(tempfile.mkdtemp(prefix="ann_delc_"), "idx")
+    ann_index_compact(spark, idx, compacted)
+    codes_rows = spark.read.parquet(os.path.join(compacted, "codes")).count()
+    return spark.createDataFrame(
+        [
+            (
+                codes_rows,
+                _state_digest(compacted) == _state_digest(idx),
+                not os.path.isdir(os.path.join(compacted, "tombstones")),
+            )
+        ],
+        "codes_rows bigint, quantizer_frozen boolean, tombstones_cleared boolean",
     )
 
 

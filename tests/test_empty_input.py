@@ -78,6 +78,8 @@ _OPS = [
     "dedup_index_delete_compact",
     "sim_index_append",
     "sim_index_incremental",
+    "sim_index_delete",
+    "sim_index_delete_compact",
 ]
 
 

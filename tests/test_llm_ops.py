@@ -831,3 +831,51 @@ def test_decode_payload_codec_branch_via_stub(monkeypatch):
     monkeypatch.setattr(multimodal, "_try_real_codec", lambda: _BadCodec)
     degraded = multimodal.decode_payload_stub(payload, media_type="image/png")
     assert degraded == byte_fake  # falls back to the byte-derived features
+
+
+def test_ann_tombstoned_query_equals_compacted_query(spark, sf_dir):
+    """ann_index_delete theorem: anti-joining tombstones at query time is
+    EXACTLY physical removal — the tombstoned index and its compacted
+    copy (ann_index_compact: codes minus tombstones, quantizer copied
+    verbatim) must serve bit-identical results, neither may ever return
+    a deleted id, and the compacted copy carries no tombstone relation."""
+    import os
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        ANN_DEL_MOD,
+        ANN_DEL_REM,
+        NPROBE,
+        TOP_K,
+        _clone_full_index,
+        ann_index_compact,
+        ann_index_delete,
+        ann_index_query,
+    )
+
+    e, probes = _ann_probes(spark, sf_dir)
+    idx = _clone_full_index(spark, sf_dir)
+    deleted = e.filter(F.col("vec_id") % ANN_DEL_MOD == ANN_DEL_REM)
+    ann_index_delete(deleted.select("vec_id"), idx)
+    import tempfile
+
+    compacted = os.path.join(tempfile.mkdtemp(prefix="ann_delc_t_"), "idx")
+    ann_index_compact(spark, idx, compacted)
+    assert not os.path.isdir(os.path.join(compacted, "tombstones"))
+
+    def serve(p):
+        return sorted(
+            map(
+                tuple,
+                ann_index_query(
+                    spark, e, p, probes, k=TOP_K, nprobe=NPROBE
+                ).collect(),
+            )
+        )
+
+    got_t = serve(idx)
+    got_c = serve(compacted)
+    assert got_t == got_c and got_t, "tombstoned vs compacted serving diverged"
+    deleted_ids = {r["vec_id"] for r in deleted.select("vec_id").collect()}
+    assert deleted_ids, "delete split matched nothing — fixture too small"
+    assert not ({t[1] for t in got_t} & deleted_ids), "served a deleted vector"

@@ -200,6 +200,12 @@ DEFAULT_OPS = [
     # pruned-bucket plan on the grown index — both input-linear.
     "sim_index_append",
     "sim_index_incremental",
+    # ANN tombstones: lookup = sim_index_query + one anti-join of the
+    # routed candidates against the small tombstone relation (linear);
+    # delete-compaction = a bucket-clustered rewrite of codes minus
+    # tombstones + a verbatim quantizer copy (index-row-linear).
+    "sim_index_delete",
+    "sim_index_delete_compact",
 ]
 
 
