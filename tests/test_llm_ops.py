@@ -879,3 +879,46 @@ def test_ann_tombstoned_query_equals_compacted_query(spark, sf_dir):
     deleted_ids = {r["vec_id"] for r in deleted.select("vec_id").collect()}
     assert deleted_ids, "delete split matched nothing — fixture too small"
     assert not ({t[1] for t in got_t} & deleted_ids), "served a deleted vector"
+
+
+def test_ann_tombstoned_query_keeps_pruning_and_broadcasts_antijoin(
+    spark, sf_dir
+):
+    """Plan shape of the tombstoned ANN query: the routed bucket scan
+    must keep its static PartitionFilters (tombstones never cost the
+    pruning), and the tombstone anti-join must be a broadcast hash join
+    (the tombstone relation is tiny by contract) — never a sort-merge
+    that would shuffle the candidate set."""
+    import contextlib
+    import io as _io
+
+    from sqlite_to_clickhouse_spark.operators.similarity import (
+        ANN_DEL_MOD,
+        ANN_DEL_REM,
+        NPROBE,
+        TOP_K,
+        _clone_full_index,
+        ann_index_delete,
+        ann_index_query,
+    )
+
+    e, probes = _ann_probes(spark, sf_dir)
+    idx = _clone_full_index(spark, sf_dir)
+    ann_index_delete(
+        e.filter(F.col("vec_id") % ANN_DEL_MOD == ANN_DEL_REM).select("vec_id"),
+        idx,
+    )
+    df = ann_index_query(spark, e, idx, probes, k=TOP_K, nprobe=NPROBE)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert any(
+        "PartitionFilters" in l and "bucket" in l and "IN" in l.upper()
+        for l in plan.splitlines()
+    ), f"tombstones lost the bucket partition filter:\n{plan}"
+    antis = [l for l in plan.splitlines() if "LeftAnti" in l]
+    assert antis, "no anti-join in the tombstoned plan"
+    assert not any("SortMergeJoin" in l for l in antis), (
+        "tombstone anti-join fell back to sort-merge:\n" + "\n".join(antis)
+    )
