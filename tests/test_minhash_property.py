@@ -591,3 +591,44 @@ def test_delete_then_append_then_lookup_equals_rebuild(spark, sf_dir, tmp_path):
 
     assert got == want
     assert want, "fixture produced no pairs; loosen the splits"
+
+
+def test_tombstoned_lookup_broadcasts_tombstone_joins(spark, sf_dir, tmp_path):
+    """Plan shape of the tombstoned dedup lookup: both tombstone-driven
+    joins — the member-store anti-join and the re-election semi-join —
+    must build on the tiny tombstone side as broadcast hash joins, never
+    a sort-merge that would shuffle the corpus-sized member store on the
+    per-ingest hot path."""
+    import contextlib
+    import io as _io
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_build,
+        minhash_index_dedup,
+        minhash_index_delete,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    p = str(tmp_path / "idx")
+    minhash_index_build(toks.filter(F.col("doc_id") % 10 != 7), "doc_id", "tk", p)
+    minhash_index_delete(
+        toks.filter(F.col("doc_id") % 30 == 3).select("doc_id"), p
+    )
+    df = minhash_index_dedup(
+        spark, toks.filter(F.col("doc_id") % 10 == 7), "doc_id", "tk", p
+    )
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    lines = buf.getvalue().splitlines()
+    antis = [l for l in lines if "LeftAnti" in l]
+    semis = [l for l in lines if "LeftSemi" in l]
+    assert antis and semis, "tombstone anti/semi joins missing from the plan"
+    assert not any("SortMergeJoin" in l for l in antis + semis), (
+        "a tombstone join fell back to sort-merge:\n"
+        + "\n".join(antis + semis)
+    )
