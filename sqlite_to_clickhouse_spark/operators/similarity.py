@@ -1797,25 +1797,14 @@ def ann_index_query(
     state comes from — parquet, not a per-call refit."""
     from pyspark.sql import types as T
 
-    brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
-    if not brows:  # index built over an empty corpus -> zero results
+    q = _load_quantizer(spark, path)
+    if q is None:  # index built over an empty corpus -> zero results
         return spark.createDataFrame(
             [], f"{probe_id_col} bigint, {id_col} bigint, cosine double"
         )
-    m = 1 + max(r["j"] for r in brows)
-    kk = 1 + max(r["c"] for r in brows)
-    sub = len(brows[0]["sub"])
-    books = np.empty((m, kk, sub))
-    for r in brows:
-        books[r["j"], r["c"]] = r["sub"]
+    books, cent_ids, C = q
+    m, kk, sub = books.shape
     bsq = (books**2).sum(axis=2)
-
-    cent_rows = sorted(
-        spark.read.parquet(os.path.join(path, "centroids")).collect(),
-        key=lambda r: r[0],
-    )
-    cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
-    C = np.array([r[1] for r in cent_rows], dtype=np.float64)
 
     probe_rows = probes.select(probe_id_col, probe_vec_col).collect()
     pids = np.array([r[0] for r in probe_rows], dtype=np.int64)
