@@ -632,3 +632,70 @@ def test_tombstoned_lookup_broadcasts_tombstone_joins(spark, sf_dir, tmp_path):
         "a tombstone join fell back to sort-merge:\n"
         + "\n".join(antis + semis)
     )
+
+
+def test_delete_everything_and_spurious_ids(spark, sf_dir, tmp_path):
+    """Two delete edges: (a) tombstoning EVERY indexed doc must leave
+    lookups serving only batch-internal pairs, and compaction must
+    produce an empty-but-readable index; (b) tombstones for ids that
+    were never indexed are harmless no-ops (the anti-join simply misses)
+    — a delete request may cite ids already compacted away or never
+    ingested."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _IDX_BANDS_SCHEMA,
+        _IDX_SETS_SCHEMA,
+        _IDX_TOKENS_SCHEMA,
+        _doc_tokens,
+        minhash_index_build,
+        minhash_index_compact,
+        minhash_index_dedup,
+        minhash_index_delete,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 10 != 7)
+    batch = toks.filter(F.col("doc_id") % 10 == 7)
+
+    # (b) spurious ids: tombstone a disjoint id range, lookup unchanged.
+    p_sp = str(tmp_path / "spurious")
+    minhash_index_build(corpus, "doc_id", "tk", p_sp)
+    base = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", p_sp))
+    spurious = spark.range(10_000_000, 10_000_050).select(
+        F.col("id").alias("doc_id")
+    )
+    minhash_index_delete(spurious, p_sp)
+    assert _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", p_sp)) == base
+    assert base, "fixture produced no baseline pairs"
+
+    # (a) delete everything: only batch-internal pairs survive.
+    p_all = str(tmp_path / "nuked")
+    minhash_index_build(corpus, "doc_id", "tk", p_all)
+    minhash_index_delete(corpus.select("doc_id"), p_all)
+    got = _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", p_all))
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert got, "batch has no internal pairs — loosen the split"
+    assert all(a in batch_ids and b in batch_ids for a, b in got), (
+        "a deleted corpus doc leaked into the output"
+    )
+    compacted = str(tmp_path / "nuked_compacted")
+    minhash_index_compact(spark, p_all, compacted)
+    for rel, schema in (
+        ("bands", _IDX_BANDS_SCHEMA),
+        ("tokens", _IDX_TOKENS_SCHEMA),
+        ("sets", _IDX_SETS_SCHEMA),
+    ):
+        assert (
+            spark.read.schema(schema)
+            .parquet(os.path.join(compacted, rel))
+            .count()
+            == 0
+        ), f"{rel} not empty after delete-everything compaction"
+    assert (
+        _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", compacted))
+        == got
+    )
