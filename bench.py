@@ -208,6 +208,9 @@ HEADLINE = [
     # physically applies them with the quantizer untouched).
     "sim_index_delete",
     "sim_index_delete_compact",
+    # Delete-during-ingest: two checkpoint-sharing availableNow runs with
+    # a tombstone delete between them.
+    "stream_incremental_dedup_deletes",
 ]
 
 
@@ -273,6 +276,7 @@ def main() -> None:
         "dedup_threshold_sweep",
         "dedup_incremental_deletes",
         "dedup_index_delete_compact",
+        "stream_incremental_dedup_deletes",
     }
 
     timings: dict[str, float] = {}

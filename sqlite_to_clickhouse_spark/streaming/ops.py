@@ -588,27 +588,11 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     copy in a temp dir: appends mutate the index, so the shared cached
     generation (which dedup_incremental reuses) must never be the
     append target."""
-    import shutil
-
     from sqlite_to_clickhouse_spark.io import table as _table
-    from sqlite_to_clickhouse_spark.operators.dedup import (
-        _doc_tokens,
-        _incr_batch_pred,
-        _incr_index_path,
-        minhash_index_append,
-        minhash_index_dedup,
-    )
+    from sqlite_to_clickhouse_spark.operators.dedup import _incr_batch_pred
 
     docs = _table(spark, sf_dir, "documents")
-    # CLONE the shared corpus generation instead of rebuilding: appends
-    # mutate the index, so the stream needs its own copy — and a file
-    # clone is what a production snapshot is (near-free copy-on-write on
-    # object stores), vs re-banding the whole corpus per run.
-    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
-    src = _incr_index_path(spark, sf_dir, hash_mode)
-    idx = os.path.join(tempfile.mkdtemp(prefix="stream_incr_idx_"), "idx")
-    shutil.copytree(src, idx)
-
+    idx = _clone_corpus_index(spark, sf_dir)
     batch = docs.filter(_incr_batch_pred())
     stage = os.path.join(tempfile.mkdtemp(prefix="stream_incr_stage_"), "in")
     # Two single-file writes into one monitored dir -> two micro-batches.
@@ -619,24 +603,62 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append"
     ).parquet(stage)
 
+    out, ckpt = _incr_stream_dirs(spark)
+    _run_incr_stream(spark, batch.schema, stage, idx, out, ckpt)
+    return _read_epoch_pairs(spark, out)
+
+
+_PAIR_SCHEMA = "doc_a bigint, doc_b bigint, jaccard double"
+
+
+def _clone_corpus_index(spark: SparkSession, sf_dir: str) -> str:
+    """CLONE the shared corpus index generation instead of rebuilding:
+    appends mutate the index, so a stream needs its own copy — and a
+    file clone is what a production snapshot is (near-free copy-on-write
+    on object stores), vs re-banding the whole corpus per run."""
+    import shutil
+
+    from sqlite_to_clickhouse_spark.operators.dedup import _incr_index_path
+
+    hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
+    src = _incr_index_path(spark, sf_dir, hash_mode)
+    idx = os.path.join(tempfile.mkdtemp(prefix="stream_incr_idx_"), "idx")
+    shutil.copytree(src, idx)
+    return idx
+
+
+def _incr_stream_dirs(spark: SparkSession) -> tuple:
     out = os.path.join(tempfile.mkdtemp(prefix="stream_incr_out_"), "pairs")
-    pair_schema = "doc_a bigint, doc_b bigint, jaccard double"
     # Pre-create so an empty batch (zero micro-batches) still reads back.
-    spark.createDataFrame([], pair_schema).write.parquet(os.path.join(out, "ep-init"))
-    ckpt = tempfile.mkdtemp(prefix="stream_incr_ckpt_")
+    spark.createDataFrame([], _PAIR_SCHEMA).write.parquet(
+        os.path.join(out, "ep-init")
+    )
+    return out, tempfile.mkdtemp(prefix="stream_incr_ckpt_")
+
+
+def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
+    """The per-micro-batch ingest-dedup handler (lookup, per-epoch output,
+    marker-guarded append), shared by stream_incremental_dedup and its
+    delete-during-ingest variant.
+
+    Idempotent by epoch_id (ADVICE r8): foreachBatch RETRIES a failed
+    micro-batch under the same epoch_id, so (1) pair output goes to a
+    per-epoch directory with mode("overwrite") — a retry replaces its
+    own half-written output instead of blind-appending duplicates —
+    and (2) the index append is guarded by a per-epoch marker written
+    only AFTER the append commits, so a retry never re-appends (which
+    would violate minhash_index_append's ids-not-already-indexed
+    contract).  A crash between append and marker can still double-
+    append — exactly-once there needs a transactional table format —
+    but the common retry paths (lookup failure, output-write failure)
+    are replay-safe."""
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_append,
+        minhash_index_dedup,
+    )
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
-        # Idempotent by epoch_id (ADVICE r8): foreachBatch RETRIES a failed
-        # micro-batch under the same epoch_id, so (1) pair output goes to a
-        # per-epoch directory with mode("overwrite") — a retry replaces its
-        # own half-written output instead of blind-appending duplicates —
-        # and (2) the index append is guarded by a per-epoch marker written
-        # only AFTER the append commits, so a retry never re-appends (which
-        # would violate minhash_index_append's ids-not-already-indexed
-        # contract).  A crash between append and marker can still double-
-        # append — exactly-once there needs a transactional table format —
-        # but the common retry paths (lookup failure, output-write failure)
-        # are now replay-safe.
         append_marker = os.path.join(idx, "_applied_epochs", str(epoch_id))
         # Batch-scoped persisted frames are handed back and unpersisted per
         # micro-batch: a production stream runs this loop indefinitely, and
@@ -662,21 +684,28 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for frame in batch_persists:
                 frame.unpersist()
 
+    return handle
+
+
+def _run_incr_stream(spark, schema, stage, idx, out, ckpt) -> None:
     q = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
-        .writeStream.foreachBatch(handle)
+        .writeStream.foreachBatch(_incr_dedup_handler(spark, idx, out))
         .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
+
+
+def _read_epoch_pairs(spark: SparkSession, out: str) -> DataFrame:
     # One subdirectory per epoch (plus the ep-init empty seed): enumerate
     # them explicitly — the layout is per-epoch by design (idempotence),
     # not a partitioned table.
     parts = [os.path.join(out, d) for d in sorted(os.listdir(out))]
-    return spark.read.schema(pair_schema).parquet(*parts)
+    return spark.read.schema(_PAIR_SCHEMA).parquet(*parts)
 
 
 def _wire_stream_incremental_oracle() -> None:
@@ -697,6 +726,95 @@ def _wire_stream_incremental_oracle() -> None:
             pair_pred=f"doc_a % {INCR_MOD} = {INCR_REM} OR doc_b % {INCR_MOD} = {INCR_REM}"
         ),
     )
+
+
+@register(
+    "stream_incremental_dedup_deletes",
+    oracle=None,  # replaced below: composed epoch-A/epoch-B ground truth
+    tags=("streaming", "llm", "dedup", "incremental", "maintenance"),
+)
+def stream_incremental_dedup_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-DURING-ingest — the last ingest-lifecycle seam: batch A
+    (doc_id % 20 == 7) streams in and is appended; a GDPR delete lands
+    (minhash_index_delete tombstones the doc_id % 30 == 3 corpus docs —
+    no rewrite); the stream RESTARTS FROM ITS CHECKPOINT and batch B
+    (doc_id % 20 == 17) streams in against corpus-minus-deleted ∪ A.
+    Two real availableNow runs share one checkpoint, which is exactly
+    how a production ingest pipeline restarts around a maintenance
+    action.
+
+    Hash-gated end to end: the DuckDB oracle recomputes the composed
+    ground truth — epoch-A pairs touch A with the other endpoint in
+    corpus ∪ A (the delete hadn't happened yet), epoch-B pairs touch B
+    with no deleted endpoint — and the two epoch sets are disjoint by
+    construction (A-pairs have no B endpoint).  The hash also pins
+    CHECKPOINT RECOVERY itself: if run 2 reprocessed batch A, the
+    re-lookup would run against the now-tombstoned, A-appended index and
+    overwrite epoch A's pairs with different ones, breaking the gate."""
+    from sqlite_to_clickhouse_spark.io import table as _table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        DEL_MOD,
+        DEL_REM,
+        _incr_batch_pred,
+        minhash_index_delete,
+    )
+
+    docs = _table(spark, sf_dir, "documents")
+    idx = _clone_corpus_index(spark, sf_dir)
+    batch = docs.filter(_incr_batch_pred())
+    stage = os.path.join(tempfile.mkdtemp(prefix="stream_incrdel_stage_"), "in")
+    out, ckpt = _incr_stream_dirs(spark)
+
+    # Run 1: batch A arrives and is ingested.
+    batch.filter(F.col("doc_id") % 20 == 7).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    _run_incr_stream(spark, batch.schema, stage, idx, out, ckpt)
+    # The delete request lands between ingests (tombstones only).
+    minhash_index_delete(
+        docs.filter(
+            ~_incr_batch_pred() & (F.col("doc_id") % DEL_MOD == DEL_REM)
+        ).select("doc_id"),
+        idx,
+    )
+    # Run 2: the stream resumes from the SAME checkpoint — batch A is not
+    # reprocessed (exactly-once across restarts) — and ingests batch B.
+    batch.filter(F.col("doc_id") % 20 == 17).coalesce(1).write.mode(
+        "append"
+    ).parquet(stage)
+    _run_incr_stream(spark, batch.schema, stage, idx, out, ckpt)
+    return _read_epoch_pairs(spark, out)
+
+
+def _wire_stream_incremental_deletes_oracle() -> None:
+    from dataclasses import replace
+
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        DEL_MOD,
+        DEL_REM,
+        _minhash_oracle,
+    )
+    from sqlite_to_clickhouse_spark.registry import _REGISTRY
+
+    # Epoch A: pairs touching batch A, other endpoint NOT in batch B
+    # (B did not exist yet; deletes had not landed).  Epoch B: pairs
+    # touching batch B with no deleted endpoint.  Disjoint by the
+    # B-endpoint test, so the union is the row multiset the stream emits.
+    ep_a = (
+        "(doc_a % 20 = 7 OR doc_b % 20 = 7) "
+        "AND doc_a % 20 <> 17 AND doc_b % 20 <> 17"
+    )
+    ep_b = (
+        f"(doc_a % 20 = 17 OR doc_b % 20 = 17) "
+        f"AND doc_a % {DEL_MOD} <> {DEL_REM} AND doc_b % {DEL_MOD} <> {DEL_REM}"
+    )
+    _REGISTRY["stream_incremental_dedup_deletes"] = replace(
+        _REGISTRY["stream_incremental_dedup_deletes"],
+        oracle=_minhash_oracle(pair_pred=f"({ep_a}) OR ({ep_b})"),
+    )
+
+
+_wire_stream_incremental_deletes_oracle()
 
 
 _wire_stream_incremental_oracle()

@@ -80,6 +80,7 @@ _OPS = [
     "sim_index_incremental",
     "sim_index_delete",
     "sim_index_delete_compact",
+    "stream_incremental_dedup_deletes",
 ]
 
 
@@ -132,6 +133,7 @@ _BLANK_OPS = [
     # round-9: tombstoned lookup/compaction share the banding front half
     "dedup_incremental_deletes",
     "dedup_index_delete_compact",
+    "stream_incremental_dedup_deletes",
 ]
 
 

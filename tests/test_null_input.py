@@ -54,6 +54,7 @@ _OPS = [
     # round-9: NULL text must tombstone/compact identically on both sides
     "dedup_incremental_deletes",
     "dedup_index_delete_compact",
+    "stream_incremental_dedup_deletes",
     "udf_python",
     "multimodal_decode_features",
     "multimodal_audio_window",

@@ -206,6 +206,9 @@ DEFAULT_OPS = [
     # tombstones + a verbatim quantizer copy (index-row-linear).
     "sim_index_delete",
     "sim_index_delete_compact",
+    # Delete-during-ingest stream: stream_incremental_dedup's linear
+    # parts + one tombstone write + the tombstone-bounded lookup joins.
+    "stream_incremental_dedup_deletes",
 ]
 
 
