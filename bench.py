@@ -211,6 +211,14 @@ HEADLINE = [
     # Delete-during-ingest: two checkpoint-sharing availableNow runs with
     # a tombstone delete between them.
     "stream_incremental_dedup_deletes",
+    # Round-9 session 2: entity resolution (distinct-name collapse +
+    # df-capped token blocking + CC + survivorship), regex sequence
+    # matching, source-level vocabulary overlap.
+    "er_blocked_pairs",
+    "er_clusters",
+    "er_golden_record",
+    "events_sequence_match",
+    "text_source_overlap",
 ]
 
 

@@ -1,0 +1,304 @@
+"""Entity resolution: blocked fuzzy matching, entity clustering, and
+survivorship (golden-record) merge over the ``part`` catalog.
+
+The missing piece between dedup and joins: dedup collapses IDENTICAL or
+near-identical *documents*; entity resolution reconciles *records that
+refer to the same real-world thing under different spellings* ("cold
+gear" vs "old gear" — an OCR'd or typo'd catalog). The reference's
+ClickHouse sink is routinely used as the serving store for exactly this
+kind of reconciled dimension (ReplacingMergeTree keyed on the resolved
+entity id, ``/root/reference/main.py:65``); the resolution itself is the
+upstream batch job this module provides.
+
+Pipeline (each stage a registered, differentially-gated op):
+
+1. ``er_blocked_pairs`` — candidate generation via TOKEN BLOCKING: two
+   names are candidates iff they share a blocking key (here: a word),
+   then an exact ``levenshtein`` verify keeps pairs within edit distance
+   ``_ER_MAXDIST``. Never a cross join.
+2. ``er_clusters`` — connected components over the verified pairs (the
+   same iterative min-label-propagation engine the MinHash dedup family
+   uses), canonical entity id = lexicographic min name, singletons kept.
+3. ``er_golden_record`` — survivorship: collapse every part row onto its
+   entity with explicit, deterministic merge rules (counts, price range,
+   modal brand with a total tie-break).
+
+Scale notes (100 TB): the whole pipeline runs on DISTINCT names first —
+the exact-collapse trick from the MinHash family (dedup.py): a billion-row
+catalog has orders of magnitude fewer distinct names, and every
+quadratic-risk step (blocking self-join, levenshtein verify, label
+propagation) touches only the distinct-name relation. Blocking keys are
+df-capped (``_ER_BLOCK_DF_CAP``): a key shared by more than the cap's
+worth of distinct names is dropped BEFORE the self-join, so one hot token
+("inc", "ltd") can never go O(df²) — the standard stop-key rule from the
+blocking literature, applied identically in the oracle so the gate stays
+exact. Expansion back to part rows happens only in the final golden-record
+aggregate, keyed on the name→entity map (a broadcast at realistic
+distinct-name counts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqlite_to_clickhouse_spark.io import table
+from sqlite_to_clickhouse_spark.registry import register
+
+# Verified-match threshold: edit distance <= 2 merges the fixture's
+# adjective drift (cold/old at 1, old/red and new/red at 2) while keeping
+# noun-distinct names apart (distance 3+).
+_ER_MAXDIST = 2
+
+# Stop-key cap: blocking keys shared by more distinct names than this are
+# dropped before the candidate self-join (O(df²) guard). The fixture's
+# word dfs are all 8, so the cap is a no-op there — its filtering
+# behavior is pinned by tests/test_entity.py on a synthetic hot key.
+_ER_BLOCK_DF_CAP = 30
+
+
+def _distinct_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        table(spark, sf_dir, "part")
+        .groupBy(F.col("p_name").alias("nm"))
+        .agg(F.count("*").alias("n_parts"))
+    )
+
+
+def blocked_name_pairs(names: DataFrame) -> DataFrame:
+    """Token-blocked candidate pairs over a ``(nm, n_parts)`` relation,
+    verified by levenshtein <= ``_ER_MAXDIST``. Returns
+    ``(name_a, name_b, edit_dist)`` with ``name_a < name_b``.
+
+    The blocking keys (words) are df-capped before the self-join; the
+    pair relation is DISTINCT on (name_a, name_b) so names sharing two
+    words don't emit twice."""
+    words = names.select(
+        "nm", F.explode(F.split(F.col("nm"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    # Stop-key filter: df over DISTINCT names (names is already distinct).
+    keys = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _ER_BLOCK_DF_CAP)
+        .select("w")
+    )
+    blocked = words.join(F.broadcast(keys), "w")
+    a = blocked.select(F.col("nm").alias("name_a"), "w")
+    b = blocked.select(F.col("nm").alias("name_b"), "w")
+    cand = (
+        a.join(b, (a["w"] == b["w"]) & (F.col("name_a") < F.col("name_b")))
+        .select("name_a", "name_b")
+        .distinct()
+    )
+    return cand.select(
+        "name_a",
+        "name_b",
+        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= _ER_MAXDIST)
+
+
+_PAIRS_CTE = f"""
+    names AS (SELECT p_name AS nm, count(*) AS n_parts FROM part GROUP BY 1),
+    words AS (SELECT nm, w FROM (
+        SELECT nm, unnest(string_split(nm, ' ')) AS w FROM names) WHERE w <> ''),
+    keys AS (SELECT w FROM words GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
+    cand AS (
+        SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        FROM words a
+        JOIN keys k ON a.w = k.w
+        JOIN words b ON b.w = a.w AND a.nm < b.nm
+    ),
+    er_pairs AS (
+        SELECT name_a, name_b, levenshtein(name_a, name_b) AS edit_dist
+        FROM cand
+        WHERE levenshtein(name_a, name_b) <= {_ER_MAXDIST}
+    )
+"""
+
+_BLOCKED_PAIRS_ORACLE = f"""
+    WITH {_PAIRS_CTE}
+    SELECT p.name_a, p.name_b, p.edit_dist,
+           na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+    FROM er_pairs p
+    JOIN names na ON na.nm = p.name_a
+    JOIN names nb ON nb.nm = p.name_b
+"""
+
+
+@register("er_blocked_pairs", oracle=_BLOCKED_PAIRS_ORACLE, tags=("llm", "entity"))
+def er_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate generation + verify: token-blocked fuzzy name pairs at
+    edit distance <= 2, annotated with how many part rows each spelling
+    carries. The blocking self-join runs on distinct names only and hot
+    blocking keys are dropped by the df cap, so the plan is linear in the
+    posting lists, never O(names²)."""
+    names = _distinct_names(spark, sf_dir)
+    pairs = blocked_name_pairs(names)
+    na = names.select(F.col("nm").alias("name_a"), F.col("n_parts").alias("n_parts_a"))
+    nb = names.select(F.col("nm").alias("name_b"), F.col("n_parts").alias("n_parts_b"))
+    return pairs.join(F.broadcast(na), "name_a").join(F.broadcast(nb), "name_b").select(
+        "name_a", "name_b", "edit_dist", "n_parts_a", "n_parts_b"
+    )
+
+
+_CLUSTERS_ORACLE = f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+        SELECT name_a AS s, name_b AS d FROM er_pairs
+        UNION
+        SELECT name_b, name_a FROM er_pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS peer FROM edges
+        UNION
+        SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    ),
+    comp AS (
+        SELECT node, least(node, min(peer)) AS entity_id
+        FROM reach GROUP BY node
+    )
+    SELECT n.nm AS name,
+           coalesce(c.entity_id, n.nm) AS entity_id,
+           (coalesce(c.entity_id, n.nm) = n.nm) AS is_canonical,
+           n.n_parts
+    FROM names n LEFT JOIN comp c ON c.node = n.nm
+"""
+
+
+def er_entity_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """name -> entity_id map: connected components over the verified
+    pairs (min-label propagation — same engine as
+    dedup_connected_components, which works unchanged on string nodes
+    because it only needs least/min), singletons mapped to themselves."""
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+
+    names = _distinct_names(spark, sf_dir)
+    pairs = blocked_name_pairs(names).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("nm"), F.col("component_id").alias("eid")
+    )
+    return names.join(comp, "nm", "left").select(
+        "nm",
+        F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id"),
+        "n_parts",
+    )
+
+
+@register("er_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "entity"))
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity clustering: every distinct spelling labeled with its
+    canonical entity id (lexicographic min of its component); spellings
+    with no fuzzy match stay their own entity. Differentially verified
+    against a recursive-CTE transitive closure over the identical pair
+    set — the same exact-oracle strategy dedup_connected_components
+    pioneered for iterative algorithms."""
+    m = er_entity_map(spark, sf_dir)
+    return m.select(
+        F.col("nm").alias("name"),
+        "entity_id",
+        (F.col("nm") == F.col("entity_id")).alias("is_canonical"),
+        "n_parts",
+    )
+
+
+_GOLDEN_ORACLE = f"""
+    WITH RECURSIVE {_PAIRS_CTE},
+    edges AS (
+        SELECT name_a AS s, name_b AS d FROM er_pairs
+        UNION
+        SELECT name_b, name_a FROM er_pairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS peer FROM edges
+        UNION
+        SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    ),
+    comp AS (
+        SELECT node, least(node, min(peer)) AS entity_id
+        FROM reach GROUP BY node
+    ),
+    mapped AS (
+        SELECT coalesce(c.entity_id, p.p_name) AS entity_id, p.*
+        FROM part p LEFT JOIN comp c ON c.node = p.p_name
+    ),
+    brand_votes AS (
+        SELECT entity_id, p_brand, count(*) AS votes
+        FROM mapped GROUP BY 1, 2
+    ),
+    brand_pick AS (
+        SELECT entity_id, p_brand AS modal_brand
+        FROM (
+            SELECT entity_id, p_brand, votes,
+                   row_number() OVER (
+                       PARTITION BY entity_id
+                       ORDER BY votes DESC, p_brand ASC NULLS LAST
+                   ) AS rk
+            FROM brand_votes
+        ) WHERE rk = 1
+    )
+    SELECT m.entity_id,
+           count(*) AS n_parts,
+           count(DISTINCT m.p_name) AS n_variants,
+           ROUND(min(m.p_retailprice), 2) AS min_price,
+           ROUND(max(m.p_retailprice), 2) AS max_price,
+           max(m.p_size) AS max_size,
+           min(b.modal_brand) AS modal_brand
+    FROM mapped m JOIN brand_pick b ON b.entity_id = m.entity_id
+    GROUP BY m.entity_id
+"""
+
+
+@register("er_golden_record", oracle=_GOLDEN_ORACLE, tags=("llm", "entity"))
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship merge: collapse all part rows onto their resolved
+    entity with deterministic rules — row/variant counts, price range,
+    size max, and the MODAL brand with a (votes DESC, brand ASC) total
+    tie-break so both engines elect the same winner.
+
+    The name→entity map is tiny relative to the fact table (distinct
+    names, post-collapse), so Spark broadcasts it into the fact scan and
+    the only wide shuffle is the final entity_id aggregate."""
+    parts = table(spark, sf_dir, "part")
+    m = er_entity_map(spark, sf_dir).select("nm", "entity_id")
+    mapped = parts.join(
+        F.broadcast(m), parts["p_name"] == m["nm"], "left"
+    ).select(
+        F.coalesce(F.col("entity_id"), F.col("p_name")).alias("entity_id"),
+        "p_name",
+        "p_brand",
+        "p_size",
+        "p_retailprice",
+    )
+    votes = mapped.groupBy("entity_id", "p_brand").agg(F.count("*").alias("votes"))
+    from pyspark.sql import Window
+
+    # NULLS LAST explicitly: Spark's ASC default is nulls-first, DuckDB's
+    # is nulls-last — on a votes tie the two engines would elect different
+    # brands (caught by the nulls mutant in the adversarial sweep).
+    rk = Window.partitionBy("entity_id").orderBy(
+        F.col("votes").desc(), F.col("p_brand").asc_nulls_last()
+    )
+    pick = (
+        votes.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("entity_id", F.col("p_brand").alias("modal_brand"))
+    )
+    agg = mapped.groupBy("entity_id").agg(
+        F.count("*").alias("n_parts"),
+        F.countDistinct("p_name").alias("n_variants"),
+        F.round(F.min("p_retailprice"), 2).alias("min_price"),
+        F.round(F.max("p_retailprice"), 2).alias("max_price"),
+        F.max("p_size").alias("max_size"),
+    )
+    return agg.join(pick, "entity_id").select(
+        "entity_id",
+        "n_parts",
+        "n_variants",
+        "min_price",
+        "max_price",
+        "max_size",
+        "modal_brand",
+    )

@@ -772,3 +772,64 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dau") >= 1)
     )
+
+
+_SEQ_CAP = 500  # per-user sequence bound, applied identically in the oracle
+
+_SEQMATCH_ORACLE = f"""
+    WITH seqs AS (
+        SELECT user_id,
+               count(*) AS n_events,
+               array_to_string(
+                   list(substr(event_type, 1, 1) ORDER BY ts, event_id)[1:{_SEQ_CAP}],
+                   '') AS seq
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(regexp_matches(seq, 's.*v.*p') AS INT)  AS matched_svp,
+           CAST(regexp_matches(seq, 'sv') AS INT)       AS matched_sv_adjacent,
+           len(regexp_extract_all(seq, 'v[^p]*p'))      AS n_view_to_purchase
+    FROM seqs
+"""
+
+
+@register("events_sequence_match", oracle=_SEQMATCH_ORACLE, tags=("events", "analytics"))
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch``/``sequenceCount`` regex flavor: each
+    user's event history becomes an ordered one-char-per-event code string
+    and the patterns run as real regexes over it — ``s.*v.*p`` is
+    ``sequenceMatch('(?1).*(?2).*(?3)')(ts, signup, view, purchase)``,
+    ``sv`` the adjacent form, and ``regexp_count(seq, 'v[^p]*p')`` is
+    ``sequenceCount``'s leftmost-non-overlapping semantics (both engines'
+    regex searches are greedy leftmost, so the counts agree exactly).
+
+    Unlike events_funnel's window-min chain (which answers one fixed
+    3-step pattern), the string encoding answers ARBITRARY patterns at
+    the cost of materializing the per-user sequence — so the sequence is
+    hard-capped at the first {_SEQ_CAP} events (mirrored in the oracle's
+    list slice) to bound row width against unbounded bot histories; the
+    count column still reports the true history length. One shuffle on
+    user_id; ordering ties broken on event_id via struct array_sort, the
+    events_user_path trick."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("code")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))).alias("arr"),
+    )
+    seqs = per_user.select(
+        "user_id",
+        "n_events",
+        F.concat_ws(
+            "", F.transform(F.slice("arr", 1, _SEQ_CAP), lambda x: x["code"])
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "user_id",
+        "n_events",
+        F.col("seq").rlike("s.*v.*p").cast("int").alias("matched_svp"),
+        F.col("seq").rlike("sv").cast("int").alias("matched_sv_adjacent"),
+        F.regexp_count(F.col("seq"), F.lit("v[^p]*p")).cast("long").alias("n_view_to_purchase"),
+    )

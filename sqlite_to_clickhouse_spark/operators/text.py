@@ -1172,3 +1172,78 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.select("doc_id", feat.alias("feature")).groupBy(
         "doc_id", "feature"
     ).agg(F.count(F.lit(1)).alias("tf"))
+
+
+_SOURCE_OVERLAP_ORACLE = """
+    WITH st AS (
+        SELECT DISTINCT source, tok
+        FROM (
+            SELECT source,
+                   unnest(list_distinct(
+                       list_filter(string_split(text, ' '), t -> t <> ''))) AS tok
+            FROM documents
+        )
+    ),
+    sizes AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b,
+           sa.n AS n_tokens_a, sb.n AS n_tokens_b, i.n_common,
+           ROUND(CAST(i.n_common AS DOUBLE)
+                 / (sa.n + sb.n - i.n_common), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.source_a
+    JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+@register("text_source_overlap", oracle=_SOURCE_OVERLAP_ORACLE, tags=("llm", "text"))
+def text_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition diagnostics: exact pairwise vocabulary Jaccard
+    between every pair of SOURCES — the "which crawls overlap / which
+    dump is redundant" question asked before mixing corpora into a
+    training run (the source-level twin of doc-level dedup).
+
+    Inverted-index plan, never source×source on the raw data: distinct
+    (source, token) postings, self-joined on the token. A token appearing
+    in df sources contributes C(df, 2) rows with df bounded by the NUMBER
+    OF SOURCES — so the join output is at most C(n_sources, 2) × vocab
+    regardless of corpus row count, and the whole thing scales with the
+    token dictionary, not the document count. Per-doc array_distinct
+    before the explode keeps the exploded relation at distinct-tokens-
+    per-doc, and the (source, tok) distinct collapses it to the posting
+    list before the pair join."""
+    d = table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.array_distinct(_tokens(F.col("text")))).alias("tok"))
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count("*").alias("n"))
+    a = st.select(F.col("source").alias("source_a"), "tok")
+    b = st.select(F.col("source").alias("source_b"), "tok")
+    inter = (
+        a.join(b, (a["tok"] == b["tok"]) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_tokens_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_tokens_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_tokens_a",
+            "n_tokens_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("n_tokens_a") + F.col("n_tokens_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

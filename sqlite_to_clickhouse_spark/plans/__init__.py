@@ -25,6 +25,7 @@ _OPERATOR_MODULES = [
     "sqlite_to_clickhouse_spark.operators.sampling",
     "sqlite_to_clickhouse_spark.operators.llm_extra",
     "sqlite_to_clickhouse_spark.operators.graph",
+    "sqlite_to_clickhouse_spark.operators.entity",
 ]
 
 for _mod in _OPERATOR_MODULES:

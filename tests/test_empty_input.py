@@ -81,6 +81,12 @@ _OPS = [
     "sim_index_delete",
     "sim_index_delete_compact",
     "stream_incremental_dedup_deletes",
+    # round-9 session-2 additions: ER family + sequence/overlap analytics
+    "er_blocked_pairs",
+    "er_clusters",
+    "er_golden_record",
+    "events_sequence_match",
+    "text_source_overlap",
 ]
 
 
@@ -134,6 +140,9 @@ _BLANK_OPS = [
     "dedup_incremental_deletes",
     "dedup_index_delete_compact",
     "stream_incremental_dedup_deletes",
+    # round-9 session 2: blank docs contribute zero tokens to their
+    # source's vocabulary identically in both engines
+    "text_source_overlap",
 ]
 
 

@@ -86,6 +86,15 @@ _OPS = [
     "sample_exact_quota",
     # NULL price/quantity rows must drop identically pre-merge
     "agg_quantile_exact_weighted",
+    # round-9 session 2: NULL p_brand vote tie-break diverged (Spark ASC =
+    # NULLS FIRST vs DuckDB NULLS LAST — caught by the adversarial sweep,
+    # pinned to NULLS LAST both sides); NULL p_name / text / event rows
+    # must drop or group identically through blocking and sequencing.
+    "er_blocked_pairs",
+    "er_clusters",
+    "er_golden_record",
+    "events_sequence_match",
+    "text_source_overlap",
 ]
 
 

@@ -50,6 +50,9 @@ _OPS = [
     "dedup_incremental",
     # round-9: tombstoned lookup shares that banding front half
     "dedup_incremental_deletes",
+    # round-9 session 2: source-level vocabulary join must agree on
+    # unicode token identity byte-wise
+    "text_source_overlap",
 ]
 
 

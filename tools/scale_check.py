@@ -209,6 +209,20 @@ DEFAULT_OPS = [
     # Delete-during-ingest stream: stream_incremental_dedup's linear
     # parts + one tombstone write + the tombstone-bounded lookup joins.
     "stream_incremental_dedup_deletes",
+    # Entity resolution: every quadratic-risk stage (blocking self-join,
+    # levenshtein verify, label propagation) runs on DISTINCT names with
+    # df-capped blocking keys — wall should stay ~flat as rows grow
+    # (the scale fixture replicates rows, not the name vocabulary);
+    # golden-record is one broadcast map-join + a linear aggregate.
+    "er_blocked_pairs",
+    "er_clusters",
+    "er_golden_record",
+    # Per-user sequence regex: one user_id shuffle, sequence capped at
+    # _SEQ_CAP codes — input-linear.
+    "events_sequence_match",
+    # Source-pair vocabulary overlap: posting-list self-join bounded by
+    # C(n_sources,2) × vocab, independent of document count.
+    "text_source_overlap",
 ]
 
 
