@@ -219,6 +219,8 @@ HEADLINE = [
     "er_golden_record",
     "events_sequence_match",
     "text_source_overlap",
+    "sample_mixture_weights",
+    "dedup_url_canonical",
 ]
 
 

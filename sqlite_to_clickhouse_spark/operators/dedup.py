@@ -2259,3 +2259,119 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_divide(F.col("n_caught"), F.nullif("n_exact", F.lit(0))), 6
         ).alias("recall"),
     )
+
+
+_URL_ORACLE = """
+    WITH urls AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://WWW.' || source || '.Example.com/articles/'
+                             || CAST(doc_id // 7 AS VARCHAR)
+                             || '?utm_source=feed&id=' || CAST(doc_id % 3 AS VARCHAR)
+                 WHEN 1 THEN 'https://www.' || source || '.example.com:443/articles/'
+                             || CAST(doc_id // 7 AS VARCHAR)
+                             || '?id=' || CAST(doc_id % 3 AS VARCHAR) || '&utm_campaign=x'
+                 WHEN 2 THEN 'https://www.' || source || '.example.com/articles/'
+                             || CAST(doc_id // 7 AS VARCHAR) || '/?id='
+                             || CAST(doc_id % 3 AS VARCHAR) || '#frag'
+                 ELSE        'https://www.' || source || '.example.com/articles/'
+                             || CAST(doc_id // 7 AS VARCHAR)
+                             || '?id=' || CAST(doc_id % 3 AS VARCHAR)
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               lower(regexp_extract(url, '^(https?)://', 1)) || '://'
+               || regexp_replace(lower(regexp_extract(url, '://([^/]+)', 1)),
+                                 ':443$', '')
+               || regexp_replace(regexp_extract(url, '://[^/]+(/[^?#]*)', 1),
+                                 '/$', '')
+               || CASE WHEN array_to_string(list_sort(list_filter(
+                            string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                            p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&') <> ''
+                       THEN '?' || array_to_string(list_sort(list_filter(
+                            string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                            p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&')
+                       ELSE '' END
+               AS canonical_url
+        FROM urls
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM canon
+    GROUP BY canonical_url
+"""
+
+
+@register("dedup_url_canonical", oracle=_URL_ORACLE, tags=("llm", "dedup"))
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the crawl-pipeline stage BEFORE any
+    text dedup: the same page fetched as ``HTTPS://WWW.Host/x/?utm_...#f``
+    and ``https://www.host:443/x?...`` must collapse to one canonical key
+    so only one copy's text enters the corpus. The fixture has no URL
+    column, so the query materializes a deterministic messy-URL variant
+    per doc from (doc_id, source) IDENTICALLY in the oracle — the
+    text_pii_scrub precedent: non-vacuous and fully differential.
+
+    Canonicalization (each rule a codegen'd regex/array expression, the
+    same chain in both engines): lowercase scheme and host, strip the
+    default :443 port, drop the fragment, strip the trailing slash,
+    drop ``utm_*`` tracking params, and SORT the surviving query params
+    so param order can't split a group. Then one groupBy(canonical_url):
+    keeper = min doc_id, duplicate and raw-variant counts.
+
+    Scale shape: pure per-row string expressions (no UDF) + one hash
+    aggregate on the canonical key — the same plan at 100 TB, with the
+    canonical key also being the natural partition key for downstream
+    incremental crawls."""
+    d = table(spark, sf_dir, "documents")
+    m = F.col("doc_id") % 4
+    base = F.concat(
+        F.lit("www."), F.col("source"), F.lit(".example.com")
+    )
+    path = F.concat(F.lit("/articles/"), (F.col("doc_id") / 7).cast("long").cast("string"))
+    idp = F.concat(F.lit("id="), (F.col("doc_id") % 3).cast("string"))
+    url = (
+        F.when(m == 0, F.concat(F.lit("https://WWW."), F.col("source"),
+                                F.lit(".Example.com"), path,
+                                F.lit("?utm_source=feed&"), idp))
+        .when(m == 1, F.concat(F.lit("https://"), base, F.lit(":443"), path,
+                               F.lit("?"), idp, F.lit("&utm_campaign=x")))
+        .when(m == 2, F.concat(F.lit("https://"), base, path, F.lit("/?"), idp,
+                               F.lit("#frag")))
+        .otherwise(F.concat(F.lit("https://"), base, path, F.lit("?"), idp))
+    )
+    u = d.select("doc_id", url.alias("url"))
+    qs = F.regexp_extract(F.col("url"), r"\?([^#]*)", 1)
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(qs, "&"),
+                lambda p: (p != "") & ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canonical = F.concat(
+        F.lower(F.regexp_extract(F.col("url"), r"^(https?)://", 1)),
+        F.lit("://"),
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col("url"), r"://([^/]+)", 1)), r":443$", ""
+        ),
+        F.regexp_replace(
+            F.regexp_extract(F.col("url"), r"://[^/]+(/[^?#]*)", 1), r"/$", ""
+        ),
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )
+    return (
+        u.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("url").alias("n_raw_variants"),
+        )
+    )

@@ -609,3 +609,96 @@ def sample_exact_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).cast("long").alias("rk"))
         .filter(F.col("rk") <= QUOTA_PER_GROUP)
     )
+
+
+# Epoch cap for undersized sources (the PaLM/Llama "no source repeats more
+# than a few times" rule). Integer so the capped branch stays BIGINT-exact.
+_MIX_MAX_EPOCHS = 3
+
+_MIXTURE_ORACLE = f"""
+    WITH per_source AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(list_filter(string_split(text, ' '),
+                                        t -> t <> ''))) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS s
+        FROM per_source
+    ),
+    plan AS (
+        SELECT p.source, p.n_docs, p.n_tokens,
+               least({_MIX_MAX_EPOCHS} * p.n_tokens, t.total // t.s)
+                   AS realized_tokens,
+               t.total AS total, t.s AS s
+        FROM per_source p CROSS JOIN tot t
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / total, 6) AS natural_share,
+           ROUND(1.0 / s, 6) AS target_share,
+           realized_tokens,
+           (realized_tokens < total // s) AS capped,
+           ROUND(CAST(realized_tokens AS DOUBLE) / n_tokens, 6) AS epochs,
+           ROUND(CAST(realized_tokens AS DOUBLE)
+                 / (SELECT CAST(sum(realized_tokens) AS BIGINT) FROM plan), 6)
+               AS realized_share
+    FROM plan
+"""
+
+
+@register("sample_mixture_weights", oracle=_MIXTURE_ORACLE, tags=("llm", "sampling"))
+def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture PLAN itself — the per-source token-weighted sampling
+    table a pretraining run is configured from (sample_domain_mix caps
+    doc counts, sample_mix_epochs replicates docs; this op computes the
+    token-denominated weights both of those would be driven by at
+    production scale): uniform token target per source, epochs capped at
+    {_MIX_MAX_EPOCHS}× so an undersized source is never repeated past the
+    memorization guard, realized shares renormalized over the capped plan.
+
+    Every share-bearing number is derived from BIGINT-exact intermediates
+    — realized_tokens = least(cap·n_tokens, total div S) stays integer on
+    both engines, so the only float ops are final single divisions,
+    rounded to 6 dp (the fold-order-free float recipe the gate requires).
+    One groupBy(source) shuffle over the corpus; everything after runs on
+    the S-row plan relation (broadcast scalars, no driver collect)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+    per_source = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("s"),
+    )
+    plan = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.least(
+            F.lit(_MIX_MAX_EPOCHS) * F.col("n_tokens"),
+            F.expr("total div s"),
+        ).alias("realized_tokens"),
+        "total",
+        "s",
+    )
+    grand = plan.agg(
+        F.sum("realized_tokens").cast("long").alias("grand_realized")
+    )
+    return plan.crossJoin(F.broadcast(grand)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("total"), 6).alias("natural_share"),
+        F.round(F.lit(1.0) / F.col("s"), 6).alias("target_share"),
+        "realized_tokens",
+        (F.col("realized_tokens") < F.expr("total div s")).alias("capped"),
+        F.round(F.col("realized_tokens") / F.col("n_tokens"), 6).alias("epochs"),
+        F.round(F.col("realized_tokens") / F.col("grand_realized"), 6).alias(
+            "realized_share"
+        ),
+    )

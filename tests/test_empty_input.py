@@ -87,6 +87,8 @@ _OPS = [
     "er_golden_record",
     "events_sequence_match",
     "text_source_overlap",
+    "sample_mixture_weights",
+    "dedup_url_canonical",
 ]
 
 
@@ -143,6 +145,8 @@ _BLANK_OPS = [
     # round-9 session 2: blank docs contribute zero tokens to their
     # source's vocabulary identically in both engines
     "text_source_overlap",
+    # blank docs = zero-token sources in the mixture denominator
+    "sample_mixture_weights",
 ]
 
 

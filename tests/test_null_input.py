@@ -95,6 +95,10 @@ _OPS = [
     "er_golden_record",
     "events_sequence_match",
     "text_source_overlap",
+    # NULL text (token sums) and NULL source (group key) must plan and
+    # canonicalize identically
+    "sample_mixture_weights",
+    "dedup_url_canonical",
 ]
 
 

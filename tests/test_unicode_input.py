@@ -53,6 +53,8 @@ _OPS = [
     # round-9 session 2: source-level vocabulary join must agree on
     # unicode token identity byte-wise
     "text_source_overlap",
+    # unicode text changes token counts; the plan arithmetic must agree
+    "sample_mixture_weights",
 ]
 
 

@@ -223,6 +223,12 @@ DEFAULT_OPS = [
     # Source-pair vocabulary overlap: posting-list self-join bounded by
     # C(n_sources,2) × vocab, independent of document count.
     "text_source_overlap",
+    # Mixture planner: one groupBy(source) pass, then S-row arithmetic —
+    # input-linear with a constant plan relation.
+    "sample_mixture_weights",
+    # URL canonicalization: per-row codegen string expressions + one hash
+    # aggregate on the canonical key — input-linear.
+    "dedup_url_canonical",
 ]
 
 
