@@ -221,6 +221,8 @@ HEADLINE = [
     "text_source_overlap",
     "sample_mixture_weights",
     "dedup_url_canonical",
+    "text_bigram_logprob",
+    "maintenance_ttl_partition_drop",
 ]
 
 

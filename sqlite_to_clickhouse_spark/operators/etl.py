@@ -997,3 +997,69 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "out")
     out.write.mode("overwrite").json(path)
     return spark.read.schema(out.schema).json(path)
+
+
+_TTL_KEEP_MONTHS = 12
+
+_TTL_ORACLE = f"""
+    WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
+    cutoff AS (
+        SELECT strftime(m - INTERVAL {_TTL_KEEP_MONTHS - 1} MONTH, '%Y-%m') AS c
+        FROM mx
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(sum(o_totalprice), 2) AS total_price
+    FROM orders, cutoff
+    WHERE strftime(o_orderdate, '%Y-%m') >= c
+    GROUP BY 1
+"""
+
+
+@register("maintenance_ttl_partition_drop", oracle=_TTL_ORACLE, tags=("etl", "maintenance"))
+def maintenance_ttl_partition_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``TTL ... DELETE`` at partition granularity — the way a
+    100 TB event store actually expires data: the table is laid out
+    partitioned by month, and expiry DROPS WHOLE PARTITION DIRECTORIES
+    (an O(1)-per-partition metadata/filesystem operation) instead of
+    anti-joining and rewriting rows the way maintenance_delete_rows
+    must for arbitrary predicates. Rows older than the newest
+    {_TTL_KEEP_MONTHS} months expire; rows with a NULL date expire too
+    (they land in __HIVE_DEFAULT_PARTITION__, which TTL can't vouch
+    for — mirrored by the oracle's NULL-rejecting WHERE).
+
+    The read-back after the drop is the assertion: surviving partitions
+    are re-scanned and aggregated, so a mis-dropped directory breaks the
+    differential gate, not just a plan expectation. The only driver-side
+    data is the 1-row max-date scalar and the partition directory
+    listing — both bounded by the month count, never by rows."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+    base = os.path.join(tempfile.mkdtemp(prefix="ttl_drop_"), "orders")
+    o.write.mode("overwrite").partitionBy("ym").parquet(base)
+
+    mx = o.agg(F.max("o_orderdate").alias("m")).collect()[0]["m"]
+    if mx is None:  # empty corpus: nothing to expire, nothing survives
+        return spark.createDataFrame(
+            [], "ym string, n_orders long, total_price double"
+        )
+    # Cutoff month, computed on the month grid (day clamping can't move
+    # the month, so this matches the oracle's INTERVAL arithmetic).
+    midx = mx.year * 12 + (mx.month - 1) - (_TTL_KEEP_MONTHS - 1)
+    cutoff = f"{midx // 12:04d}-{midx % 12 + 1:02d}"
+    import shutil
+
+    for entry in os.listdir(base):
+        if not entry.startswith("ym="):
+            continue
+        part = entry[3:]
+        if part == "__HIVE_DEFAULT_PARTITION__" or part < cutoff:
+            shutil.rmtree(os.path.join(base, entry))
+
+    survivors = spark.read.parquet(base)
+    return survivors.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )

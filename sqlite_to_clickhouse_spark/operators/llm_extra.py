@@ -597,3 +597,82 @@ def sample_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("avg_logprob"), 6).alias("worst_logprob"),
         F.sum((u32 < keep_below).cast("long")).cast("long").alias("n_kept"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+               unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+        FROM toks
+    ),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+    v AS (SELECT CAST(count(DISTINCT w2) AS DOUBLE) AS v FROM bg)
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS avg_logprob,
+           round(min(ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * v.v))), 6) AS min_logprob
+    FROM bg b
+    JOIN c12 ON c12.w1 = b.w1 AND c12.w2 = b.w2
+    JOIN c1 ON c1.w1 = b.w1
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+    tags=("llm", "text"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score per document — the CCNet-style perplexity
+    filter one order up from text_unigram_logprob: each adjacent token
+    pair scores ln P(w2|w1) under the corpus's own add-0.5-smoothed
+    bigram model (P = (c(w1,w2)+0.5) / (c(w1·)+0.5·V), V = continuation
+    vocabulary), so word-salad that passes the unigram filter (common
+    words in impossible orders) lands in the tail where the quality cut
+    removes it.
+
+    One bigram-explode pass, no model join-back: c(w1,w2) and c(w1·) are
+    counts-over-windows ON the exploded bigram stream itself (the
+    partition size IS the count — text_unigram_logprob's plan trick, one
+    exchange per partitioning), V rides a broadcast scalar. ln() on
+    identical double inputs is engine-stable (text_tfidf/unigram
+    precedent, driver-green since r3); the smoothing arithmetic keeps
+    integer counts exact until a single IEEE division."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens(F.col("text")).alias("tk"))
+    tk = F.col("tk")
+    pairs = F.when(
+        F.size(tk) < 2,
+        F.array().cast("array<struct<w1:string,w2:string>>"),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tk) - 2),
+            lambda i: F.struct(
+                F.element_at(tk, i + 1).alias("w1"),
+                F.element_at(tk, i + 2).alias("w2"),
+            ),
+        )
+    )
+    bg = (
+        toks.select("doc_id", F.explode_outer(pairs).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    v = bg.agg(F.countDistinct("w2").cast("double").alias("v"))
+    logp = F.log((F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("v")))
+    return (
+        bg.withColumn("c12", F.count(F.lit(1)).over(Window.partitionBy("w1", "w2")))
+        .withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 6).alias("avg_logprob"),
+            F.round(F.min(logp), 6).alias("min_logprob"),
+        )
+    )

@@ -89,6 +89,8 @@ _OPS = [
     "text_source_overlap",
     "sample_mixture_weights",
     "dedup_url_canonical",
+    "text_bigram_logprob",
+    "maintenance_ttl_partition_drop",
 ]
 
 
@@ -147,6 +149,8 @@ _BLANK_OPS = [
     "text_source_overlap",
     # blank docs = zero-token sources in the mixture denominator
     "sample_mixture_weights",
+    # blank docs have no bigrams: must vanish identically on both sides
+    "text_bigram_logprob",
 ]
 
 

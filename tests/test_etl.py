@@ -277,3 +277,54 @@ def test_compact_files_collapses_file_count(spark, sf_dir, tmp_path):
         F.count(F.lit(1)), F.expr("bit_xor(xxhash64(l_orderkey, l_linenumber))")
     ).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_ttl_partition_drop_expires_exactly(spark, tmp_path):
+    """TTL keeps exactly the newest 12 months on the month grid, expires
+    everything older, and expires NULL-dated rows (the
+    __HIVE_DEFAULT_PARTITION__ decision documented on the op)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from sqlite_to_clickhouse_spark.operators.etl import (
+        _TTL_KEEP_MONTHS,
+        maintenance_ttl_partition_drop,
+    )
+
+    rows = []
+    # 20 months of data, 2 rows each, spanning a year boundary.
+    for i in range(20):
+        y, m = 2023 + (i // 12), (i % 12) + 1
+        for j in range(2):
+            rows.append(
+                Row(
+                    o_orderkey=i * 10 + j,
+                    o_custkey=1,
+                    o_orderstatus="O",
+                    o_totalprice=100.0,
+                    o_orderdate=dt.datetime(y, m, 15),
+                    o_orderpriority="1-URGENT",
+                )
+            )
+    # A NULL-dated row: must expire.
+    rows.append(
+        Row(
+            o_orderkey=999,
+            o_custkey=1,
+            o_orderstatus="O",
+            o_totalprice=1.0,
+            o_orderdate=None,
+            o_orderpriority="1-URGENT",
+        )
+    )
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/orders.parquet")
+    out = {r.ym: r.n_orders for r in maintenance_ttl_partition_drop(spark, sf).collect()}
+    # Newest month is 2024-08 (i=19); survivors are the last 12 months.
+    expected = set()
+    for i in range(20 - _TTL_KEEP_MONTHS, 20):
+        y, m = 2023 + (i // 12), (i % 12) + 1
+        expected.add(f"{y:04d}-{m:02d}")
+    assert set(out) == expected
+    assert all(v == 2 for v in out.values())

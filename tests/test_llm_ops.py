@@ -922,3 +922,27 @@ def test_ann_tombstoned_query_keeps_pruning_and_broadcasts_antijoin(
     assert not any("SortMergeJoin" in l for l in antis), (
         "tombstone anti-join fell back to sort-merge:\n" + "\n".join(antis)
     )
+
+
+def test_bigram_logprob_separates_fluent_from_salad(spark, tmp_path):
+    """The bigram LM must score a document of corpus-frequent bigrams
+    higher than a document of the SAME tokens in never-seen orders —
+    exactly the case the unigram filter cannot separate (identical token
+    multiset, different order)."""
+    from pyspark.sql import Row
+
+    from sqlite_to_clickhouse_spark.operators.llm_extra import text_bigram_logprob
+
+    fluent = "the cat sat on the mat"
+    rows = [
+        Row(doc_id=i, text=fluent, lang="en", source="s", n_chars=len(fluent))
+        for i in range(10)
+    ]
+    salad = "mat the on cat the sat"  # same multiset, unseen bigrams
+    rows.append(Row(doc_id=100, text=salad, lang="en", source="s", n_chars=len(salad)))
+    sf = str(tmp_path / "sf")
+    spark.createDataFrame(rows).write.parquet(f"{sf}/documents.parquet")
+    out = {r.doc_id: r for r in text_bigram_logprob(spark, sf).collect()}
+    assert out[0].n_bigrams == 5
+    assert out[0].avg_logprob > out[100].avg_logprob
+    assert out[0].min_logprob > out[100].min_logprob

@@ -99,6 +99,10 @@ _OPS = [
     # canonicalize identically
     "sample_mixture_weights",
     "dedup_url_canonical",
+    # NULL text drops from the bigram stream; NULL o_orderdate rows must
+    # EXPIRE (__HIVE_DEFAULT_PARTITION__ dropped, oracle WHERE rejects NULL)
+    "text_bigram_logprob",
+    "maintenance_ttl_partition_drop",
 ]
 
 

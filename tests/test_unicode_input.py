@@ -55,6 +55,8 @@ _OPS = [
     "text_source_overlap",
     # unicode text changes token counts; the plan arithmetic must agree
     "sample_mixture_weights",
+    # unicode bigram keys must join/count byte-identically
+    "text_bigram_logprob",
 ]
 
 

@@ -229,6 +229,12 @@ DEFAULT_OPS = [
     # URL canonicalization: per-row codegen string expressions + one hash
     # aggregate on the canonical key — input-linear.
     "dedup_url_canonical",
+    # Bigram LM: one bigram explode (token-linear), counts are windows
+    # over the stream (partition size IS the count), V a broadcast scalar.
+    "text_bigram_logprob",
+    # Partition TTL: the drop is O(months) filesystem metadata; the
+    # write+readback bounds the wall at one partitioned pass each way.
+    "maintenance_ttl_partition_drop",
 ]
 
 
