@@ -223,6 +223,7 @@ HEADLINE = [
     "dedup_url_canonical",
     "text_bigram_logprob",
     "maintenance_ttl_partition_drop",
+    "stream_type_drift",
 ]
 
 

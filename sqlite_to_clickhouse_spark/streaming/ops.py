@@ -818,3 +818,64 @@ _wire_stream_incremental_deletes_oracle()
 
 
 _wire_stream_incremental_oracle()
+
+
+@register(
+    "stream_type_drift",
+    oracle="""
+    WITH c AS (
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT win_start, event_type, cnt,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / sum(cnt) OVER (PARTITION BY win_start), 6) AS win_share,
+           ROUND(CAST(cnt AS DOUBLE)
+                 / sum(cnt) OVER (PARTITION BY win_start)
+                 - CAST(sum(cnt) OVER (PARTITION BY event_type) AS DOUBLE)
+                   / sum(cnt) OVER (), 6) AS drift
+    FROM c
+    """,
+    tags=("streaming", "analytics"),
+)
+def stream_type_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mix-drift monitor — the ingest-time alarm a production
+    corpus pipeline runs: per 1-hour event-time window, each event type's
+    share of the window, and its DRIFT against the all-time mix (the
+    signal that a crawler started flooding one source or a producer went
+    quiet).
+
+    The STREAM maintains only the windowed counts (incremental hash
+    aggregation, state = open windows × types); shares and drift are a
+    closing VIEW over that materialized state — streaming disallows the
+    chained re-aggregation, and the production twin of this readout is a
+    dashboard query over the state store/sink anyway. The view is three
+    window-sums over the tiny counts relation (windows × types rows), so
+    all ratio inputs stay BIGINT-exact until single rounded divisions —
+    the differential gate then checks stream + view end-to-end against
+    DuckDB's batch recomputation of the identical quantities."""
+    ev = events_stream(spark, sf_dir)
+    counts = run_to_memory(
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "cnt"),
+        "complete",
+    )
+    wtot = F.sum("cnt").over(Window.partitionBy("win_start"))
+    gcnt = F.sum("cnt").over(Window.partitionBy("event_type"))
+    # The grand total rides a broadcast scalar, not an unpartitioned
+    # window (which would single-partition the relation — harmless at
+    # windows×types size, but the scalar keeps the plan clean).
+    gtot = counts.agg(F.sum("cnt").alias("gtot"))
+    return counts.crossJoin(F.broadcast(gtot)).select(
+        "win_start",
+        "event_type",
+        "cnt",
+        F.round(F.col("cnt") / wtot, 6).alias("win_share"),
+        F.round(
+            F.col("cnt") / wtot - gcnt.cast("double") / F.col("gtot"), 6
+        ).alias("drift"),
+    )

@@ -91,6 +91,7 @@ _OPS = [
     "dedup_url_canonical",
     "text_bigram_logprob",
     "maintenance_ttl_partition_drop",
+    "stream_type_drift",
 ]
 
 

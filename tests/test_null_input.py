@@ -103,6 +103,9 @@ _OPS = [
     # EXPIRE (__HIVE_DEFAULT_PARTITION__ dropped, oracle WHERE rejects NULL)
     "text_bigram_logprob",
     "maintenance_ttl_partition_drop",
+    # NULL ts must window/bucket identically through the stream and the
+    # batch oracle
+    "stream_type_drift",
 ]
 
 

@@ -235,6 +235,9 @@ DEFAULT_OPS = [
     # Partition TTL: the drop is O(months) filesystem metadata; the
     # write+readback bounds the wall at one partitioned pass each way.
     "maintenance_ttl_partition_drop",
+    # Drift monitor: incremental windowed counts (state = windows×types),
+    # then window-sums over that tiny relation — input-linear stream pass.
+    "stream_type_drift",
 ]
 
 
