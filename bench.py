@@ -224,6 +224,7 @@ HEADLINE = [
     "text_bigram_logprob",
     "maintenance_ttl_partition_drop",
     "stream_type_drift",
+    "sink_time_travel",
 ]
 
 

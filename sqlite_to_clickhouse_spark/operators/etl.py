@@ -1009,7 +1009,8 @@ _TTL_ORACLE = f"""
     )
     SELECT strftime(o_orderdate, '%Y-%m') AS ym,
            CAST(count(*) AS BIGINT) AS n_orders,
-           ROUND(sum(o_totalprice), 2) AS total_price
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price
     FROM orders, cutoff
     WHERE strftime(o_orderdate, '%Y-%m') >= c
     GROUP BY 1
@@ -1059,7 +1060,92 @@ def maintenance_ttl_partition_drop(spark: SparkSession, sf_dir: str) -> DataFram
             shutil.rmtree(os.path.join(base, entry))
 
     survivors = spark.read.parquet(base)
+    # Exact-integer-cents sum (fold-order-free; see sink_time_travel).
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
     return survivors.groupBy("ym").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.round(F.sum(cents).cast("double") / 100, 2).alias("total_price"),
     )
+
+
+_TIME_TRAVEL_ORACLE = """
+    SELECT 'v1' AS version,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'v2',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2)
+    FROM orders
+"""
+
+
+@register("sink_time_travel", oracle=_TIME_TRAVEL_ORACLE, tags=("sink", "etl"))
+def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-committed snapshot isolation on plain parquet — the
+    Delta/Iceberg time-travel core, reduced to its essential protocol:
+    every snapshot is a MANIFEST (an immutable file list published by one
+    atomic rename), data files are append-only, and a reader resolves a
+    manifest — NEVER a directory listing — so a concurrent append can't
+    tear its view and a crashed append (files written, manifest missing)
+    is invisible rather than half-read. This is the transactional answer
+    to the crash-between-append-and-marker window documented on
+    stream_incremental_dedup's index append.
+
+    The op commits snapshot v1 (orders with o_orderkey % 3 <> 0), then
+    APPENDS the remaining rows and commits v2 = v1's files + the new
+    files. Both versions are then read back THROUGH their manifests —
+    after v2's commit — and aggregated: matching v1's oracle proves the
+    old snapshot still reads exactly as committed (time travel), matching
+    v2's proves the append published atomically.
+
+    Scale shape: manifests are O(files) metadata; snapshot reads are
+    plain parquet scans over the listed files, so every Catalyst
+    optimization (pushdown, pruning) applies unchanged."""
+    import glob as _glob
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="time_travel_")
+    d1 = os.path.join(base, "data", "add-0001")
+    d2 = os.path.join(base, "data", "add-0002")
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d1)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d2)
+
+    mdir = os.path.join(base, "_manifests")
+    os.makedirs(mdir)
+
+    def _commit(version: str, files: list) -> None:
+        tmp = os.path.join(mdir, f".{version}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(files)))
+        os.rename(tmp, os.path.join(mdir, f"{version}.txt"))  # atomic publish
+
+    f1 = _glob.glob(os.path.join(d1, "part-*.parquet"))
+    f2 = _glob.glob(os.path.join(d2, "part-*.parquet"))
+    _commit("v1", f1)
+    _commit("v2", f1 + f2)  # append = old files + new files, never a rewrite
+
+    def _read_snapshot(version: str) -> DataFrame:
+        with open(os.path.join(mdir, f"{version}.txt")) as fh:
+            files = [ln for ln in fh.read().splitlines() if ln]
+        if not files:  # a snapshot of an empty table lists no files
+            return spark.createDataFrame([], o.schema)
+        return spark.read.parquet(*files)
+
+    # Money sums go through exact integer cents (decimal accumulator, no
+    # overflow at ±1e17-cent extremes) so the total is fold-order-free —
+    # a raw double SUM diverged from DuckDB under the extreme-numerics
+    # mutant (catastrophic absorption orders differently across engines).
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    out = None
+    for v in ("v1", "v2"):
+        agg = _read_snapshot(v).agg(
+            F.lit(v).alias("version"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_price"),
+        ).select("version", "n_orders", "total_price")
+        out = agg if out is None else out.unionAll(agg)
+    return out

@@ -92,6 +92,8 @@ _OPS = [
     "text_bigram_logprob",
     "maintenance_ttl_partition_drop",
     "stream_type_drift",
+    # empty table -> empty manifests; both snapshots read back as empty
+    "sink_time_travel",
 ]
 
 

@@ -238,6 +238,9 @@ DEFAULT_OPS = [
     # Drift monitor: incremental windowed counts (state = windows×types),
     # then window-sums over that tiny relation — input-linear stream pass.
     "stream_type_drift",
+    # Time travel: two parquet writes + two manifest-resolved scans —
+    # input-linear, manifests are O(files) metadata.
+    "sink_time_travel",
 ]
 
 
