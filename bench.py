@@ -225,6 +225,7 @@ HEADLINE = [
     "maintenance_ttl_partition_drop",
     "stream_type_drift",
     "sink_time_travel",
+    "dedup_embedding_apply",
 ]
 
 

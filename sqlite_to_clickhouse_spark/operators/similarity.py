@@ -2428,3 +2428,86 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.posexplode(_project(_dbl(F.col("embedding")))).alias("pos", "pc_value"),
     )
+
+
+def _embedding_apply_oracle() -> str:
+    return f"""
+    WITH RECURSIVE cent AS (
+      SELECT vec_id AS cid, embedding AS ce
+      FROM embeddings WHERE vec_id % {CENTROID_EVERY} = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_cos_sql('e.embedding', 'c.ce')} DESC, c.cid) AS rn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT vec_id, embedding, cid AS bucket FROM scored WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM assigned a JOIN assigned b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE {_cos_sql('a.embedding', 'b.embedding')} >= {COSINE_T}
+    ),
+    edges AS (
+      SELECT vec_a AS s, vec_b AS d FROM pairs
+      UNION
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    reach AS (
+      SELECT s AS node, d AS peer FROM edges
+      UNION
+      SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    ),
+    comp AS (
+      SELECT node, least(node, min(peer)) AS cid FROM reach GROUP BY node
+    )
+    SELECT e.vec_id,
+           coalesce(c.cid, e.vec_id) AS cluster_id,
+           (c.cid IS NULL OR c.cid = e.vec_id) AS keep
+    FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+    """
+
+
+@register(
+    "dedup_embedding_apply",
+    oracle=_embedding_apply_oracle(),
+    tags=("llm", "dedup", "similarity"),
+)
+def dedup_embedding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SemDeDup actionable end: EVERY vector keep/drop-labeled from
+    embedding near-duplicates — the semantic twin of dedup_corpus_apply
+    (which labels from MinHash lexical pairs). Pair source = the
+    certified dedup_embedding_bucketed plan verbatim (IVF-style centroid
+    buckets, in-bucket exact-cosine verify at {COSINE_T}); clusters =
+    the dedup family's label propagation; each cluster keeps its min-id
+    vector, unclustered vectors keep themselves, and ``filter(keep)`` IS
+    the semantically-deduped embedding set.
+
+    Differentially verified END-TO-END: the oracle recomputes bucket
+    assignment, in-bucket pairs, AND the transitive closure
+    (recursive CTE), so routing, thresholding, and clustering are all
+    hash-gated in one op. Scale: the bucketed pair subtree is the scale
+    path already audited on dedup_embedding_bucketed; the closure runs
+    on the pair set (small by construction) and the final left join
+    broadcasts the clustered-id table against the vector scan."""
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+
+    pairs = dedup_embedding_bucketed(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("vec_id"), "component_id"
+    )
+    e = table(spark, sf_dir, "embeddings").select("vec_id")
+    return e.join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("component_id"), F.col("vec_id")).alias("cluster_id"),
+        (
+            F.col("component_id").isNull()
+            | (F.col("component_id") == F.col("vec_id"))
+        ).alias("keep"),
+    )

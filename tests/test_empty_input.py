@@ -94,6 +94,8 @@ _OPS = [
     "stream_type_drift",
     # empty table -> empty manifests; both snapshots read back as empty
     "sink_time_travel",
+    # no vectors -> no centroids, no pairs, every-row-keeps degrades to 0
+    "dedup_embedding_apply",
 ]
 
 

@@ -109,6 +109,9 @@ _OPS = [
     # NULL o_totalprice must drop from both engines' cent sums; NULL
     # o_orderkey routes to neither snapshot slice identically
     "sink_time_travel",
+    # NULL embeddings: own pairs threshold-dropped on both sides, the
+    # row still keep-labels itself (dedup_embedding_bucketed precedent)
+    "dedup_embedding_apply",
 ]
 
 

@@ -241,6 +241,9 @@ DEFAULT_OPS = [
     # Time travel: two parquet writes + two manifest-resolved scans —
     # input-linear, manifests are O(files) metadata.
     "sink_time_travel",
+    # SemDeDup apply: the audited bucketed-pair subtree + label
+    # propagation on the (small) pair set + one broadcast left join.
+    "dedup_embedding_apply",
 ]
 
 
