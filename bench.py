@@ -226,6 +226,7 @@ HEADLINE = [
     "stream_type_drift",
     "sink_time_travel",
     "dedup_embedding_apply",
+    "maintenance_snapshot_vacuum",
 ]
 
 

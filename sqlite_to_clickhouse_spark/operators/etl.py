@@ -1149,3 +1149,114 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select("version", "n_orders", "total_price")
         out = agg if out is None else out.unionAll(agg)
     return out
+
+
+_VACUUM_ORACLE = """
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price,
+           TRUE AS vacuum_safe,
+           CAST(0 AS BIGINT) AS orphans_remaining
+    FROM orders
+"""
+
+
+@register("maintenance_snapshot_vacuum", oracle=_VACUUM_ORACLE, tags=("etl", "maintenance"))
+def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GC half of the manifest protocol (Delta ``VACUUM`` /
+    Iceberg ``expireSnapshots``) — without it, sink_time_travel's
+    append-only layout grows forever. Full lifecycle under one gate:
+
+      commit v1 → append-commit v2 → COMPACT into v3 (new files, same
+      rows — the manifest swap is the atomic publish; readers of v2 are
+      unaffected) → EXPIRE v1/v2 → VACUUM (delete every data file no
+      live manifest references) → read v3 through its manifest.
+
+    The output row carries the post-vacuum read's aggregates (they must
+    match the raw table — proving vacuum deleted only unreferenced
+    files), ``vacuum_safe`` = pre-vacuum read == post-vacuum read
+    computed IN-BAND, and ``orphans_remaining`` = files on disk no live
+    manifest references after the sweep (must be 0). File COUNTS are
+    never emitted — they depend on write parallelism, not semantics.
+
+    Scale: vacuum is set-difference over file LISTS (metadata,
+    O(files)); compaction is the only data pass, and at 100 TB it runs
+    partition-scoped (compact cold partitions only), which the manifest
+    protocol supports unchanged — v3 would list rewritten files for the
+    compacted partitions and v2's originals for the rest."""
+    import glob as _glob
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="snapshot_vacuum_")
+    ddir = os.path.join(base, "data")
+    d1 = os.path.join(ddir, "add-0001")
+    d2 = os.path.join(ddir, "add-0002")
+    d3 = os.path.join(ddir, "compact-0003")
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d1)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d2)
+
+    mdir = os.path.join(base, "_manifests")
+    os.makedirs(mdir)
+
+    def _commit(version: str, files: list) -> None:
+        tmp = os.path.join(mdir, f".{version}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(files)))
+        os.rename(tmp, os.path.join(mdir, f"{version}.txt"))
+
+    def _files(d: str) -> list:
+        return _glob.glob(os.path.join(d, "part-*.parquet"))
+
+    def _read_manifest(version: str) -> DataFrame:
+        with open(os.path.join(mdir, f"{version}.txt")) as fh:
+            files = [ln for ln in fh.read().splitlines() if ln]
+        if not files:
+            return spark.createDataFrame([], o.schema)
+        return spark.read.parquet(*files)
+
+    f1, f2 = _files(d1), _files(d2)
+    _commit("v1", f1)
+    _commit("v2", f1 + f2)
+
+    # Compaction: rewrite v2's rows into fresh files, publish v3.
+    _read_manifest("v2").coalesce(1).write.parquet(d3)
+    _commit("v3", _files(d3))
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+
+    def _agg(df: DataFrame):
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("t"),
+        ).collect()[0]
+
+    pre = _agg(_read_manifest("v3"))  # bounded: one aggregate row
+
+    # Expire v1/v2, then vacuum: delete every data file not referenced
+    # by a live manifest.
+    for v in ("v1", "v2"):
+        os.remove(os.path.join(mdir, f"{v}.txt"))
+    live: set = set()
+    for mf in _glob.glob(os.path.join(mdir, "*.txt")):
+        with open(mf) as fh:
+            live.update(ln for ln in fh.read().splitlines() if ln)
+    on_disk = set(_glob.glob(os.path.join(ddir, "*", "part-*.parquet")))
+    for orphan in sorted(on_disk - live):
+        os.remove(orphan)
+
+    post = _agg(_read_manifest("v3"))
+    orphans_remaining = len(
+        set(_glob.glob(os.path.join(ddir, "*", "part-*.parquet"))) - live
+    )
+    row = [
+        (
+            post["n"],
+            post["t"],
+            bool(pre["n"] == post["n"])
+            and ((pre["t"] is None and post["t"] is None) or pre["t"] == post["t"]),
+            orphans_remaining,
+        )
+    ]
+    return spark.createDataFrame(
+        row, "n_orders long, total_price double, vacuum_safe boolean, orphans_remaining long"
+    )

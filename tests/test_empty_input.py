@@ -96,6 +96,8 @@ _OPS = [
     "sink_time_travel",
     # no vectors -> no centroids, no pairs, every-row-keeps degrades to 0
     "dedup_embedding_apply",
+    # empty manifests: vacuum of nothing is safe, reads stay empty
+    "maintenance_snapshot_vacuum",
 ]
 
 

@@ -112,6 +112,8 @@ _OPS = [
     # NULL embeddings: own pairs threshold-dropped on both sides, the
     # row still keep-labels itself (dedup_embedding_bucketed precedent)
     "dedup_embedding_apply",
+    # NULL keys/prices flow through compaction + vacuum identically
+    "maintenance_snapshot_vacuum",
 ]
 
 

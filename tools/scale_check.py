@@ -244,6 +244,9 @@ DEFAULT_OPS = [
     # SemDeDup apply: the audited bucketed-pair subtree + label
     # propagation on the (small) pair set + one broadcast left join.
     "dedup_embedding_apply",
+    # Snapshot vacuum: compaction is the only data pass; expiry + orphan
+    # sweep are O(files) set-difference over manifests.
+    "maintenance_snapshot_vacuum",
 ]
 
 
