@@ -636,10 +636,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     words in impossible orders) lands in the tail where the quality cut
     removes it.
 
-    One bigram-explode pass, no model join-back: c(w1,w2) and c(w1·) are
-    counts-over-windows ON the exploded bigram stream itself (the
-    partition size IS the count — text_unigram_logprob's plan trick, one
-    exchange per partitioning), V rides a broadcast scalar. ln() on
+    No model join-back: c(w1,w2) and c(w1·) are counts-over-windows ON
+    the exploded bigram stream itself (the partition size IS the count —
+    text_unigram_logprob's plan trick, one exchange per partitioning).
+    The scoring path explodes ONCE; V's broadcast scalar re-explodes the
+    corpus for its count-distinct because plans are trees — a map-side
+    partial-aggregated second pass, pinned at exactly two Generates in
+    tests/test_plans.py so a third (a join-back creeping in) fails CI.
+    ln() on
     identical double inputs is engine-stable (text_tfidf/unigram
     precedent, driver-green since r3); the smoothing arithmetic keeps
     integer counts exact until a single IEEE division."""

@@ -764,3 +764,38 @@ def test_exact_embedding_dedup_is_single_pass_kernel(spark, sf_dir):
     p = _plan(spark, sf_dir, "dedup_embedding_cosine")
     assert "MapInPandas" in p, p
     assert "Join" not in p and not _exchanges(p), p
+
+
+def test_er_golden_record_broadcasts_entity_map(spark, sf_dir):
+    """The name→entity map must reach the fact scan as a broadcast (the
+    docstring's promise) — a sort-merge join here would shuffle the whole
+    catalog on p_name at 100 TB."""
+    p = _plan(spark, sf_dir, "er_golden_record")
+    assert "BroadcastHashJoin" in p
+
+
+def test_er_blocked_pairs_no_cartesian(spark, sf_dir):
+    """Token blocking must plan as an equi-join on the blocking key —
+    never a cartesian/nested-loop over names."""
+    p = _plan(spark, sf_dir, "er_blocked_pairs")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_source_overlap_prunes_documents_scan(spark, sf_dir):
+    """The posting-list build needs source+text only; reading doc_id or
+    n_chars would drag dead columns through the explode."""
+    p = _plan(spark, sf_dir, "text_source_overlap")
+    rs = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "source" in rs and "text" in rs
+    assert "doc_id" not in rs and "n_chars" not in rs
+
+
+def test_bigram_logprob_two_explodes_only(spark, sf_dir):
+    """Exactly two Generates: the scoring path's bigram explode + the
+    V-scalar branch's re-explode (plans are trees). The counts ride
+    windows on the exploded stream, so a THIRD explode means the model
+    join-back crept back in (the text_tfidf plan flaw)."""
+    p = _plan(spark, sf_dir, "text_bigram_logprob")
+    gens = [l for l in p.splitlines() if l.strip().startswith("(") and "Generate" in l]
+    assert len(gens) == 2, gens
