@@ -227,6 +227,7 @@ HEADLINE = [
     "sink_time_travel",
     "dedup_embedding_apply",
     "maintenance_snapshot_vacuum",
+    "er_incremental_match",
 ]
 
 

@@ -302,3 +302,144 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_size",
         "modal_brand",
     )
+
+
+_INCR_CTE = f"""
+    cat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 <> 0),
+    bat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 = 0),
+    cwords AS (SELECT nm, w FROM (
+        SELECT nm, unnest(string_split(nm, ' ')) AS w FROM cat) WHERE w <> ''),
+    ckeys AS (SELECT w FROM cwords GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
+    cpairs AS (
+        SELECT DISTINCT a.nm AS name_a, b.nm AS name_b
+        FROM cwords a JOIN ckeys k ON a.w = k.w
+        JOIN cwords b ON b.w = a.w AND a.nm < b.nm
+    ),
+    vpairs AS (
+        SELECT name_a, name_b FROM cpairs
+        WHERE levenshtein(name_a, name_b) <= {_ER_MAXDIST}
+    ),
+    edges AS (
+        SELECT name_a AS s, name_b AS d FROM vpairs
+        UNION SELECT name_b, name_a FROM vpairs
+    ),
+    reach AS (
+        SELECT s AS node, d AS peer FROM edges
+        UNION SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
+    ),
+    comp AS (SELECT node, least(node, min(peer)) AS eid FROM reach GROUP BY node),
+    bwords AS (SELECT nm, w FROM (
+        SELECT nm, unnest(string_split(nm, ' ')) AS w FROM bat) WHERE w <> ''),
+    cand AS (
+        SELECT DISTINCT b.nm AS bname, c.nm AS cname
+        FROM bwords b JOIN ckeys k ON b.w = k.w JOIN cwords c ON c.w = b.w
+    ),
+    scored AS (
+        SELECT bname, cname, levenshtein(bname, cname) AS d
+        FROM cand WHERE levenshtein(bname, cname) <= {_ER_MAXDIST}
+    ),
+    best AS (
+        SELECT bname, cname, d FROM (
+            SELECT bname, cname, d,
+                   row_number() OVER (PARTITION BY bname ORDER BY d, cname) AS rk
+            FROM scored
+        ) WHERE rk = 1
+    )
+"""
+
+_INCR_ORACLE = f"""
+    WITH RECURSIVE {_INCR_CTE}
+    SELECT b.nm AS name,
+           best.cname AS matched_name,
+           best.d AS edit_dist,
+           CASE WHEN best.cname IS NULL THEN b.nm
+                ELSE coalesce(c2.eid, best.cname) END AS entity_id
+    FROM bat b
+    LEFT JOIN best ON best.bname = b.nm
+    LEFT JOIN comp c2 ON c2.node = best.cname
+"""
+
+
+@register("er_incremental_match", oracle=_INCR_ORACLE, tags=("llm", "entity"))
+def er_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of entity resolution — the dedup_incremental of
+    the ER family: a new batch of records (p_partkey % 10 == 0, modeling
+    today's feed) resolves against the EXISTING entity catalog (the other
+    90%) without re-clustering it. Each batch name is blocked against the
+    catalog's df-capped keys, levenshtein-verified, and assigned its best
+    match's entity (tie-break (distance, name) — total, so both engines
+    elect the same catalog record); exact re-arrivals match at distance 0;
+    genuinely new names found no candidate and become their own entity.
+
+    At 100 TB the catalog's entity map is maintained incrementally and
+    this op is the per-ingest cost: blocking-key join of the (small)
+    batch against catalog posting lists — batch-bounded work, the corpus
+    is never re-paired. Differentially gated end-to-end: the oracle
+    recomputes catalog clustering (recursive closure) AND the batch
+    match."""
+    parts = table(spark, sf_dir, "part")
+    cat = (
+        parts.filter(F.col("p_partkey") % 10 != 0)
+        .select(F.col("p_name").alias("nm"))
+        .distinct()
+        .withColumn("n_parts", F.lit(1))
+    )
+    bat = (
+        parts.filter(F.col("p_partkey") % 10 == 0)
+        .select(F.col("p_name").alias("nm"))
+        .distinct()
+    )
+    # Catalog entity map: verified pairs within the catalog → components.
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+
+    cpairs = blocked_name_pairs(cat).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = connected_components(cpairs).select(
+        F.col("node").alias("cname"), F.col("component_id").alias("eid")
+    )
+    # Batch match: block batch words against the catalog's capped keys.
+    cwords = cat.select(
+        "nm", F.explode(F.split(F.col("nm"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    ckeys = (
+        cwords.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _ER_BLOCK_DF_CAP)
+        .select("w")
+    )
+    bwords = bat.select(
+        F.col("nm").alias("bname"), F.explode(F.split(F.col("nm"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    cand = (
+        bwords.join(F.broadcast(ckeys), "w")
+        .join(
+            cwords.select(F.col("nm").alias("cname"), "w"),
+            "w",
+        )
+        .select("bname", "cname")
+        .distinct()
+    )
+    scored = cand.select(
+        "bname", "cname", F.levenshtein("bname", "cname").alias("d")
+    ).filter(F.col("d") <= _ER_MAXDIST)
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("bname").orderBy(F.col("d").asc(), F.col("cname").asc())
+    best = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("bname", "cname", "d")
+    )
+    return (
+        bat.join(best, bat["nm"] == best["bname"], "left")
+        .join(F.broadcast(comp), "cname", "left")
+        .select(
+            F.col("nm").alias("name"),
+            F.col("cname").alias("matched_name"),
+            F.col("d").alias("edit_dist"),
+            F.when(F.col("cname").isNull(), F.col("nm"))
+            .otherwise(F.coalesce(F.col("eid"), F.col("cname")))
+            .alias("entity_id"),
+        )
+    )

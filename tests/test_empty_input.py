@@ -98,6 +98,8 @@ _OPS = [
     "dedup_embedding_apply",
     # empty manifests: vacuum of nothing is safe, reads stay empty
     "maintenance_snapshot_vacuum",
+    # empty catalog AND empty batch: no candidates, no output rows
+    "er_incremental_match",
 ]
 
 

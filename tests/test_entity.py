@@ -139,3 +139,24 @@ def test_source_overlap_bounds(spark, sf_dir):
         assert 0.0 < r.jaccard <= 1.0
     keys = [(r.source_a, r.source_b) for r in rows]
     assert len(keys) == len(set(keys))
+
+
+def test_incremental_match_consistency(spark, sf_dir):
+    """Serving-path invariants: an exact re-arrival matches itself at
+    distance 0; every matched batch name lands on its match's catalog
+    entity; unmatched names become their own entity."""
+    from sqlite_to_clickhouse_spark.operators.entity import er_incremental_match
+
+    rows = er_incremental_match(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.matched_name is None:
+            assert r.edit_dist is None
+            assert r.entity_id == r.name
+        else:
+            assert 0 <= r.edit_dist <= 2
+            if r.matched_name == r.name:
+                assert r.edit_dist == 0
+    # The fixture's 10% batch split re-arrives known names: expect at
+    # least one exact (distance-0) match.
+    assert any(r.edit_dist == 0 for r in rows if r.edit_dist is not None)

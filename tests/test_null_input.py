@@ -114,6 +114,9 @@ _OPS = [
     "dedup_embedding_apply",
     # NULL keys/prices flow through compaction + vacuum identically
     "maintenance_snapshot_vacuum",
+    # NULL p_name / p_partkey rows must route to neither side's distinct
+    # name set identically
+    "er_incremental_match",
 ]
 
 

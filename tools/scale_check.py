@@ -247,6 +247,9 @@ DEFAULT_OPS = [
     # Snapshot vacuum: compaction is the only data pass; expiry + orphan
     # sweep are O(files) set-difference over manifests.
     "maintenance_snapshot_vacuum",
+    # ER serving path: batch names × catalog posting lists under the df
+    # cap — batch-bounded, the catalog is never re-paired.
+    "er_incremental_match",
 ]
 
 
