@@ -265,6 +265,13 @@ def derived_ratios(timings: dict) -> dict:
         out["dedup_incremental_vs_full"] = round(
             timings["dedup_incremental"] / timings["dedup_fuzzy_minhash"], 4
         )
+    # The ER-family twin of the metric above: resolving one batch against
+    # the existing catalog vs re-clustering everything (er_clusters both
+    # re-pairs and re-propagates). Batch-bounded vs corpus-bounded.
+    if timings.get("er_clusters") and timings.get("er_incremental_match"):
+        out["er_incremental_vs_full"] = round(
+            timings["er_incremental_match"] / timings["er_clusters"], 4
+        )
     return out
 
 

@@ -32,6 +32,14 @@ def test_derived_incremental_vs_full_ratio():
     assert bench.derived_ratios({"dedup_fuzzy_minhash": 0.0}) == {}
 
 
+def test_derived_er_incremental_ratio():
+    d = bench.derived_ratios(
+        {"er_clusters": 2.0, "er_incremental_match": 1.0}
+    )
+    assert d["er_incremental_vs_full"] == 0.5 > 0
+    assert bench.derived_ratios({"er_clusters": 0.0}) == {}
+
+
 def test_committed_bench_full_tracks_the_ratio():
     """BENCH_FULL.json is refreshed by every bench run and committed; from
     round 9 on it must carry the amortization ratio as a positive number."""
