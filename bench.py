@@ -228,6 +228,7 @@ HEADLINE = [
     "dedup_embedding_apply",
     "maintenance_snapshot_vacuum",
     "er_incremental_match",
+    "er_golden_record_incremental",
 ]
 
 
@@ -266,8 +267,12 @@ def derived_ratios(timings: dict) -> dict:
             timings["dedup_incremental"] / timings["dedup_fuzzy_minhash"], 4
         )
     # The ER-family twin of the metric above: resolving one batch against
-    # the existing catalog vs re-clustering everything (er_clusters both
-    # re-pairs and re-propagates). Batch-bounded vs corpus-bounded.
+    # the existing catalog vs re-clustering everything. HONEST CAVEAT:
+    # at fixture scale this reads > 1.0 — the 64-name catalog makes the
+    # full re-cluster trivially cheap, while the incremental op
+    # recomputes the catalog map a production deployment would have
+    # STORED (there is no persisted ER index op). The ratio is tracked
+    # for the trend as catalogs grow, not as a fixture-scale win claim.
     if timings.get("er_clusters") and timings.get("er_incremental_match"):
         out["er_incremental_vs_full"] = round(
             timings["er_incremental_match"] / timings["er_clusters"], 4

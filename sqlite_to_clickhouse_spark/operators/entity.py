@@ -443,3 +443,138 @@ def er_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("entity_id"),
         )
     )
+
+
+_GOLDEN_INCR_ORACLE = f"""
+    WITH RECURSIVE {_INCR_CTE},
+    cat_map AS (
+        SELECT c.nm, coalesce(cm.eid, c.nm) AS entity_id
+        FROM cat c LEFT JOIN comp cm ON cm.node = c.nm
+    ),
+    bat_map AS (
+        SELECT b.nm,
+               CASE WHEN best.cname IS NULL THEN b.nm
+                    ELSE coalesce(c2.eid, best.cname) END AS entity_id
+        FROM bat b
+        LEFT JOIN best ON best.bname = b.nm
+        LEFT JOIN comp c2 ON c2.node = best.cname
+    ),
+    mapped AS (
+        SELECT m.entity_id, p.p_name, p.p_brand, p.p_size, p.p_retailprice
+        FROM part p JOIN cat_map m ON m.nm = p.p_name
+        WHERE p.p_partkey % 10 <> 0
+        UNION ALL
+        SELECT m.entity_id, p.p_name, p.p_brand, p.p_size, p.p_retailprice
+        FROM part p JOIN bat_map m ON m.nm = p.p_name
+        WHERE p.p_partkey % 10 = 0
+    ),
+    brand_votes AS (
+        SELECT entity_id, p_brand, count(*) AS votes FROM mapped GROUP BY 1, 2
+    ),
+    brand_pick AS (
+        SELECT entity_id, p_brand AS modal_brand FROM (
+            SELECT entity_id, p_brand, votes,
+                   row_number() OVER (
+                       PARTITION BY entity_id
+                       ORDER BY votes DESC, p_brand ASC NULLS LAST) AS rk
+            FROM brand_votes
+        ) WHERE rk = 1
+    )
+    SELECT m.entity_id,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(count(DISTINCT m.p_name) AS BIGINT) AS n_variants,
+           ROUND(min(m.p_retailprice), 2) AS min_price,
+           ROUND(max(m.p_retailprice), 2) AS max_price,
+           max(m.p_size) AS max_size,
+           min(b.modal_brand) AS modal_brand
+    FROM mapped m JOIN brand_pick b ON b.entity_id = m.entity_id
+    GROUP BY m.entity_id
+"""
+
+
+@register("er_golden_record_incremental", oracle=_GOLDEN_INCR_ORACLE, tags=("llm", "entity"))
+def er_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental golden-record refresh — the survivorship table kept
+    current as batches arrive, WITHOUT recomputing untouched entities:
+    the catalog's per-entity partial aggregates stand in for the stored
+    serving table, the batch's rows aggregate to their own partials
+    under er_incremental_match's entity assignment (catalog clustering
+    frozen — new names never merge existing entities), and the refresh
+    is a pure PARTIAL-AGGREGATE MERGE: counts add, mins/maxes fold,
+    brand votes sum before the modal re-election, variant counts merge
+    on the (entity, name) grain. Every merge rule is associative, so at
+    100 TB the same query maintains the table per-ingest with
+    batch-bounded work — entities the batch never touched contribute
+    their stored partial unchanged through the merge.
+
+    Differentially gated against a single-pass recompute under the SAME
+    frozen mapping, so the merge algebra itself is what the hash
+    verifies."""
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+    from pyspark.sql import Window
+
+    parts = table(spark, sf_dir, "part")
+    cat_rows = parts.filter(F.col("p_partkey") % 10 != 0)
+    bat_rows = parts.filter(F.col("p_partkey") % 10 == 0)
+
+    cat_names = cat_rows.select(F.col("p_name").alias("nm")).distinct().withColumn(
+        "n_parts", F.lit(1)
+    )
+    cpairs = blocked_name_pairs(cat_names).select(
+        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
+    )
+    comp = connected_components(cpairs).select(
+        F.col("node").alias("nm"), F.col("component_id").alias("eid")
+    )
+    cat_map = cat_names.join(comp, "nm", "left").select(
+        "nm", F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id")
+    )
+    bat_map = er_incremental_match(spark, sf_dir).select(
+        F.col("name").alias("nm"), "entity_id"
+    )
+
+    def _partials(rows: DataFrame, mapping: DataFrame) -> DataFrame:
+        """Per-(entity, name, brand) partials — the finest mergeable
+        grain all output columns derive from."""
+        m = rows.join(F.broadcast(mapping), rows["p_name"] == mapping["nm"]).select(
+            "entity_id", "p_name", "p_brand", "p_size", "p_retailprice"
+        )
+        return m.groupBy("entity_id", "p_name", "p_brand").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("p_retailprice").alias("mn"),
+            F.max("p_retailprice").alias("mx"),
+            F.max("p_size").alias("ms"),
+        )
+
+    # "Stored" partials + the batch's partials, merged associatively.
+    merged = (
+        _partials(cat_rows, cat_map)
+        .unionAll(_partials(bat_rows, bat_map))
+        .groupBy("entity_id", "p_name", "p_brand")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.max("ms").alias("ms"),
+        )
+    )
+    votes = merged.groupBy("entity_id", "p_brand").agg(F.sum("cnt").alias("votes"))
+    rk = Window.partitionBy("entity_id").orderBy(
+        F.col("votes").desc(), F.col("p_brand").asc_nulls_last()
+    )
+    pick = (
+        votes.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select("entity_id", F.col("p_brand").alias("modal_brand"))
+    )
+    agg = merged.groupBy("entity_id").agg(
+        F.sum("cnt").alias("n_parts"),
+        F.countDistinct("p_name").alias("n_variants"),
+        F.round(F.min("mn"), 2).alias("min_price"),
+        F.round(F.max("mx"), 2).alias("max_price"),
+        F.max("ms").alias("max_size"),
+    )
+    return agg.join(pick, "entity_id").select(
+        "entity_id", "n_parts", "n_variants", "min_price", "max_price",
+        "max_size", "modal_brand",
+    )

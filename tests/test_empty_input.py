@@ -100,6 +100,7 @@ _OPS = [
     "maintenance_snapshot_vacuum",
     # empty catalog AND empty batch: no candidates, no output rows
     "er_incremental_match",
+    "er_golden_record_incremental",
 ]
 
 

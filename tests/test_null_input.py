@@ -117,6 +117,9 @@ _OPS = [
     # NULL p_name / p_partkey rows must route to neither side's distinct
     # name set identically
     "er_incremental_match",
+    # NULL brands/prices must merge through the partial-aggregate
+    # algebra identically (votes, min/max folds)
+    "er_golden_record_incremental",
 ]
 
 

@@ -250,6 +250,9 @@ DEFAULT_OPS = [
     # ER serving path: batch names × catalog posting lists under the df
     # cap — batch-bounded, the catalog is never re-paired.
     "er_incremental_match",
+    # Golden-record refresh: associative partial-aggregate merge on the
+    # (entity, name, brand) grain — input-linear, no re-clustering.
+    "er_golden_record_incremental",
 ]
 
 
