@@ -229,6 +229,7 @@ HEADLINE = [
     "maintenance_snapshot_vacuum",
     "er_incremental_match",
     "er_golden_record_incremental",
+    "maintenance_partition_compact",
 ]
 
 

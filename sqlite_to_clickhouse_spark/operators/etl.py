@@ -1001,6 +1001,9 @@ def sink_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TTL_KEEP_MONTHS = 12
 
+# maintenance_partition_compact: months newer than this stay uncompacted.
+_HOT_MONTHS = 6
+
 _TTL_ORACLE = f"""
     WITH mx AS (SELECT max(o_orderdate) AS m FROM orders),
     cutoff AS (
@@ -1259,4 +1262,95 @@ def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         row, "n_orders long, total_price double, vacuum_safe boolean, orphans_remaining long"
+    )
+
+
+_PART_COMPACT_ORACLE = """
+    SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price
+    FROM orders
+    GROUP BY 1
+"""
+
+
+@register("maintenance_partition_compact", oracle=_PART_COMPACT_ORACLE, tags=("etl", "maintenance"))
+def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SCOPED compaction under a manifest that carries partition
+    values — Iceberg's ``rewrite_data_files(where=...)`` shape, and the
+    production answer sink_time_travel's vacuum op only documents: at
+    100 TB you never compact the whole table, you rewrite the COLD
+    partitions and leave the hot ones' files untouched, publishing one
+    manifest that mixes rewritten and original files.
+
+    Protocol here: month-partitioned original write → manifest v1 lists
+    (path, month) for every file — the manifest CARRIES the partition
+    value, Iceberg-style, so a reader never re-infers it from directory
+    names → months older than the newest _HOT_MONTHS compact to one
+    file each (a repartition-by-month rewrite of only the cold subset)
+    → manifest v2 = compacted cold files + ORIGINAL hot files. The
+    read-back resolves v2, scans the raw files (the partition column is
+    not in the data), and re-attaches each row's month by joining
+    input_file_name() against the manifest's path→month map (broadcast,
+    O(files)). Matching the raw-table oracle proves the mixed manifest
+    lost and duplicated nothing across the rewrite. NULL-dated rows ride
+    the default partition and compact like any cold month."""
+    import glob as _glob
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+    base = tempfile.mkdtemp(prefix="part_compact_")
+    orig = os.path.join(base, "orig")
+    comp = os.path.join(base, "comp")
+    o.write.partitionBy("ym").parquet(orig)
+
+    def _entries(root: str) -> list:
+        out = []
+        for d in sorted(_glob.glob(os.path.join(root, "ym=*"))):
+            part = os.path.basename(d)[3:]
+            ym = None if part == "__HIVE_DEFAULT_PARTITION__" else part
+            for f in sorted(_glob.glob(os.path.join(d, "part-*.parquet"))):
+                out.append((f, ym))
+        return out
+
+    v1 = _entries(orig)
+    months = sorted({ym for _, ym in v1 if ym is not None})
+    hot = set(months[-_HOT_MONTHS:])
+    cold_files = [p for p, ym in v1 if ym not in hot]
+    if cold_files:
+        # Rewrite ONLY the cold subset, one file per month (repartition on
+        # the partition key -> each month lands in a single task's file).
+        (
+            spark.read.option("basePath", orig)
+            .parquet(*cold_files)
+            .repartition("ym")
+            .write.partitionBy("ym")
+            .parquet(comp)
+        )
+        v2 = _entries(comp) + [(p, ym) for p, ym in v1 if ym in hot]
+    else:
+        v2 = v1
+
+    if not v2:  # empty table: nothing written, nothing to read
+        return spark.createDataFrame(
+            [], "ym string, n_orders long, total_price double"
+        )
+    path_map = spark.createDataFrame(
+        [(p, ym) for p, ym in v2], "path string, ym string"
+    )
+    files = [p for p, _ in v2]
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    scanned = spark.read.parquet(*files).withColumn(
+        "path", F.regexp_replace(F.input_file_name(), "^file:/+", "/")
+    )
+    return (
+        scanned.join(F.broadcast(path_map), "path")
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_price"),
+        )
     )

@@ -101,6 +101,8 @@ _OPS = [
     # empty catalog AND empty batch: no candidates, no output rows
     "er_incremental_match",
     "er_golden_record_incremental",
+    # empty table -> empty manifest -> typed empty result
+    "maintenance_partition_compact",
 ]
 
 

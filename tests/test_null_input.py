@@ -120,6 +120,8 @@ _OPS = [
     # NULL brands/prices must merge through the partial-aggregate
     # algebra identically (votes, min/max folds)
     "er_golden_record_incremental",
+    # NULL dates ride the default partition through the cold rewrite
+    "maintenance_partition_compact",
 ]
 
 

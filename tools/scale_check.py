@@ -253,6 +253,9 @@ DEFAULT_OPS = [
     # Golden-record refresh: associative partial-aggregate merge on the
     # (entity, name, brand) grain — input-linear, no re-clustering.
     "er_golden_record_incremental",
+    # Partition-scoped compaction: cold-subset rewrite + O(files)
+    # manifest bookkeeping + one manifest-resolved scan — input-linear.
+    "maintenance_partition_compact",
 ]
 
 
