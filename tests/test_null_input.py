@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
-pytestmark = pytest.mark.spark_heavy  # full-registry sweep module (see README: two-command split)
+pytestmark = pytest.mark.mutant_sweep  # mutated-fixture sweep module (see README: three-command split)
 
 from sqlite_to_clickhouse_spark.io import TABLES
 from sqlite_to_clickhouse_spark.registry import all_queries
