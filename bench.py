@@ -230,6 +230,7 @@ HEADLINE = [
     "er_incremental_match",
     "er_golden_record_incremental",
     "maintenance_partition_compact",
+    "embedding_matryoshka_recall",
 ]
 
 

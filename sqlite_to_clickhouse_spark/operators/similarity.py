@@ -2517,3 +2517,85 @@ def dedup_embedding_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("component_id") == F.col("vec_id"))
         ).alias("keep"),
     )
+
+
+_MRL_DIMS = (8, 16, 32, 64)
+
+
+def _mrl_topk_sql(dim: int) -> str:
+    a = f"(CAST(p.embedding AS DOUBLE[]))[1:{dim}]"
+    b = f"(CAST(c.embedding AS DOUBLE[]))[1:{dim}]"
+    return f"""
+      SELECT probe_id, vec_id FROM (
+        SELECT p.vec_id AS probe_id, c.vec_id AS vec_id,
+               row_number() OVER (
+                 PARTITION BY p.vec_id
+                 ORDER BY {_cos_sql(a, b)} DESC, c.vec_id) AS rn
+        FROM embeddings p JOIN embeddings c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < {N_PROBES}
+      ) WHERE rn <= {TOP_K}
+    """
+
+
+def _mrl_oracle() -> str:
+    full = _mrl_topk_sql(_MRL_DIMS[-1])
+    per_dim = ",\n".join(
+        f"""d{d} AS (
+          SELECT {d} AS dim, count(*) AS n_hits
+          FROM ({_mrl_topk_sql(d)}) t
+          JOIN full_topk f USING (probe_id, vec_id)
+        )"""
+        for d in _MRL_DIMS
+    )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM d{d}" for d in _MRL_DIMS)
+    return f"""
+    WITH full_topk AS ({full}),
+    {per_dim}
+    SELECT dim, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / {N_PROBES * TOP_K}, 6) AS recall
+    FROM ({union})
+    """
+
+
+@register(
+    "embedding_matryoshka_recall",
+    oracle=_mrl_oracle(),
+    tags=("llm", "similarity"),
+)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) truncation diagnostic — the "what serving
+    dimension can I afford" table: exact top-{TOP_K} recall of
+    prefix-truncated embeddings (dims {_MRL_DIMS}) against the
+    full-dimension ground truth, per-probe hits averaged corpus-wide.
+    Modern embedding models train nested prefixes precisely so serving
+    can truncate; this op measures what that truncation costs on YOUR
+    corpus before the index is built at the cheaper dimension.
+
+    Exact, not bound-as-result: both engines compute every truncated
+    cosine with the identical left-to-right fold and the identical
+    (cos DESC, vec_id) tie-break, so the intersection COUNTS hash-match
+    — the full-dim row doubles as an in-band sanity anchor (recall 1.0
+    by construction). Each truncated search reuses the certified
+    topk_cosine plan (broadcast probes, one streaming pass over the
+    vectors, narrow triples into the per-probe window); at corpus scale
+    you run it on a sampled probe set exactly as sim_topk_cosine does."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def _trunc_topk(d: int) -> DataFrame:
+        trunc = e.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        probes = trunc.filter(F.col("vec_id") < N_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("embedding").alias("p_emb")
+        )
+        return topk_cosine(trunc, probes, k=TOP_K).select("probe_id", "vec_id")
+
+    full = _trunc_topk(_MRL_DIMS[-1])
+    out = None
+    for d in _MRL_DIMS:
+        hits = _trunc_topk(d).join(full, ["probe_id", "vec_id"])
+        row = hits.agg(
+            F.lit(d).alias("dim"),
+            F.count(F.lit(1)).alias("n_hits"),
+            F.round(F.count(F.lit(1)) / F.lit(N_PROBES * TOP_K), 6).alias("recall"),
+        ).select("dim", "n_hits", "recall")
+        out = row if out is None else out.unionAll(row)
+    return out

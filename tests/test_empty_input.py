@@ -103,6 +103,8 @@ _OPS = [
     "er_golden_record_incremental",
     # empty table -> empty manifest -> typed empty result
     "maintenance_partition_compact",
+    # no vectors -> no probes, all-zero hit rows
+    "embedding_matryoshka_recall",
 ]
 
 

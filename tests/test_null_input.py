@@ -122,6 +122,9 @@ _OPS = [
     "er_golden_record_incremental",
     # NULL dates ride the default partition through the cold rewrite
     "maintenance_partition_compact",
+    # NULL labels irrelevant; embedding column itself is never nulled by
+    # the mutant, but the op must stay hash-stable on the mutated corpus
+    "embedding_matryoshka_recall",
 ]
 
 

@@ -256,6 +256,9 @@ DEFAULT_OPS = [
     # Partition-scoped compaction: cold-subset rewrite + O(files)
     # manifest bookkeeping + one manifest-resolved scan — input-linear.
     "maintenance_partition_compact",
+    # MRL recall: |dims| passes of the broadcast-probe streaming top-k —
+    # O(n·probes) each, never n².
+    "embedding_matryoshka_recall",
 ]
 
 
