@@ -231,6 +231,7 @@ HEADLINE = [
     "er_golden_record_incremental",
     "maintenance_partition_compact",
     "embedding_matryoshka_recall",
+    "er_reordered_match",
 ]
 
 

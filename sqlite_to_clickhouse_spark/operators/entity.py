@@ -578,3 +578,136 @@ def er_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "entity_id", "n_parts", "n_variants", "min_price", "max_price",
         "max_size", "modal_brand",
     )
+
+
+_ER_SETMATCH_T = 0.5  # token-set Jaccard acceptance threshold
+
+_REORDER_ORACLE = f"""
+    WITH names AS (SELECT DISTINCT p_name AS nm FROM part),
+    ext AS (
+        SELECT nm,
+               length(nm) % 3 AS variant,
+               CASE length(nm) % 3
+                 WHEN 0 THEN array_to_string(list_reverse(
+                     list_filter(string_split(nm, ' '), t -> t <> '')), ' ')
+                 WHEN 1 THEN nm
+                 ELSE list_filter(string_split(nm, ' '), t -> t <> '')[-1]
+               END AS ext_name
+        FROM names
+    ),
+    cwords AS (SELECT nm, w FROM (
+        SELECT nm, unnest(string_split(nm, ' ')) AS w FROM names) WHERE w <> ''),
+    ckeys AS (SELECT w FROM cwords GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
+    ewords AS (SELECT ext_name, w FROM (
+        SELECT DISTINCT ext_name, unnest(string_split(ext_name, ' ')) AS w
+        FROM ext) WHERE w <> ''),
+    cand AS (
+        SELECT DISTINCT e.ext_name, c.nm AS cname
+        FROM ewords e JOIN ckeys k ON e.w = k.w JOIN cwords c ON c.w = e.w
+    ),
+    scored AS (
+        SELECT ext_name, cname,
+               CAST(len(list_intersect(
+                   list_distinct(list_filter(string_split(ext_name, ' '), t -> t <> '')),
+                   list_distinct(list_filter(string_split(cname, ' '), t -> t <> ''))
+               )) AS DOUBLE)
+               / len(list_distinct(list_filter(
+                   string_split(ext_name || ' ' || cname, ' '), t -> t <> '')))
+                   AS jacc
+        FROM cand
+    ),
+    best AS (
+        SELECT ext_name, cname, jacc FROM (
+            SELECT ext_name, cname, jacc,
+                   row_number() OVER (PARTITION BY ext_name
+                                      ORDER BY jacc DESC, cname ASC) AS rk
+            FROM scored WHERE jacc >= {_ER_SETMATCH_T}
+        ) WHERE rk = 1
+    )
+    SELECT e.nm AS source_name, e.variant, e.ext_name,
+           b.cname AS matched_name,
+           ROUND(b.jacc, 6) AS jaccard
+    FROM ext e LEFT JOIN best b ON b.ext_name = e.ext_name
+"""
+
+
+@register("er_reordered_match", oracle=_REORDER_ORACLE, tags=("llm", "entity"))
+def er_reordered_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity record matching — the measure the levenshtein family
+    structurally CANNOT provide: "widget red" vs "red widget" is edit
+    distance 9 but token-set Jaccard 1.0. The external feed is a
+    deterministic per-name variant (reversed words / unchanged / noun
+    only, chosen by length(nm) % 3, identical in the oracle); matching
+    blocks external tokens against the catalog's df-capped keys and
+    accepts the max-Jaccard candidate at ≥ {_ER_SETMATCH_T} with a
+    (jaccard DESC, name ASC) total tie-break — reversals match their
+    source exactly (J = 1.0), noun-only fragments match the
+    lexicographically-first name of their noun family (J = 0.5), and
+    the tie-break makes that election engine-identical.
+
+    Same scale shape as the rest of the family: distinct names only,
+    posting-list blocking, never a cross join; Jaccard on the tiny
+    per-candidate token arrays in codegen'd array expressions."""
+    names = table(spark, sf_dir, "part").select(F.col("p_name").alias("nm")).distinct()
+    toks = F.filter(F.split(F.col("nm"), " "), lambda t: t != "")
+    variant = F.length("nm") % 3
+    ext_name = (
+        F.when(variant == 0, F.array_join(F.reverse(toks), " "))
+        .when(variant == 1, F.col("nm"))
+        .otherwise(F.element_at(toks, -1))
+    )
+    ext = names.select("nm", variant.alias("variant"), ext_name.alias("ext_name"))
+
+    cwords = names.select(
+        "nm", F.explode(F.split(F.col("nm"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    ckeys = (
+        cwords.groupBy("w")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= _ER_BLOCK_DF_CAP)
+        .select("w")
+    )
+    ewords = (
+        ext.select("ext_name")
+        .distinct()
+        .select("ext_name", F.explode(F.split(F.col("ext_name"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+    )
+    cand = (
+        ewords.join(F.broadcast(ckeys), "w")
+        .join(cwords.select(F.col("nm").alias("cname"), "w"), "w")
+        .select("ext_name", "cname")
+        .distinct()
+    )
+    eset = F.array_distinct(F.filter(F.split(F.col("ext_name"), " "), lambda t: t != ""))
+    cset = F.array_distinct(F.filter(F.split(F.col("cname"), " "), lambda t: t != ""))
+    # Union spelled as the oracle spells it: distinct tokens of the
+    # concatenated string (identical construction -> identical counts).
+    uset = F.array_distinct(
+        F.filter(
+            F.split(F.concat_ws(" ", F.col("ext_name"), F.col("cname")), " "),
+            lambda t: t != "",
+        )
+    )
+    scored = cand.select(
+        "ext_name",
+        "cname",
+        (F.size(F.array_intersect(eset, cset)).cast("double") / F.size(uset)).alias(
+            "jacc"
+        ),
+    ).filter(F.col("jacc") >= _ER_SETMATCH_T)
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("ext_name").orderBy(F.col("jacc").desc(), F.col("cname").asc())
+    best = (
+        scored.withColumn("rk", F.row_number().over(rk))
+        .filter(F.col("rk") == 1)
+        .select(F.col("ext_name").alias("b_ext"), "cname", "jacc")
+    )
+    return ext.join(best, ext["ext_name"] == best["b_ext"], "left").select(
+        F.col("nm").alias("source_name"),
+        "variant",
+        "ext_name",
+        F.col("cname").alias("matched_name"),
+        F.round("jacc", 6).alias("jaccard"),
+    )

@@ -105,6 +105,8 @@ _OPS = [
     "maintenance_partition_compact",
     # no vectors -> no probes, all-zero hit rows
     "embedding_matryoshka_recall",
+    # empty catalog: no external variants, no candidates
+    "er_reordered_match",
 ]
 
 

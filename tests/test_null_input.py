@@ -125,6 +125,8 @@ _OPS = [
     # NULL labels irrelevant; embedding column itself is never nulled by
     # the mutant, but the op must stay hash-stable on the mutated corpus
     "embedding_matryoshka_recall",
+    # NULL names drop from both sides' distinct sets identically
+    "er_reordered_match",
 ]
 
 

@@ -259,6 +259,9 @@ DEFAULT_OPS = [
     # MRL recall: |dims| passes of the broadcast-probe streaming top-k —
     # O(n·probes) each, never n².
     "embedding_matryoshka_recall",
+    # Set-similarity match: distinct names, posting-list blocking,
+    # array-expression Jaccard — constant in corpus rows.
+    "er_reordered_match",
 ]
 
 
