@@ -232,6 +232,7 @@ HEADLINE = [
     "maintenance_partition_compact",
     "embedding_matryoshka_recall",
     "er_reordered_match",
+    "fn_dict_hierarchy",
 ]
 
 

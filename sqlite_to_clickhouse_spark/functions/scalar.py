@@ -1101,3 +1101,82 @@ def fn_dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("UNKNOWN"),
         ).alias("region_name"),
     )
+
+
+_HIER_MAX_DEPTH = 7  # keys < 10^7 in every fixture scale; asserted in-plan
+
+_DICT_HIER_ORACLE = f"""
+    WITH h AS (
+        SELECT p_partkey,
+               list_filter(
+                   list_transform(range(1, {_HIER_MAX_DEPTH + 1}),
+                                  i -> p_partkey // CAST(pow(10, i) AS BIGINT)),
+                   x -> x > 0) AS ancestors
+        FROM part
+    )
+    SELECT p_partkey,
+           CAST(p_partkey AS VARCHAR)
+             || CASE WHEN len(ancestors) > 0
+                     THEN '>' || array_to_string(ancestors, '>')
+                     ELSE '' END AS path,
+           CAST(len(ancestors) AS BIGINT) AS depth,
+           coalesce(ancestors[-1], p_partkey) AS root_key,
+           (p_partkey = 7 OR list_contains(ancestors, 7)) AS under_7
+    FROM h
+"""
+
+
+@register("fn_dict_hierarchy", oracle=_DICT_HIER_ORACLE, tags=("function", "clickhouse"))
+def fn_dict_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``dictGetHierarchy`` / ``dictIsIn`` analog: every key's
+    full ancestor chain, depth, root, and an is-under-ancestor predicate,
+    over the synthetic decimal-prefix hierarchy parent(k) = k div 10 (a
+    deterministic 10-ary tree over p_partkey — org charts, BOMs,
+    category trees all reduce to this shape).
+
+    This hierarchy's parents are CLOSED-FORM (the ancestor at level i is
+    k div 10^i), so the whole chain materializes as one codegen'd
+    transform over a literal level sequence — zero joins, zero
+    iterations, embarrassingly parallel. The docstring contract for the
+    general case: an arbitrary parent POINTER column needs the iterative
+    min-label/join loop (see connected_components) or a recursive CTE —
+    this op pins the semantics (path encoding, depth, root election,
+    membership predicate) that such a loop must reproduce. Depth is
+    bounded by the key domain (10^{_HIER_MAX_DEPTH}); keys beyond it
+    would silently truncate, so production sizes the level sequence to
+    the dictionary's declared depth."""
+    p = table(spark, sf_dir, "part").select("p_partkey")
+    # pow(10, i) is exact in double for i <= 7, so cast-to-long is the
+    # true power; the long/long division runs in double and the cast
+    # back truncates toward zero == integer division for the
+    # non-negative sub-2^53 keys the fixture guarantees.
+    anc = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(_HIER_MAX_DEPTH)),
+            lambda i: (
+                F.col("p_partkey")
+                / F.pow(F.lit(10.0), i.cast("double")).cast("long")
+            ).cast("long"),
+        ),
+        lambda x: x > 0,
+    )
+    h = p.select("p_partkey", anc.alias("ancestors"))
+    return h.select(
+        "p_partkey",
+        F.concat(
+            F.col("p_partkey").cast("string"),
+            F.when(
+                F.size("ancestors") > 0,
+                F.concat(F.lit(">"), F.array_join("ancestors", ">")),
+            ).otherwise(F.lit("")),
+        ).alias("path"),
+        F.size("ancestors").cast("long").alias("depth"),
+        # try_element_at: ANSI element_at(-1) THROWS on a root's empty
+        # ancestor array; DuckDB's list[-1] yields NULL — match that.
+        F.coalesce(F.try_element_at("ancestors", F.lit(-1)), F.col("p_partkey")).alias(
+            "root_key"
+        ),
+        (
+            (F.col("p_partkey") == 7) | F.array_contains("ancestors", F.lit(7))
+        ).alias("under_7"),
+    )

@@ -107,6 +107,7 @@ _OPS = [
     "embedding_matryoshka_recall",
     # empty catalog: no external variants, no candidates
     "er_reordered_match",
+    "fn_dict_hierarchy",
 ]
 
 

@@ -262,6 +262,9 @@ DEFAULT_OPS = [
     # Set-similarity match: distinct names, posting-list blocking,
     # array-expression Jaccard — constant in corpus rows.
     "er_reordered_match",
+    # Closed-form ancestor chains: one codegen'd transform per row, no
+    # joins or iterations — embarrassingly parallel.
+    "fn_dict_hierarchy",
 ]
 
 
