@@ -233,6 +233,7 @@ HEADLINE = [
     "embedding_matryoshka_recall",
     "er_reordered_match",
     "fn_dict_hierarchy",
+    "events_funnel_strict_order",
 ]
 
 

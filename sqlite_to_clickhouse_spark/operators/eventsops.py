@@ -833,3 +833,63 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("seq").rlike("sv").cast("int").alias("matched_sv_adjacent"),
         F.regexp_count(F.col("seq"), F.lit("v[^p]*p")).cast("long").alias("n_view_to_purchase"),
     )
+
+
+_STRICT_FUNNEL_ORACLE = f"""
+    WITH seqs AS (
+        SELECT user_id,
+               array_to_string(
+                   list(substr(event_type, 1, 1) ORDER BY ts, event_id)[1:{_SEQ_CAP}],
+                   '') AS seq
+        FROM events
+        GROUP BY user_id
+    ),
+    steps AS (
+        SELECT user_id,
+               CASE WHEN regexp_matches(seq, 'v[^vcp]*c[^vcp]*p') THEN 3
+                    WHEN regexp_matches(seq, 'v[^vcp]*c')         THEN 2
+                    WHEN regexp_matches(seq, 'v')                 THEN 1
+                    ELSE 0 END AS funnel_step
+        FROM seqs
+    )
+    SELECT funnel_step, CAST(count(*) AS BIGINT) AS n_users
+    FROM steps GROUP BY funnel_step
+"""
+
+
+@register("events_funnel_strict_order", oracle=_STRICT_FUNNEL_ORACLE, tags=("events", "analytics"))
+def events_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``windowFunnel(... , 'strict_order')`` parity: the
+    view→click→purchase chain counts a step ONLY when no other funnel
+    event interleaves — a later view or an early purchase between the
+    matched steps breaks the chain (``v[^vcp]*c[^vcp]*p``: non-funnel
+    events like signup/error may intervene, funnel events may not) —
+    where events_funnel's loose mode lets anything interleave inside
+    the 24 h window. Histogram of users per deepest strict step.
+
+    Same machinery as events_sequence_match (per-user ordered code
+    string, capped at {_SEQ_CAP} with the cap mirrored in the oracle's
+    list slice): the regex family answers mode variants the window-min
+    chain can't express without one extra window per mode."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("code")
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))).alias("arr")
+    ).select(
+        "user_id",
+        F.concat_ws(
+            "", F.transform(F.slice("arr", 1, _SEQ_CAP), lambda x: x["code"])
+        ).alias("seq"),
+    )
+    step = (
+        F.when(F.col("seq").rlike("v[^vcp]*c[^vcp]*p"), 3)
+        .when(F.col("seq").rlike("v[^vcp]*c"), 2)
+        .when(F.col("seq").rlike("v"), 1)
+        .otherwise(0)
+    )
+    return (
+        seqs.select(step.alias("funnel_step"))
+        .groupBy("funnel_step")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

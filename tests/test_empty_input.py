@@ -108,6 +108,7 @@ _OPS = [
     # empty catalog: no external variants, no candidates
     "er_reordered_match",
     "fn_dict_hierarchy",
+    "events_funnel_strict_order",
 ]
 
 

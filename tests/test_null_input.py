@@ -127,6 +127,9 @@ _OPS = [
     "embedding_matryoshka_recall",
     # NULL names drop from both sides' distinct sets identically
     "er_reordered_match",
+    # NULL event_type codes to the literal 'null'? No: substr(NULL)=NULL
+    # drops from concat_ws on both sides — pinned by the sweep
+    "events_funnel_strict_order",
 ]
 
 

@@ -265,6 +265,8 @@ DEFAULT_OPS = [
     # Closed-form ancestor chains: one codegen'd transform per row, no
     # joins or iterations — embarrassingly parallel.
     "fn_dict_hierarchy",
+    # Strict-order funnel: one user_id shuffle + capped sequence regex.
+    "events_funnel_strict_order",
 ]
 
 
