@@ -234,6 +234,7 @@ HEADLINE = [
     "er_reordered_match",
     "fn_dict_hierarchy",
     "events_funnel_strict_order",
+    "sample_token_quota",
 ]
 
 

@@ -702,3 +702,67 @@ def sample_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "realized_share"
         ),
     )
+
+
+_TOKEN_QUOTA_ORACLE = """
+    WITH sized AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) // count(DISTINCT source) AS quota
+        FROM sized
+    ),
+    running AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS BIGINT) AS cum_tokens
+        FROM sized
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM running, tot
+    WHERE cum_tokens - n_tokens < tot.quota
+"""
+
+
+@register("sample_token_quota", oracle=_TOKEN_QUOTA_ORACLE, tags=("llm", "sampling"))
+def sample_token_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXECUTION of sample_mixture_weights' plan: fill each source's
+    uniform TOKEN budget (total tokens div n_sources) by taking documents
+    in md5-hash order until the budget is crossed — the doc that crosses
+    the line is kept (standard fill-then-stop), docs after it drop. Hash
+    order makes the selection reproducible across engines, retries, and
+    partitionings, and append-stable for already-selected docs — the
+    same properties as every split/sample op in this module, now at
+    token (not document) granularity.
+
+    One window cumsum per source over the hash ordering + a broadcast
+    scalar quota — a single user-visible shuffle on source; the quota
+    condition compares BIGINT-exact cumulative sums, so the gate never
+    touches a float."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "source",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    quota = sized.agg(
+        F.expr("CAST(sum(n_tokens) AS BIGINT) div count(DISTINCT source)").alias(
+            "quota"
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    running = sized.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return (
+        running.crossJoin(F.broadcast(quota))
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < F.col("quota"))
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )

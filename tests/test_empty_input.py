@@ -109,6 +109,7 @@ _OPS = [
     "er_reordered_match",
     "fn_dict_hierarchy",
     "events_funnel_strict_order",
+    "sample_token_quota",
 ]
 
 

@@ -130,6 +130,9 @@ _OPS = [
     # NULL event_type codes to the literal 'null'? No: substr(NULL)=NULL
     # drops from concat_ws on both sides — pinned by the sweep
     "events_funnel_strict_order",
+    # NULL text = 0-token docs and NULL source groups must fill quotas
+    # identically
+    "sample_token_quota",
 ]
 
 

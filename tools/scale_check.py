@@ -267,6 +267,8 @@ DEFAULT_OPS = [
     "fn_dict_hierarchy",
     # Strict-order funnel: one user_id shuffle + capped sequence regex.
     "events_funnel_strict_order",
+    # Token-quota fill: one window cumsum per source + broadcast quota.
+    "sample_token_quota",
 ]
 
 
