@@ -8,7 +8,6 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from sqlite_to_clickhouse_spark.operators.entity import (
     _ER_BLOCK_DF_CAP,
