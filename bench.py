@@ -235,6 +235,7 @@ HEADLINE = [
     "fn_dict_hierarchy",
     "events_funnel_strict_order",
     "sample_token_quota",
+    "query_growth_decomposition",
 ]
 
 

@@ -624,3 +624,106 @@ def query_yearly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("revenue_delta"),
         F.round((F.col("revenue") - prev) / prev * 100, 4).alias("growth_pct"),
     )
+
+
+_DECOMP_Y1, _DECOMP_Y2 = 1996, 1997
+
+_DECOMP_ORACLE = f"""
+    WITH per AS (
+        SELECT n.n_name,
+               CAST(year(o.o_orderdate) AS INT) AS yr,
+               CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS rev_cents,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        WHERE year(o.o_orderdate) IN ({_DECOMP_Y1}, {_DECOMP_Y2})
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT n_name,
+               max(CASE WHEN yr = {_DECOMP_Y1} THEN rev_cents ELSE 0 END) AS r1,
+               max(CASE WHEN yr = {_DECOMP_Y1} THEN qty ELSE 0 END)       AS q1,
+               max(CASE WHEN yr = {_DECOMP_Y2} THEN rev_cents ELSE 0 END) AS r2,
+               max(CASE WHEN yr = {_DECOMP_Y2} THEN qty ELSE 0 END)       AS q2
+        FROM per GROUP BY n_name
+    )
+    SELECT n_name,
+           ROUND(CAST(r1 AS DOUBLE) / 100, 2) AS rev_y1,
+           ROUND(CAST(r2 AS DOUBLE) / 100, 2) AS rev_y2,
+           ROUND(CAST(r2 - r1 AS DOUBLE) / 100, 2) AS delta,
+           ROUND(CASE WHEN q1 > 0
+                      THEN CAST(q2 - q1 AS DOUBLE)
+                           * (CAST(r1 AS DOUBLE) / q1) / 100
+                      ELSE 0.0 END, 2) AS volume_effect,
+           ROUND(CAST(r2 - r1 AS DOUBLE) / 100
+                 - CASE WHEN q1 > 0
+                        THEN CAST(q2 - q1 AS DOUBLE)
+                             * (CAST(r1 AS DOUBLE) / q1) / 100
+                        ELSE 0.0 END, 2) AS price_mix_effect
+    FROM wide
+"""
+
+
+@register("query_growth_decomposition", oracle=_DECOMP_ORACLE, tags=("query", "analytics"))
+def query_growth_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis — the "WHY did revenue move" decomposition a
+    BI team runs after query_yearly_growth says THAT it moved: per
+    nation, the {_DECOMP_Y1}→{_DECOMP_Y2} revenue delta split into a
+    VOLUME effect ((q2 − q1) × year-1 average unit price) and the
+    residual PRICE/MIX effect, so a flat delta hiding "sold more,
+    cheaper" decomposes visibly.
+
+    Exact-arithmetic recipe end-to-end: revenue accumulates as integer
+    cents, quantities as BIGINT (integer-valued in the data; the cast is
+    the contract), the pivot is a conditional-max over the (nation,
+    year) aggregate, and the effects are single double expressions over
+    those exact integers, rounded at the edge. Star-join plan: both
+    dimension hops broadcast; the only wide shuffle is lineitem⋈orders
+    on the order key, year filter pushed to the orders scan."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    ).filter(F.col("yr").isin(_DECOMP_Y1, _DECOMP_Y2))
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("long")
+    per = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", "yr")
+        .agg(
+            F.sum(cents).cast("long").alias("rev_cents"),
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+        )
+    )
+    y1 = lambda col: F.max(F.when(F.col("yr") == _DECOMP_Y1, F.col(col)).otherwise(0))  # noqa: E731
+    y2 = lambda col: F.max(F.when(F.col("yr") == _DECOMP_Y2, F.col(col)).otherwise(0))  # noqa: E731
+    wide = per.groupBy("n_name").agg(
+        y1("rev_cents").alias("r1"),
+        y1("qty").alias("q1"),
+        y2("rev_cents").alias("r2"),
+        y2("qty").alias("q2"),
+    )
+    vol = F.when(
+        F.col("q1") > 0,
+        (F.col("q2") - F.col("q1")).cast("double")
+        * (F.col("r1").cast("double") / F.col("q1"))
+        / 100,
+    ).otherwise(F.lit(0.0))
+    delta = (F.col("r2") - F.col("r1")).cast("double") / 100
+    return wide.select(
+        "n_name",
+        F.round(F.col("r1").cast("double") / 100, 2).alias("rev_y1"),
+        F.round(F.col("r2").cast("double") / 100, 2).alias("rev_y2"),
+        F.round(delta, 2).alias("delta"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(delta - vol, 2).alias("price_mix_effect"),
+    )

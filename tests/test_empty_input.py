@@ -110,6 +110,7 @@ _OPS = [
     "fn_dict_hierarchy",
     "events_funnel_strict_order",
     "sample_token_quota",
+    "query_growth_decomposition",
 ]
 
 

@@ -133,6 +133,8 @@ _OPS = [
     # NULL text = 0-token docs and NULL source groups must fill quotas
     # identically
     "sample_token_quota",
+    # NULL l_discount rows must drop from both engines' cent sums
+    "query_growth_decomposition",
 ]
 
 

@@ -269,6 +269,9 @@ DEFAULT_OPS = [
     "events_funnel_strict_order",
     # Token-quota fill: one window cumsum per source + broadcast quota.
     "sample_token_quota",
+    # Contribution analysis: star join (broadcast dims) + one wide
+    # lineitem⋈orders shuffle + nation-grain pivot arithmetic.
+    "query_growth_decomposition",
 ]
 
 
