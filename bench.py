@@ -236,6 +236,7 @@ HEADLINE = [
     "events_funnel_strict_order",
     "sample_token_quota",
     "query_growth_decomposition",
+    "sink_shallow_clone",
 ]
 
 

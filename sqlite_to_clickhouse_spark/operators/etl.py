@@ -1354,3 +1354,80 @@ def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum(cents).cast("double") / 100, 2).alias("total_price"),
         )
     )
+
+
+_CLONE_ORACLE = """
+    SELECT 'source' AS table_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2) AS total_price
+    FROM orders WHERE o_orderkey % 3 <> 0
+    UNION ALL
+    SELECT 'clone',
+           CAST(count(*) AS BIGINT),
+           ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                 / 100, 2)
+    FROM orders
+"""
+
+
+@register("sink_shallow_clone", oracle=_CLONE_ORACLE, tags=("sink", "etl"))
+def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta ``SHALLOW CLONE`` reduced to the manifest protocol: a clone
+    is a NEW TABLE whose first manifest lists the SOURCE's data files —
+    zero bytes copied, O(files) metadata — and from that instant the two
+    tables evolve independently: the clone appends its own files and
+    commits clone-v2 = shared + own; the source's manifest never
+    changes. This is how a 100 TB table gets a dev/test/experiment copy
+    in milliseconds; the vacuum contract (maintenance_snapshot_vacuum)
+    extends per-table — a shared file is live while ANY table's live
+    manifest references it, which is why production clones track
+    reference counts before physical deletes.
+
+    The gate reads BOTH tables AFTER the clone diverged: the source must
+    still aggregate to exactly its own slice (writer isolation across
+    tables sharing files), the clone to source + its append."""
+    import glob as _glob
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = tempfile.mkdtemp(prefix="shallow_clone_")
+    d_src = os.path.join(base, "data", "src-0001")
+    d_cln = os.path.join(base, "data", "cln-0001")
+    o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d_src)
+    o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d_cln)
+
+    mdir = os.path.join(base, "_manifests")
+    os.makedirs(mdir)
+
+    def _commit(tbl: str, version: str, files: list) -> None:
+        tmp = os.path.join(mdir, f".{tbl}-{version}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write("\n".join(sorted(files)))
+        os.rename(tmp, os.path.join(mdir, f"{tbl}-{version}.txt"))
+
+    src_files = _glob.glob(os.path.join(d_src, "part-*.parquet"))
+    _commit("source", "v1", src_files)
+    _commit("clone", "v1", src_files)  # the clone: same files, new table
+    _commit(
+        "clone", "v2",
+        src_files + _glob.glob(os.path.join(d_cln, "part-*.parquet")),
+    )
+
+    def _read(tbl: str, version: str) -> DataFrame:
+        with open(os.path.join(mdir, f"{tbl}-{version}.txt")) as fh:
+            files = [ln for ln in fh.read().splitlines() if ln]
+        if not files:
+            return spark.createDataFrame([], o.schema)
+        return spark.read.parquet(*files)
+
+    cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+
+    def _agg(tbl: str, version: str, label: str) -> DataFrame:
+        return _read(tbl, version).agg(
+            F.lit(label).alias("table_name"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(cents).cast("double") / 100, 2).alias("total_price"),
+        ).select("table_name", "n_orders", "total_price")
+
+    # Source read AFTER the clone diverged; clone at its evolved v2.
+    return _agg("source", "v1", "source").unionAll(_agg("clone", "v2", "clone"))

@@ -111,6 +111,7 @@ _OPS = [
     "events_funnel_strict_order",
     "sample_token_quota",
     "query_growth_decomposition",
+    "sink_shallow_clone",
 ]
 
 

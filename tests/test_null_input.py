@@ -135,6 +135,8 @@ _OPS = [
     "sample_token_quota",
     # NULL l_discount rows must drop from both engines' cent sums
     "query_growth_decomposition",
+    # NULL keys route to neither slice; cent sums drop NULLs identically
+    "sink_shallow_clone",
 ]
 
 

@@ -272,6 +272,8 @@ DEFAULT_OPS = [
     # Contribution analysis: star join (broadcast dims) + one wide
     # lineitem⋈orders shuffle + nation-grain pivot arithmetic.
     "query_growth_decomposition",
+    # Shallow clone: two writes + manifest metadata + two scans — linear.
+    "sink_shallow_clone",
 ]
 
 
