@@ -237,6 +237,7 @@ HEADLINE = [
     "sample_token_quota",
     "query_growth_decomposition",
     "sink_shallow_clone",
+    "scan_csv_permissive",
 ]
 
 

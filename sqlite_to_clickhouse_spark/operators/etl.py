@@ -1431,3 +1431,73 @@ def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Source read AFTER the clone diverged; clone at its evolved v2.
     return _agg("source", "v1", "source").unionAll(_agg("clone", "v2", "clone"))
+
+
+_CSV_PERMISSIVE_ORACLE = """
+    SELECT CAST(count(CASE WHEN n_nationkey % 7 <> 3 THEN 1 END) AS BIGINT)
+               AS n_good,
+           CAST(count(CASE WHEN n_nationkey % 7 = 3 THEN 1 END) AS BIGINT)
+               AS n_bad,
+           CAST(coalesce(sum(CASE WHEN n_nationkey % 7 <> 3
+                                  THEN n_nationkey END), 0) AS BIGINT)
+               AS sum_good_keys
+    FROM nation
+"""
+
+
+@register("scan_csv_permissive", oracle=_CSV_PERMISSIVE_ORACLE, tags=("source", "etl"))
+def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row recovery — the ETL edge a 100 TB CSV ingest hits on
+    day one: a feed where some rows are garbage must load the good rows
+    and QUARANTINE the bad ones, never abort the job (the
+    one-bad-row-kills-the-pass failure fn_try_arith guards for
+    arithmetic, here guarded at the parse boundary). The op stages a CSV
+    from the nation dimension with every (n_nationkey % 7 == 3) row
+    deterministically corrupted (a non-numeric key), reads it back with
+    an enforced schema in PERMISSIVE mode + columnNameOfCorruptRecord,
+    and reports the good/bad split and a checksum over the good keys —
+    the oracle derives the same split from the clean table, so a parser
+    that silently dropped or mis-recovered a row breaks the hash.
+
+    The staging write is driver-side over the NATION dim (25 rows,
+    bounded-by-contract like fn_dict_lookup's dictionary); the read-back
+    is a normal distributed CSV scan — at 100 TB only the read side
+    exists and badRecordsPath replaces the in-band corrupt column."""
+    from pyspark.sql import types as T
+
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rows = sorted(n.collect(), key=lambda r: (r[0] is None, r[0]))
+    assert len(rows) < 100_000, "dimension staging must stay bounded"
+    base = tempfile.mkdtemp(prefix="csv_permissive_")
+    path = os.path.join(base, "nation.csv")
+    with open(path, "w") as fh:
+        for r in rows:
+            key = r["n_nationkey"]
+            if key is not None and key % 7 == 3:
+                fh.write(f"corrupt#{key},{r['n_name']},{r['n_regionkey']}\n")
+            else:
+                fh.write(f"{key},{r['n_name']},{r['n_regionkey']}\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    got = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return got.agg(
+        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(bad, 1)).alias("n_bad"),
+        F.coalesce(
+            F.sum(F.when(~bad, F.col("n_nationkey"))), F.lit(0)
+        ).cast("long").alias("sum_good_keys"),
+    )

@@ -112,6 +112,8 @@ _OPS = [
     "sample_token_quota",
     "query_growth_decomposition",
     "sink_shallow_clone",
+    # empty dim -> zero-row CSV -> all-zero aggregate row
+    "scan_csv_permissive",
 ]
 
 

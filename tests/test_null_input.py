@@ -137,6 +137,9 @@ _OPS = [
     "query_growth_decomposition",
     # NULL keys route to neither slice; cent sums drop NULLs identically
     "sink_shallow_clone",
+    # a NULL key stages as the literal empty field and parses back NULL
+    # (good row) on both sides
+    "scan_csv_permissive",
 ]
 
 

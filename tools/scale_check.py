@@ -274,6 +274,8 @@ DEFAULT_OPS = [
     "query_growth_decomposition",
     # Shallow clone: two writes + manifest metadata + two scans — linear.
     "sink_shallow_clone",
+    # Permissive CSV: bounded dim staging + one distributed scan.
+    "scan_csv_permissive",
 ]
 
 
