@@ -360,23 +360,18 @@ _INCR_ORACLE = f"""
 """
 
 
-@register("er_incremental_match", oracle=_INCR_ORACLE, tags=("llm", "entity"))
-def er_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SERVING path of entity resolution — the dedup_incremental of
-    the ER family: a new batch of records (p_partkey % 10 == 0, modeling
-    today's feed) resolves against the EXISTING entity catalog (the other
-    90%) without re-clustering it. Each batch name is blocked against the
-    catalog's df-capped keys, levenshtein-verified, and assigned its best
-    match's entity (tie-break (distance, name) — total, so both engines
-    elect the same catalog record); exact re-arrivals match at distance 0;
-    genuinely new names found no candidate and become their own entity.
+def _serving_state(spark: SparkSession, sf_dir: str):
+    """Shared ER serving-path state: catalog/batch distinct-name sets,
+    the catalog entity components (ONE label-propagation run), and the
+    blocked batch best-match table. er_incremental_match and
+    er_golden_record_incremental both consume this, so the catalog is
+    clustered exactly once per plan family (pre-refactor the refresh op
+    ran the propagation loop twice: once itself, once inside the match
+    op it called)."""
+    from pyspark.sql import Window
 
-    At 100 TB the catalog's entity map is maintained incrementally and
-    this op is the per-ingest cost: blocking-key join of the (small)
-    batch against catalog posting lists — batch-bounded work, the corpus
-    is never re-paired. Differentially gated end-to-end: the oracle
-    recomputes catalog clustering (recursive closure) AND the batch
-    match."""
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+
     parts = table(spark, sf_dir, "part")
     cat = (
         parts.filter(F.col("p_partkey") % 10 != 0)
@@ -390,8 +385,6 @@ def er_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Catalog entity map: verified pairs within the catalog → components.
-    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
-
     cpairs = blocked_name_pairs(cat).select(
         F.col("name_a").alias("src"), F.col("name_b").alias("dst")
     )
@@ -423,14 +416,33 @@ def er_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "bname", "cname", F.levenshtein("bname", "cname").alias("d")
     ).filter(F.col("d") <= _ER_MAXDIST)
-    from pyspark.sql import Window
-
     rk = Window.partitionBy("bname").orderBy(F.col("d").asc(), F.col("cname").asc())
     best = (
         scored.withColumn("rk", F.row_number().over(rk))
         .filter(F.col("rk") == 1)
         .select("bname", "cname", "d")
     )
+    return cat, bat, comp, best
+
+
+@register("er_incremental_match", oracle=_INCR_ORACLE, tags=("llm", "entity"))
+def er_incremental_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of entity resolution — the dedup_incremental of
+    the ER family: a new batch of records (p_partkey % 10 == 0, modeling
+    today's feed) resolves against the EXISTING entity catalog (the other
+    90%) without re-clustering it. Each batch name is blocked against the
+    catalog's df-capped keys, levenshtein-verified, and assigned its best
+    match's entity (tie-break (distance, name) — total, so both engines
+    elect the same catalog record); exact re-arrivals match at distance 0;
+    genuinely new names found no candidate and become their own entity.
+
+    At 100 TB the catalog's entity map is maintained incrementally and
+    this op is the per-ingest cost: blocking-key join of the (small)
+    batch against catalog posting lists — batch-bounded work, the corpus
+    is never re-paired. Differentially gated end-to-end: the oracle
+    recomputes catalog clustering (recursive closure) AND the batch
+    match."""
+    cat, bat, comp, best = _serving_state(spark, sf_dir)
     return (
         bat.join(best, bat["nm"] == best["bname"], "left")
         .join(F.broadcast(comp), "cname", "left")
@@ -510,27 +522,28 @@ def er_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Differentially gated against a single-pass recompute under the SAME
     frozen mapping, so the merge algebra itself is what the hash
     verifies."""
-    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
     from pyspark.sql import Window
 
     parts = table(spark, sf_dir, "part")
     cat_rows = parts.filter(F.col("p_partkey") % 10 != 0)
     bat_rows = parts.filter(F.col("p_partkey") % 10 == 0)
 
-    cat_names = cat_rows.select(F.col("p_name").alias("nm")).distinct().withColumn(
-        "n_parts", F.lit(1)
+    # ONE shared serving state: the catalog components from a single
+    # label-propagation run feed BOTH maps (pre-refactor this op ran the
+    # propagation twice — once directly, once inside the match op).
+    cat, bat, comp, best = _serving_state(spark, sf_dir)
+    cat_map = cat.join(comp, cat["nm"] == comp["cname"], "left").select(
+        cat["nm"], F.coalesce(F.col("eid"), cat["nm"]).alias("entity_id")
     )
-    cpairs = blocked_name_pairs(cat_names).select(
-        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
-    )
-    comp = connected_components(cpairs).select(
-        F.col("node").alias("nm"), F.col("component_id").alias("eid")
-    )
-    cat_map = cat_names.join(comp, "nm", "left").select(
-        "nm", F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id")
-    )
-    bat_map = er_incremental_match(spark, sf_dir).select(
-        F.col("name").alias("nm"), "entity_id"
+    bat_map = (
+        bat.join(best, bat["nm"] == best["bname"], "left")
+        .join(F.broadcast(comp), "cname", "left")
+        .select(
+            bat["nm"],
+            F.when(F.col("cname").isNull(), bat["nm"])
+            .otherwise(F.coalesce(F.col("eid"), F.col("cname")))
+            .alias("entity_id"),
+        )
     )
 
     def _partials(rows: DataFrame, mapping: DataFrame) -> DataFrame:
