@@ -808,23 +808,32 @@ def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-step pattern), the string encoding answers ARBITRARY patterns at
     the cost of materializing the per-user sequence — so the sequence is
     hard-capped at the first {_SEQ_CAP} events (mirrored in the oracle's
-    list slice) to bound row width against unbounded bot histories; the
-    count column still reports the true history length. One shuffle on
-    user_id; ordering ties broken on event_id via struct array_sort, the
-    events_user_path trick."""
+    list slice), ENFORCED by a row_number pre-filter BEFORE the collect
+    so a bot with millions of events costs a bounded array, never an
+    unbounded collect_list (the events_user_path pre-rank refinement,
+    wired rather than documented); the count column still reports the
+    true history length via a count-over-window carried through the
+    filter. Both windows and the aggregate share one
+    hashpartitioning(user_id) exchange; ties broken on event_id via
+    struct array_sort."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("code")
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.count("*").alias("n_events"),
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cnt = Window.partitionBy("user_id")
+    kept = (
+        ev.withColumn("rn", F.row_number().over(w_seq))
+        .withColumn("n_all", F.count(F.lit(1)).over(w_cnt))
+        .filter(F.col("rn") <= _SEQ_CAP)
+    )
+    per_user = kept.groupBy("user_id").agg(
+        F.max("n_all").alias("n_events"),
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))).alias("arr"),
     )
     seqs = per_user.select(
         "user_id",
         "n_events",
-        F.concat_ws(
-            "", F.transform(F.slice("arr", 1, _SEQ_CAP), lambda x: x["code"])
-        ).alias("seq"),
+        F.concat_ws("", F.transform(F.col("arr"), lambda x: x["code"])).alias("seq"),
     )
     return seqs.select(
         "user_id",
@@ -869,18 +878,22 @@ def events_funnel_strict_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same machinery as events_sequence_match (per-user ordered code
     string, capped at {_SEQ_CAP} with the cap mirrored in the oracle's
-    list slice): the regex family answers mode variants the window-min
-    chain can't express without one extra window per mode."""
+    list slice and enforced by a row_number pre-filter BEFORE the
+    collect — see events_sequence_match): the regex family answers mode
+    variants the window-min chain can't express without one extra
+    window per mode."""
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", F.substring("event_type", 1, 1).alias("code")
     )
-    seqs = ev.groupBy("user_id").agg(
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    kept = ev.withColumn("rn", F.row_number().over(w_ord)).filter(
+        F.col("rn") <= _SEQ_CAP
+    )
+    seqs = kept.groupBy("user_id").agg(
         F.array_sort(F.collect_list(F.struct("ts", "event_id", "code"))).alias("arr")
     ).select(
         "user_id",
-        F.concat_ws(
-            "", F.transform(F.slice("arr", 1, _SEQ_CAP), lambda x: x["code"])
-        ).alias("seq"),
+        F.concat_ws("", F.transform(F.col("arr"), lambda x: x["code"])).alias("seq"),
     )
     step = (
         F.when(F.col("seq").rlike("v[^vcp]*c[^vcp]*p"), 3)
