@@ -41,6 +41,8 @@ def __getattr__(name):
         "minhash_index_compact": "sqlite_to_clickhouse_spark.operators.dedup",
         "minhash_index_delete": "sqlite_to_clickhouse_spark.operators.dedup",
         "connected_components": "sqlite_to_clickhouse_spark.operators.dedup",
+        "blocked_name_pairs": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_entity_map": "sqlite_to_clickhouse_spark.operators.entity",
         "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
         "topk_cosine_blocked": "sqlite_to_clickhouse_spark.operators.similarity",
         "ivf_topk": "sqlite_to_clickhouse_spark.operators.similarity",
