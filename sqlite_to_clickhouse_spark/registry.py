@@ -149,6 +149,14 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()
     return deco
 
 
+# A green driver record this many rounds old (or older) is treated as
+# having EXPIRED: the library code, fixtures, and oracle conventions have
+# churned for five rounds since it was taken, so it certifies the op no
+# better than a never-driven op's at-registration local drive does
+# (VERDICT r9 item 1: "the r04 cohort becomes the next r01 problem").
+EXPIRED_AGE = 5
+
+
 def compute_rotation(
     window: int = 50, correctness_dir: Optional[str] = None
 ) -> tuple[list[str], int]:
@@ -158,13 +166,18 @@ def compute_rotation(
     each round).
 
     Policy, in order (VERDICT r5 item 3: an unclosed failure must never
-    wait behind the backlog):
+    wait behind the backlog; VERDICT r9 item 1: expired certifications
+    are as risky as none, and unlike new ops they carry no fresh local
+    drive — burn them before first-certifying new registrations):
       1. ops whose LATEST record is red (rows/schema/hash mismatch or err)
          — unclosed failures re-certify before anything else;
-      2. ops with NO driver record yet (registration order) — new code is
-         the highest-risk population;
-      3. green ops, oldest-verified first — freshness re-certs, so every
-         row cycles back through the gate every ceil(N/window − 1) rounds.
+      2. green ops whose record is ≥ ``EXPIRED_AGE`` rounds old, oldest
+         first — expired certifications;
+      3. ops with NO driver record yet (registration order) — new code,
+         locally driver-simulated green at registration time;
+      4. remaining green ops, oldest-verified first — freshness re-certs,
+         so every row cycles back through the gate every
+         ceil(N/window − 1) rounds.
 
     Returns (ordered names capped at ``window``, latest round seen).  Pure
     function of the committed correctness files, so the window is
@@ -215,11 +228,13 @@ def compute_rotation(
     order = {n: i for i, n in enumerate(names)}
     never = [n for n in names if n not in history]
     red = [n for n in names if n in history and not history[n][1]]
-    stale = sorted(
+    greens = sorted(
         (n for n in names if n in history and history[n][1]),
         key=lambda n: (history[n][0], order[n]),
     )
-    return (red + never + stale)[:window], latest
+    expired = [n for n in greens if history[n][0] <= latest - EXPIRED_AGE]
+    fresh = [n for n in greens if history[n][0] > latest - EXPIRED_AGE]
+    return (red + expired + never + fresh)[:window], latest
 
 
 def all_queries() -> dict[str, RegisteredQuery]:

@@ -109,6 +109,37 @@ def test_no_oracle_record_with_rows_counts_as_pass(tmp_path):
     assert rotation[-1] == a  # ⊘-pass rotates to the freshest end
 
 
+def test_expired_green_outranks_never_verified(tmp_path):
+    """A green record ≥ EXPIRED_AGE rounds old certifies nothing anymore
+    (VERDICT r9 item 1): the op re-certifies BEFORE never-driven new
+    registrations, which carry a fresh at-registration local drive."""
+    all_queries()
+    names = list(R._REGISTRY)
+    a, b = names[0], names[1]  # a: expired green; b: never driven
+    _write(tmp_path, 1, {a: GREEN})
+    _write(tmp_path, 1 + R.EXPIRED_AGE, {n: GREEN for n in names if n not in (a, b)})
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    assert rotation[0] == a  # expired tier leads
+    assert rotation[1] == b  # then the never-driven backlog
+    # One round younger and it is merely the stalest FRESH green: never-
+    # driven b moves ahead of it.
+    _write(tmp_path, 2, {a: GREEN})
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    assert rotation[0] == b
+    assert rotation[1] == a
+
+
+def test_red_still_outranks_expired(tmp_path):
+    all_queries()
+    names = list(R._REGISTRY)
+    a, b = names[0], names[1]  # a: expired green; b: fresh red
+    _write(tmp_path, 1, {a: GREEN})
+    _write(tmp_path, 1 + R.EXPIRED_AGE, {n: (RED_HASH if n == b else GREEN) for n in names if n != a})
+    rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
+    assert rotation[0] == b
+    assert rotation[1] == a
+
+
 def test_rotation_names_all_registered_and_unique(tmp_path):
     q = all_queries()
     rotation, _ = compute_rotation(window=50, correctness_dir=str(tmp_path))
@@ -117,40 +148,47 @@ def test_rotation_names_all_registered_and_unique(tmp_path):
     assert all(n in q for n in rotation)
 
 
-def test_repo_window_covers_all_never_verified():
-    """With the real committed history, every op that has never had a
-    driver record must sit in the first-50 window — except by-design
-    rows-only (⊘, oracle=None) ops, which may wait when oracle-bearing
-    ops would otherwise lose their slot (the driver's hash gate extracts
-    strictly more signal per slot)."""
+def test_repo_window_wastes_no_slot():
+    """With the real committed history, no first-50 slot may be held by a
+    FRESH green op while a red, expired-green, or never-verified op waits
+    outside the window — the driver's gate must always be spent on the
+    highest-risk population available."""
     import glob
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     latest: dict[str, tuple[int, bool]] = {}
+    latest_round = 0
     for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
         rnd = int(f.rsplit("_r", 1)[1].split(".")[0])
+        latest_round = max(latest_round, rnd)
         for name, rec in json.load(open(f)).items():
             green = (
                 bool(rec.get("rows_match"))
                 and bool(rec.get("schema_match"))
                 and rec.get("hash_match") is not False
                 and not rec.get("err")
-            )
+            ) or (rec.get("err") == "no_oracle" and rec.get("spark_rows") is not None)
             latest[name] = (rnd, green)
     q = all_queries()
     names = list(q)
-    never_oracle = [
-        n for n in names if n not in latest and q[n].oracle is not None
-    ]
-    if len(never_oracle) <= 50:
-        missing = [n for n in never_oracle if n not in names[:50]]
-        assert not missing, (
-            f"never-driver-verified oracle ops outside the window: {missing}"
+    window = set(names[:50])
+
+    def risk(n):
+        if n in latest and not latest[n][1]:
+            return "red"
+        if n in latest and latest[n][0] <= latest_round - R.EXPIRED_AGE:
+            return "expired"
+        if n not in latest:
+            return "never"
+        return "fresh"
+
+    waiting = [n for n in names if n not in window and risk(n) != "fresh"]
+    fresh_in_window = [n for n in window if risk(n) == "fresh"]
+    if waiting:
+        assert not fresh_in_window, (
+            f"window slots wasted on fresh-green ops {fresh_in_window} "
+            f"while higher-risk ops wait: {waiting[:10]}"
         )
-    else:
-        # More backlog than slots: the window must not WASTE any slot on an
-        # already-GREEN op while a never-verified oracle op waits (latest-red
-        # re-certs legitimately hold slots).
-        wasted = [n for n in names[:50] if n in latest and latest[n][1]]
-        assert not wasted, f"window slots wasted on already-green ops: {wasted}"
+    # And reds always make it in.
+    assert all(risk(n) != "red" or n in window for n in names)
