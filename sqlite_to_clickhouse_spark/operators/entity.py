@@ -73,10 +73,16 @@ def blocked_name_pairs(names: DataFrame) -> DataFrame:
     The blocking keys (words) are df-capped before the self-join; the
     pair relation is DISTINCT on (name_a, name_b) so names sharing two
     words don't emit twice."""
-    words = names.select(
-        "nm", F.explode(F.split(F.col("nm"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    # Stop-key filter: df over DISTINCT names (names is already distinct).
+    words = (
+        names.select("nm", F.explode(F.split(F.col("nm"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        # Dedupe (nm, w): a repeated word within one name ("red red
+        # widget") must count its tokens' df ONCE, so the stop-key cap is
+        # a true distinct-name document frequency (ADVICE r9).
+        .distinct()
+    )
+    # Stop-key filter: df over DISTINCT names (names is already distinct,
+    # and words is distinct on (nm, w)).
     keys = (
         words.groupBy("w")
         .agg(F.count("*").alias("df"))
@@ -100,7 +106,7 @@ def blocked_name_pairs(names: DataFrame) -> DataFrame:
 
 _PAIRS_CTE = f"""
     names AS (SELECT p_name AS nm, count(*) AS n_parts FROM part GROUP BY 1),
-    words AS (SELECT nm, w FROM (
+    words AS (SELECT DISTINCT nm, w FROM (
         SELECT nm, unnest(string_split(nm, ' ')) AS w FROM names) WHERE w <> ''),
     keys AS (SELECT w FROM words GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
     cand AS (
@@ -307,7 +313,7 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 _INCR_CTE = f"""
     cat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 <> 0),
     bat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 = 0),
-    cwords AS (SELECT nm, w FROM (
+    cwords AS (SELECT DISTINCT nm, w FROM (
         SELECT nm, unnest(string_split(nm, ' ')) AS w FROM cat) WHERE w <> ''),
     ckeys AS (SELECT w FROM cwords GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
     cpairs AS (
@@ -328,7 +334,7 @@ _INCR_CTE = f"""
         UNION SELECT r.node, e.d FROM reach r JOIN edges e ON r.peer = e.s
     ),
     comp AS (SELECT node, least(node, min(peer)) AS eid FROM reach GROUP BY node),
-    bwords AS (SELECT nm, w FROM (
+    bwords AS (SELECT DISTINCT nm, w FROM (
         SELECT nm, unnest(string_split(nm, ' ')) AS w FROM bat) WHERE w <> ''),
     cand AS (
         SELECT DISTINCT b.nm AS bname, c.nm AS cname
@@ -392,18 +398,26 @@ def _serving_state(spark: SparkSession, sf_dir: str):
         F.col("node").alias("cname"), F.col("component_id").alias("eid")
     )
     # Batch match: block batch words against the catalog's capped keys.
-    cwords = cat.select(
-        "nm", F.explode(F.split(F.col("nm"), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    # (nm, w) deduped on both relations so the df cap counts distinct
+    # names, not word occurrences (ADVICE r9).
+    cwords = (
+        cat.select("nm", F.explode(F.split(F.col("nm"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
     ckeys = (
         cwords.groupBy("w")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _ER_BLOCK_DF_CAP)
         .select("w")
     )
-    bwords = bat.select(
-        F.col("nm").alias("bname"), F.explode(F.split(F.col("nm"), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    bwords = (
+        bat.select(
+            F.col("nm").alias("bname"), F.explode(F.split(F.col("nm"), " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .distinct()
+    )
     cand = (
         bwords.join(F.broadcast(ckeys), "w")
         .join(
@@ -608,7 +622,7 @@ _REORDER_ORACLE = f"""
                END AS ext_name
         FROM names
     ),
-    cwords AS (SELECT nm, w FROM (
+    cwords AS (SELECT DISTINCT nm, w FROM (
         SELECT nm, unnest(string_split(nm, ' ')) AS w FROM names) WHERE w <> ''),
     ckeys AS (SELECT w FROM cwords GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
     ewords AS (SELECT ext_name, w FROM (
@@ -667,13 +681,19 @@ def er_reordered_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_name = (
         F.when(variant == 0, F.array_join(F.reverse(toks), " "))
         .when(variant == 1, F.col("nm"))
-        .otherwise(F.element_at(toks, -1))
+        # try_element_at: under Spark 4 ANSI mode element_at throws on an
+        # empty token array (whitespace-only name with length % 3 == 2)
+        # where the oracle's list[-1] yields NULL (ADVICE r9; same
+        # divergence fn_dict_hierarchy guards).
+        .otherwise(F.try_element_at(toks, F.lit(-1)))
     )
     ext = names.select("nm", variant.alias("variant"), ext_name.alias("ext_name"))
 
-    cwords = names.select(
-        "nm", F.explode(F.split(F.col("nm"), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    cwords = (
+        names.select("nm", F.explode(F.split(F.col("nm"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+    )
     ckeys = (
         cwords.groupBy("w")
         .agg(F.count("*").alias("df"))
@@ -685,6 +705,7 @@ def er_reordered_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .select("ext_name", F.explode(F.split(F.col("ext_name"), " ")).alias("w"))
         .filter(F.col("w") != "")
+        .distinct()
     )
     cand = (
         ewords.join(F.broadcast(ckeys), "w")

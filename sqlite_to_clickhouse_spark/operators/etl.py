@@ -1082,8 +1082,11 @@ _TIME_TRAVEL_ORACLE = """
            CAST(count(*) AS BIGINT),
            ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                  / 100, 2)
-    FROM orders
+    FROM orders WHERE o_orderkey IS NOT NULL
 """
+# ADVICE r9: v2 is built Spark-side as the union of the %3<>0 and %3=0
+# slices, both of which drop NULL keys — the oracle's v2 branch must
+# exclude NULL o_orderkey too so both engines agree by construction.
 
 
 @register("sink_time_travel", oracle=_TIME_TRAVEL_ORACLE, tags=("sink", "etl"))
@@ -1367,8 +1370,10 @@ _CLONE_ORACLE = """
            CAST(count(*) AS BIGINT),
            ROUND(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
                  / 100, 2)
-    FROM orders
+    FROM orders WHERE o_orderkey IS NOT NULL
 """
+# ADVICE r9: same NULL-key exclusion as _TIME_TRAVEL_ORACLE's v2 branch —
+# the clone's evolved manifest unions the two %3 slices, which drop NULLs.
 
 
 @register("sink_shallow_clone", oracle=_CLONE_ORACLE, tags=("sink", "etl"))
@@ -1472,13 +1477,21 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert len(rows) < 100_000, "dimension staging must stay bounded"
     base = tempfile.mkdtemp(prefix="csv_permissive_")
     path = os.path.join(base, "nation.csv")
+    def _field(v) -> str:
+        # NULL stages as the literal empty field so the CSV round-trips
+        # NULLs (an empty field parses back as NULL under an enforced
+        # schema); the ADVICE-r9 bug was f-string "None" here, which made
+        # a NULL key fail the Long parse and count as corrupt while the
+        # oracle counted it in neither bucket.
+        return "" if v is None else str(v)
+
     with open(path, "w") as fh:
         for r in rows:
             key = r["n_nationkey"]
             if key is not None and key % 7 == 3:
-                fh.write(f"corrupt#{key},{r['n_name']},{r['n_regionkey']}\n")
+                fh.write(f"corrupt#{key},{_field(r['n_name'])},{_field(r['n_regionkey'])}\n")
             else:
-                fh.write(f"{key},{r['n_name']},{r['n_regionkey']}\n")
+                fh.write(f"{_field(key)},{_field(r['n_name'])},{_field(r['n_regionkey'])}\n")
     schema = T.StructType(
         [
             T.StructField("n_nationkey", T.LongType()),
@@ -1494,8 +1507,11 @@ def scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .csv(path)
     )
     bad = F.col("_corrupt_record").isNotNull()
+    # A NULL key parses cleanly (empty field) but belongs to NEITHER
+    # bucket — the oracle's CASE WHEN n_nationkey % 7 <> 3 is NULL for a
+    # NULL key, so n_good counts parsed rows with a non-NULL key only.
     return got.agg(
-        F.count(F.when(~bad, 1)).alias("n_good"),
+        F.count(F.when(~bad & F.col("n_nationkey").isNotNull(), 1)).alias("n_good"),
         F.count(F.when(bad, 1)).alias("n_bad"),
         F.coalesce(
             F.sum(F.when(~bad, F.col("n_nationkey"))), F.lit(0)

@@ -184,3 +184,35 @@ def test_oracle_match_with_nulls(spark, null_duck, null_sf_dir, name):
         assert df.count() >= 0 and df.columns
     else:
         assert_df_matches_oracle(df, null_duck, q.oracle, name=name)
+
+
+def test_csv_permissive_null_key_roundtrip(spark, sf_dir, tmp_path):
+    """ADVICE r9 (medium): NULL fields must stage as EMPTY CSV fields, not
+    the literal string 'None' — a 'None' n_nationkey failed the Long parse
+    and counted as corrupt on the Spark side while the oracle counted it
+    in neither bucket.  The shared null mutant never nulls nation, so this
+    dedicated mutant nulls the key (i%7==5), name (i%7==6) and regionkey
+    (i%7==2) — residues disjoint from the corruptible key%7==3 rows so the
+    corrupt path stays exercised — and runs the full differential."""
+    tab = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+    n = tab.num_rows
+    residue = {"n_nationkey": 5, "n_name": 6, "n_regionkey": 2}
+    cols = {}
+    for name in tab.schema.names:
+        col = tab.column(name).combine_chunks()
+        if name in residue:
+            mask = pa.array([(i % 7) == residue[name] for i in range(n)])
+            col = pc.if_else(mask, pa.nulls(n, type=tab.schema.field(name).type), col)
+        cols[name] = col
+    dst = tmp_path / "corpus"
+    dst.mkdir()
+    pq.write_table(pa.table(cols), str(dst / "nation.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW nation AS SELECT * FROM '{dst}/nation.parquet'")
+    try:
+        q = _Q["scan_csv_permissive"]
+        assert_df_matches_oracle(
+            q.fn(spark, str(dst)), con, q.oracle, name="scan_csv_permissive_nullkey"
+        )
+    finally:
+        con.close()
