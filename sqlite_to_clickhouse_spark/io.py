@@ -161,6 +161,199 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
     return gen
 
 
+# ---------------------------------------------------------------------------
+# Manifest-committed snapshot protocol (VERDICT r9 item 4).
+#
+# The transactional core of sink_time_travel (operators/etl.py), extracted
+# into a library so every persisted multi-relation store (the MinHash dedup
+# index, the IVF-PQ ANN index, the ER catalog index) shares ONE protocol:
+#
+#   - data files are append-only; no committed file is ever rewritten;
+#   - every snapshot is a MANIFEST: one JSON file listing, per relation
+#     (bands/tokens/sets/tombstones, codes/centroids/..., ...), the data
+#     files in that snapshot, published by one atomic rename;
+#   - readers resolve CURRENT -> manifest -> file list and scan exactly
+#     those files — NEVER a directory listing — so a concurrent append
+#     can't tear a read, and a crashed append (files written, manifest
+#     missing) is INVISIBLE rather than half-read or double-counted;
+#   - a writer that must be idempotent (foreachBatch retries under the
+#     same epoch_id) records its epoch in the commit's ``meta``: the
+#     data-visibility bit and the applied-epoch marker are ONE atomic
+#     file, which closes the crash-between-append-and-marker window the
+#     pre-r10 marker-file protocol documented as residual.
+#
+# File paths inside a manifest are RELATIVE to the store root, so a
+# file-level clone of the whole store (shutil.copytree — how the streaming
+# ops snapshot the shared cached index) remains a valid store at its new
+# location, manifests included.
+# ---------------------------------------------------------------------------
+
+MANIFEST_DIRNAME = "_manifests"
+
+
+def _manifest_dir(root: str) -> str:
+    return os.path.join(root, MANIFEST_DIRNAME)
+
+
+def relation_data_files(root: str, relation: str) -> "list[str]":
+    """Root-relative paths of the parquet data files currently ON DISK
+    under ``relation`` (recursive — partitioned relations nest files under
+    ``key=value`` dirs).  This is the WRITER-side discovery primitive (the
+    before/after diff around a Spark append); readers never call it."""
+    import glob as _glob
+
+    rdir = os.path.join(root, relation)
+    out = []
+    for pat in ("*.parquet", os.path.join("**", "*.parquet")):
+        out.extend(_glob.glob(os.path.join(rdir, pat), recursive=True))
+    return sorted(os.path.relpath(p, root) for p in set(out))
+
+
+def manifest_current(root: str) -> "str | None":
+    """Name of the CURRENT manifest version, or None when the store has
+    no committed snapshot (not a manifest store / nothing published)."""
+    cur = read_marker(os.path.join(_manifest_dir(root), "CURRENT"))
+    if not cur or "/" in cur or cur.startswith("."):
+        return None
+    return cur
+
+
+def manifest_read(root: str, version: "str | None" = None) -> "dict | None":
+    """Load one manifest: ``{"relations": {name: [relpaths]}, "meta": {}}``.
+    ``version=None`` resolves CURRENT.  None when absent."""
+    import json
+
+    if version is None:
+        version = manifest_current(root)
+        if version is None:
+            return None
+    try:
+        with open(os.path.join(_manifest_dir(root), f"{version}.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def manifest_versions(root: str) -> "list[str]":
+    """All committed version names, oldest first — index time travel."""
+    mdir = _manifest_dir(root)
+    try:
+        names = os.listdir(mdir)
+    except OSError:
+        return []
+    return sorted(n[:-5] for n in names if n.endswith(".json"))
+
+
+def manifest_commit(
+    root: str,
+    relations: "dict[str, list[str]]",
+    meta: "dict | None" = None,
+) -> str:
+    """Publish one snapshot atomically; returns the new version name.
+
+    Write the manifest JSON to a dot-tmp, ``os.rename`` it into place,
+    then swing CURRENT via ``os.replace`` — a reader sees the old
+    snapshot or the new one, never a torn state.  Version allocation is
+    serialized under ``build_lock`` (single-writer stores pay an
+    uncontended flock; concurrent committers get distinct versions)."""
+    import json
+
+    mdir = _manifest_dir(root)
+    os.makedirs(mdir, exist_ok=True)
+    with build_lock(mdir):
+        serial = int(read_marker(os.path.join(mdir, "SERIAL")) or "0") + 1
+        with open(os.path.join(mdir, "SERIAL"), "w") as fh:
+            fh.write(str(serial))
+        version = f"v{serial:06d}"
+        doc = {
+            "version": version,
+            "relations": {k: sorted(v) for k, v in relations.items()},
+            "meta": meta or {},
+        }
+        tmp = os.path.join(mdir, f".{version}.json.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        os.rename(tmp, os.path.join(mdir, f"{version}.json"))
+        cur_tmp = os.path.join(mdir, ".CURRENT.tmp")
+        with open(cur_tmp, "w") as fh:
+            fh.write(version)
+        os.replace(cur_tmp, os.path.join(mdir, "CURRENT"))
+    return version
+
+
+def manifest_relation_files(
+    root: str, relation: str, version: "str | None" = None
+) -> "list[str] | None":
+    """ABSOLUTE paths of ``relation``'s files in a snapshot; ``[]`` when
+    the snapshot has no files for it; None when the store has no manifest
+    at all (readers treat that as an empty/uninitialized store)."""
+    m = manifest_read(root, version)
+    if m is None:
+        return None
+    return [os.path.join(root, p) for p in m.get("relations", {}).get(relation, [])]
+
+
+def manifest_applied_meta(root: str, key: str) -> set:
+    """All values of ``meta[key]`` across committed manifests — the
+    idempotence check for retried writers (e.g. foreachBatch epoch ids:
+    a retry whose epoch already appears in ANY commit must not
+    re-append)."""
+    out = set()
+    for v in manifest_versions(root):
+        m = manifest_read(root, v) or {}
+        val = m.get("meta", {}).get(key)
+        if val is not None:
+            out.add(val)
+    return out
+
+
+@contextlib.contextmanager
+def manifest_append(root: str, relations: "list[str]", meta: "dict | None" = None):
+    """Append-files-then-publish, as one protocol step: snapshot the
+    on-disk file sets of ``relations``, let the caller run its Spark
+    appends, then commit CURRENT ∪ the newly-appeared files atomically.
+
+    A crash inside the body (or in commit itself) leaves the new files
+    ORPHANED but invisible — readers keep resolving the previous
+    manifest, and a retry's diff is taken against the files present at
+    ITS start, so the orphans of a failed attempt are never committed
+    (no double-append).  Compaction deletes unreferenced files."""
+    pre = {rel: set(relation_data_files(root, rel)) for rel in relations}
+    yield
+    base = manifest_read(root) or {"relations": {}}
+    merged = dict(base.get("relations", {}))
+    for rel in relations:
+        fresh = sorted(set(relation_data_files(root, rel)) - pre[rel])
+        merged[rel] = sorted(set(merged.get(rel, [])) | set(fresh))
+    manifest_commit(root, merged, meta=meta)
+
+
+def read_relation(
+    spark: SparkSession,
+    root: str,
+    relation: str,
+    schema: "str | None" = None,
+    *,
+    partitioned: bool = False,
+    version: "str | None" = None,
+) -> "DataFrame | None":
+    """Manifest-resolved scan of one relation: exactly the committed
+    files, never a directory listing.  ``partitioned=True`` sets
+    ``basePath`` so ``key=value`` partition columns survive an explicit
+    file-list read.  Returns None when the snapshot lists no files (a
+    relation that has never been written, e.g. tombstones before the
+    first delete) — callers keep their no-tombstone fast path."""
+    files = manifest_relation_files(root, relation, version)
+    if not files:
+        return None
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if partitioned:
+        reader = reader.option("basePath", os.path.join(root, relation))
+    return reader.parquet(*files)
+
+
 TABLES = (
     "region",
     "nation",

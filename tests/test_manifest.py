@@ -1,0 +1,128 @@
+"""Manifest-snapshot protocol library (io.py, VERDICT r9 item 4).
+
+The protocol under test: append-only data files + atomic JSON manifest
+publish + CURRENT pointer; readers resolve manifests, never directory
+listings.  The crash-injection cases pin the exact property the r8/r9
+marker-file protocol could not give: a crash between data write and
+publish leaves the new files INVISIBLE (old snapshot still reads
+exactly), and a retry commits only its own files — no double-append.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from sqlite_to_clickhouse_spark import io as gio
+
+
+def _touch(root: str, rel: str) -> str:
+    p = os.path.join(root, rel)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    with open(p, "w") as fh:
+        fh.write("x")
+    return rel
+
+
+def test_commit_read_roundtrip(tmp_path):
+    root = str(tmp_path)
+    f1 = _touch(root, "tokens/part-a.parquet")
+    v1 = gio.manifest_commit(root, {"tokens": [f1]}, meta={"epoch": 0})
+    assert gio.manifest_current(root) == v1
+    m = gio.manifest_read(root)
+    assert m["relations"]["tokens"] == [f1]
+    assert m["meta"] == {"epoch": 0}
+    assert gio.manifest_versions(root) == [v1]
+    # absolute resolution
+    assert gio.manifest_relation_files(root, "tokens") == [os.path.join(root, f1)]
+    # unwritten relation -> [], no-manifest store -> None
+    assert gio.manifest_relation_files(root, "tombstones") == []
+    assert gio.manifest_relation_files(str(tmp_path / "nowhere"), "x") is None
+
+
+def test_commits_are_ordered_and_current_swings(tmp_path):
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    f2 = _touch(root, "r/b.parquet")
+    v1 = gio.manifest_commit(root, {"r": [f1]})
+    v2 = gio.manifest_commit(root, {"r": [f1, f2]})
+    assert gio.manifest_versions(root) == [v1, v2]
+    assert gio.manifest_current(root) == v2
+    # time travel: the old snapshot still reads exactly as committed
+    assert gio.manifest_relation_files(root, "r", version=v1) == [
+        os.path.join(root, f1)
+    ]
+
+
+def test_append_diff_commits_only_new_files(tmp_path):
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    gio.manifest_commit(root, {"r": [f1]})
+    with gio.manifest_append(root, ["r", "tomb"]):
+        f2 = _touch(root, "r/b.parquet")
+        t1 = _touch(root, "tomb/t0.parquet")
+    m = gio.manifest_read(root)
+    assert m["relations"]["r"] == sorted([f1, f2])
+    assert m["relations"]["tomb"] == [t1]
+
+
+def test_crash_before_publish_is_invisible_and_retry_safe(tmp_path):
+    """Kill the writer between data write and manifest publish: the
+    reader sees the OLD snapshot; the retry commits only its own files,
+    so the crashed attempt's orphans are never double-counted."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    v1 = gio.manifest_commit(root, {"r": [f1]})
+
+    class Boom(RuntimeError):
+        pass
+
+    with pytest.raises(Boom):
+        with gio.manifest_append(root, ["r"]):
+            _touch(root, "r/crashed-attempt.parquet")
+            raise Boom()  # crash after data write, before publish
+
+    # Old snapshot unchanged; orphan invisible.
+    assert gio.manifest_current(root) == v1
+    assert gio.manifest_read(root)["relations"]["r"] == [f1]
+
+    # Retry (fresh attempt, fresh file names — Spark part files are
+    # UUID-unique per write) commits ONLY its own files.
+    with gio.manifest_append(root, ["r"], meta={"epoch": 7}):
+        f2 = _touch(root, "r/retry.parquet")
+    rels = gio.manifest_read(root)["relations"]["r"]
+    assert rels == sorted([f1, f2])
+    assert "r/crashed-attempt.parquet" not in rels
+    assert gio.manifest_applied_meta(root, "epoch") == {7}
+
+
+def test_clone_remains_valid_store(tmp_path):
+    """Relative manifest paths: a copytree clone of the whole store is a
+    valid store at its new root (how streaming ops snapshot the shared
+    cached index)."""
+    root = str(tmp_path / "src")
+    os.makedirs(root)
+    f1 = _touch(root, "r/a.parquet")
+    gio.manifest_commit(root, {"r": [f1]})
+    clone = str(tmp_path / "clone")
+    shutil.copytree(root, clone)
+    assert gio.manifest_relation_files(clone, "r") == [os.path.join(clone, f1)]
+
+
+def test_read_relation_resolves_manifest_not_listing(spark, tmp_path):
+    root = str(tmp_path)
+    df = spark.range(5).selectExpr("id", "id % 2 AS pb")
+    df.write.partitionBy("pb").parquet(os.path.join(root, "bands"))
+    committed = gio.relation_data_files(root, "bands")
+    assert committed and all(p.startswith("bands/pb=") for p in committed)
+    gio.manifest_commit(root, {"bands": committed})
+    # Extra uncommitted file on disk must be invisible to the reader.
+    df.limit(1).write.mode("append").parquet(os.path.join(root, "bands", "pb=0"))
+    got = gio.read_relation(spark, root, "bands", partitioned=True)
+    assert got.count() == 5
+    # partition column survives the explicit file-list read
+    assert set(got.columns) == {"id", "pb"}
+    # empty / absent relations
+    assert gio.read_relation(spark, root, "tombstones") is None
