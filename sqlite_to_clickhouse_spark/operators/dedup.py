@@ -42,6 +42,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sqlite_to_clickhouse_spark import io as gio
 from sqlite_to_clickhouse_spark.io import table
 from sqlite_to_clickhouse_spark.registry import register
 
@@ -696,6 +697,22 @@ INCR_MOD, INCR_REM = 10, 7  # registered split: batch = doc_id % 10 == 7
 _IDX_BANDS_SCHEMA = "bk long, doc_id long, pb int"
 _IDX_TOKENS_SCHEMA = "doc_id long, tk32 array<int>, rep_id long"
 _IDX_SETS_SCHEMA = "skey array<bigint>, rep_id long"
+_IDX_RELATIONS = ("bands", "tokens", "sets")
+
+
+def _read_idx(
+    spark: SparkSession,
+    path: str,
+    rel: str,
+    schema: str,
+    *,
+    partitioned: bool = False,
+) -> DataFrame:
+    """Manifest-resolved scan of one index relation; an unwritten
+    relation (empty-corpus build: an empty partitionBy write emits no
+    files) reads as an empty frame with the declared schema."""
+    df = gio.read_relation(spark, path, rel, schema, partitioned=partitioned)
+    return df if df is not None else spark.createDataFrame([], schema)
 
 
 def _band_frame(bands: DataFrame) -> DataFrame:
@@ -768,6 +785,13 @@ def minhash_index_build(
     sets.select(
         F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
     ).write.parquet(os.path.join(path, "sets"))
+    # Publish the initial snapshot: one atomic manifest listing every
+    # relation's files — from here on, readers resolve manifests, never
+    # directory listings (io.py manifest protocol, VERDICT r9 item 4).
+    gio.manifest_commit(
+        path,
+        {rel: gio.relation_data_files(path, rel) for rel in _IDX_RELATIONS},
+    )
 
 
 def minhash_index_append(
@@ -778,11 +802,18 @@ def minhash_index_append(
     *,
     hash_mode: str | None = None,
     persisted_out: "list | None" = None,
+    meta: "dict | None" = None,
 ) -> None:
     """Fold a processed batch INTO the index: parquet append of the
-    batch's rows.  Appends only add files — no existing file is
-    rewritten or deleted, so concurrent readers are safe (they at worst
-    miss the newest batch, which is exactly eventual-ingest semantics).
+    batch's rows, then ONE atomic manifest publish covering all three
+    relations.  Appends only add files — no committed file is rewritten
+    or deleted — and a reader resolves the previous manifest until the
+    publish lands, so it sees the whole batch or none of it (never a
+    torn bands-without-tokens state).  A crash before the publish leaves
+    the new files orphaned-but-invisible; the retry's commit lists only
+    its own files (io.manifest_append), so there is no double-append
+    window.  ``meta`` (e.g. ``{"epoch": id}``) rides the commit for
+    retried-writer idempotence checks.
 
     Cluster maintenance: each new doc's set key is joined against
     ``sets/`` — a doc identical to an INDEXED set becomes a member of
@@ -795,9 +826,7 @@ def minhash_index_append(
     spark = df_new.sparkSession
 
     keyed = _set_keyed(df_new, id_col, tokens_col, base_hash)
-    idx_sets = spark.read.schema(_IDX_SETS_SCHEMA).parquet(
-        os.path.join(path, "sets")
-    )
+    idx_sets = _read_idx(spark, path, "sets", _IDX_SETS_SCHEMA)
     # The matched/fresh split re-reads this subtree four ways (members
     # union, new sets, rep filter, tokens write) — persist the joined
     # frame once (the _clusters lesson; batch-sized, two longs + the key
@@ -821,15 +850,16 @@ def minhash_index_append(
         _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
         hash_mode=hash_mode,
     )
-    _band_frame(bands).write.partitionBy("pb").mode("append").parquet(
-        os.path.join(path, "bands")
-    )
-    _member_tokens(df_new, id_col, tokens_col, members, hash_mode).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "tokens"))
-    new_sets.select(
-        F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
-    ).write.mode("append").parquet(os.path.join(path, "sets"))
+    with gio.manifest_append(path, list(_IDX_RELATIONS), meta=meta):
+        _band_frame(bands).write.partitionBy("pb").mode("append").parquet(
+            os.path.join(path, "bands")
+        )
+        _member_tokens(df_new, id_col, tokens_col, members, hash_mode).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "tokens"))
+        new_sets.select(
+            F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
+        ).write.mode("append").parquet(os.path.join(path, "sets"))
 
 
 _IDX_TOMB_SCHEMA = "doc_id long"
@@ -837,14 +867,11 @@ _IDX_TOMB_SCHEMA = "doc_id long"
 
 def _read_tombstones(spark: SparkSession, path: str) -> "DataFrame | None":
     """The index's tombstone relation, or None when no delete has ever
-    run (the overwhelmingly common case — the existence check keeps the
-    no-delete lookup plan byte-identical to pre-tombstone rounds).  Local
-    fs existence check; an object-store deployment would list the prefix
-    instead."""
-    t = os.path.join(path, "tombstones")
-    if not os.path.isdir(t):
-        return None
-    return spark.read.schema(_IDX_TOMB_SCHEMA).parquet(t)
+    been COMMITTED (the overwhelmingly common case — the None keeps the
+    no-delete lookup plan byte-identical to pre-tombstone rounds).
+    Manifest-resolved: a delete whose manifest publish didn't land is
+    invisible, exactly like an uncommitted append."""
+    return gio.read_relation(spark, path, "tombstones", _IDX_TOMB_SCHEMA)
 
 
 def minhash_index_delete(ids: DataFrame, path: str, *, id_col: str = "doc_id") -> None:
@@ -861,9 +888,10 @@ def minhash_index_delete(ids: DataFrame, path: str, *, id_col: str = "doc_id") -
     (minhash_index_compact) physically drops tombstoned rows and clears
     the tombstone relation.  Contract: doc ids are never reused — a
     tombstone is forever until compaction."""
-    ids.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "tombstones"))
+    with gio.manifest_append(path, ["tombstones"]):
+        ids.select(F.col(id_col).cast("long").alias("doc_id")).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "tombstones"))
 
 
 def minhash_index_dedup(
@@ -919,9 +947,7 @@ def minhash_index_dedup(
         .distinct()
         .collect()  # bounded: <= MINHASH_IDX_BUCKETS values
     ]
-    idx_tok = spark.read.schema(_IDX_TOKENS_SCHEMA).parquet(
-        os.path.join(path, "tokens")
-    )
+    idx_tok = _read_idx(spark, path, "tokens", _IDX_TOKENS_SCHEMA)
     # Tombstone-aware lookup (GDPR-shape deletes, VERDICT r8 item 4): a
     # deleted doc must vanish from every output pair WITHOUT an index
     # rewrite.  ``tombstones/`` (written by minhash_index_delete) is
@@ -944,8 +970,7 @@ def minhash_index_dedup(
     vs_pairs = None
     if probed:
         idx_b = (
-            spark.read.schema(_IDX_BANDS_SCHEMA)
-            .parquet(os.path.join(path, "bands"))
+            _read_idx(spark, path, "bands", _IDX_BANDS_SCHEMA, partitioned=True)
             .filter(F.col("pb").isin(probed))  # static partition pruning
             .alias("ib")
         )
@@ -1062,7 +1087,9 @@ def _incr_index_path(
         fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "missing"
-    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}|v2"
+    # "|m1": manifest-committed layout (r10) — a cached pre-manifest
+    # generation fingerprints differently and is rebuilt, never half-read.
+    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}|v2|m1"
 
     def _build(gen: str) -> None:
         corpus = table(spark, sf_dir, "documents").filter(~_incr_batch_pred())
@@ -1102,21 +1129,9 @@ def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     (not just in-memory) breaks the gate."""
     hash_mode = spark.conf.get("spark.graft.minhash.hash", "md5")
     path = _incr_index_path(spark, sf_dir, hash_mode, force=True)
-    band_rows = (
-        spark.read.schema(_IDX_BANDS_SCHEMA)
-        .parquet(os.path.join(path, "bands"))
-        .count()
-    )
-    token_rows = (
-        spark.read.schema(_IDX_TOKENS_SCHEMA)
-        .parquet(os.path.join(path, "tokens"))
-        .count()
-    )
-    set_rows = (
-        spark.read.schema(_IDX_SETS_SCHEMA)
-        .parquet(os.path.join(path, "sets"))
-        .count()
-    )
+    band_rows = _read_idx(spark, path, "bands", _IDX_BANDS_SCHEMA, partitioned=True).count()
+    token_rows = _read_idx(spark, path, "tokens", _IDX_TOKENS_SCHEMA).count()
+    set_rows = _read_idx(spark, path, "sets", _IDX_SETS_SCHEMA).count()
     return spark.createDataFrame(
         [(band_rows, token_rows, set_rows)],
         "band_rows bigint, token_rows bigint, set_rows bigint",
@@ -1170,11 +1185,9 @@ def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
     after which the compacted index carries no tombstone relation at all
     and is bit-identical to an index built on the corpus minus the
     deleted docs (pinned in tests/test_minhash_property.py)."""
-    bands = spark.read.schema(_IDX_BANDS_SCHEMA).parquet(os.path.join(path, "bands"))
-    tokens = spark.read.schema(_IDX_TOKENS_SCHEMA).parquet(
-        os.path.join(path, "tokens")
-    )
-    sets = spark.read.schema(_IDX_SETS_SCHEMA).parquet(os.path.join(path, "sets"))
+    bands = _read_idx(spark, path, "bands", _IDX_BANDS_SCHEMA, partitioned=True)
+    tokens = _read_idx(spark, path, "tokens", _IDX_TOKENS_SCHEMA)
+    sets = _read_idx(spark, path, "sets", _IDX_SETS_SCHEMA)
     tomb = _read_tombstones(spark, path)
     if tomb is not None:
         tokens = tokens.join(tomb, "doc_id", "left_anti")
@@ -1202,6 +1215,12 @@ def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
             .write.option("maxRecordsPerFile", 5_000_000)
             .parquet(os.path.join(dst, rel))
         )
+    # The compacted store's initial snapshot: tombstones physically
+    # applied, so the manifest lists no tombstone relation at all.
+    gio.manifest_commit(
+        dst,
+        {rel: gio.relation_data_files(dst, rel) for rel in _IDX_RELATIONS},
+    )
 
 
 @register(

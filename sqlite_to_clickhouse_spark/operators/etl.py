@@ -1098,8 +1098,9 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest — NEVER a directory listing — so a concurrent append can't
     tear its view and a crashed append (files written, manifest missing)
     is invisible rather than half-read. This is the transactional answer
-    to the crash-between-append-and-marker window documented on
-    stream_incremental_dedup's index append.
+    that (since r10) also backs the MinHash/ANN index stores through
+    the io.py manifest library — one protocol for every persisted
+    multi-relation store.
 
     The op commits snapshot v1 (orders with o_orderkey % 3 <> 0), then
     APPENDS the remaining rows and commits v2 = v1's files + the new

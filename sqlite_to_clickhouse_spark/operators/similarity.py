@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from sqlite_to_clickhouse_spark import io as gio
 from sqlite_to_clickhouse_spark.io import table
 from sqlite_to_clickhouse_spark.registry import register
 
@@ -1638,6 +1639,7 @@ def ann_index_build(
                       "sub": pa.array([], pa.list_(pa.float64()))}),
             os.path.join(path, "codebooks", "part-0.parquet"),
         )
+        _commit_ann_snapshot(path)
         return spark.createDataFrame(
             [("codes", 0), ("centroids", 0), ("codebooks", 0)],
             "component STRING, n_rows BIGINT",
@@ -1698,25 +1700,46 @@ def ann_index_build(
         os.path.join(path, "codebooks", "part-0.parquet"),
     )
 
-    manifest = [
-        ("codes", spark.read.parquet(os.path.join(path, "codes")).count()),
+    _commit_ann_snapshot(path)
+    report = [
+        ("codes", _read_ann_codes(spark, path).count()),
         ("centroids", len(cent_ids)),
         ("codebooks", m * kk),
     ]
-    return spark.createDataFrame(manifest, "component STRING, n_rows BIGINT")
+    return spark.createDataFrame(report, "component STRING, n_rows BIGINT")
+
+
+_ANN_RELATIONS = ("codes", "centroids", "codebooks")
+
+
+def _commit_ann_snapshot(path: str) -> None:
+    """Publish the store's initial manifest: one atomic commit listing
+    every relation's files (io.py manifest protocol, VERDICT r9 item 4).
+    From here on readers resolve manifests, never directory listings."""
+    gio.manifest_commit(
+        path,
+        {rel: gio.relation_data_files(path, rel) for rel in _ANN_RELATIONS},
+    )
+
+
+def _read_ann_codes(spark: SparkSession, path: str) -> DataFrame:
+    """Manifest-resolved scan of the codes relation (``basePath`` so the
+    ``bucket=`` partition column survives the explicit file-list read —
+    partition-type inference behaves exactly as the directory scan did)."""
+    df = gio.read_relation(spark, path, "codes", partitioned=True)
+    if df is None:  # no committed snapshot / no code files
+        return spark.createDataFrame([], "vec_id bigint, bucket bigint, pq_code bigint")
+    return df
 
 
 def _read_ann_tombstones(
     spark: SparkSession, path: str, id_col: str
 ) -> "DataFrame | None":
     """The ANN index's tombstone relation, or None when no delete has
-    ever run (the common case — the existence check keeps the no-delete
-    query plan unchanged).  Local fs check; an object-store deployment
-    would list the prefix."""
-    t = os.path.join(path, "tombstones")
-    if not os.path.isdir(t):
-        return None
-    return spark.read.schema(f"{id_col} long").parquet(t)
+    ever been COMMITTED (the common case — the None keeps the no-delete
+    query plan unchanged).  Manifest-resolved: an uncommitted delete is
+    invisible, exactly like an uncommitted append."""
+    return gio.read_relation(spark, path, "tombstones", f"{id_col} long")
 
 
 def ann_index_delete(ids: DataFrame, path: str, *, id_col: str = "vec_id") -> None:
@@ -1731,9 +1754,10 @@ def ann_index_delete(ids: DataFrame, path: str, *, id_col: str = "vec_id") -> No
     and every surviving code row are untouched.  ann_index_compact
     physically drops tombstoned rows and clears the relation.  Contract:
     vector ids are never reused."""
-    ids.select(F.col(id_col).cast("long").alias(id_col)).write.mode(
-        "append"
-    ).parquet(os.path.join(path, "tombstones"))
+    with gio.manifest_append(path, ["tombstones"]):
+        ids.select(F.col(id_col).cast("long").alias(id_col)).write.mode(
+            "append"
+        ).parquet(os.path.join(path, "tombstones"))
 
 
 def ann_index_compact(
@@ -1752,7 +1776,7 @@ def ann_index_compact(
     undisturbed."""
     import shutil
 
-    codes = spark.read.parquet(os.path.join(path, "codes"))
+    codes = _read_ann_codes(spark, path)
     tomb = _read_ann_tombstones(spark, path, id_col)
     if tomb is not None:
         codes = codes.join(tomb, id_col, "left_anti")
@@ -1771,6 +1795,9 @@ def ann_index_compact(
         )
     for rel in ("centroids", "codebooks"):
         shutil.copytree(os.path.join(path, rel), os.path.join(dst, rel))
+    # Compacted store's initial snapshot: tombstones physically applied,
+    # so no tombstone relation in the manifest at all.
+    _commit_ann_snapshot(dst)
 
 
 def ann_index_query(
@@ -1839,8 +1866,8 @@ def ann_index_query(
         return pd.Series(dot / den)
 
     # Static partition pruning: the IN-list reaches the scan as a
-    # PartitionFilters entry, so only the routed bucket directories are read.
-    codes = spark.read.parquet(os.path.join(path, "codes")).filter(
+    # PartitionFilters entry, so only the routed bucket files are read.
+    codes = _read_ann_codes(spark, path).filter(
         F.col("bucket").isin(sorted(wanted))
     )
     # Tombstone-aware serving (ann_index_delete): deleted vectors drop out
@@ -1898,7 +1925,8 @@ def _load_quantizer(spark: SparkSession, path: str):
     built over an empty corpus (no codebook rows).  Bounded by contract:
     m×k codebook rows + k centroid rows — the same tiny collect
     ann_index_query has always done."""
-    brows = spark.read.parquet(os.path.join(path, "codebooks")).collect()
+    books_df = gio.read_relation(spark, path, "codebooks")
+    brows = books_df.collect() if books_df is not None else []
     if not brows:
         return None
     m = 1 + max(r["j"] for r in brows)
@@ -1907,8 +1935,9 @@ def _load_quantizer(spark: SparkSession, path: str):
     books = np.empty((m, kk, sub))
     for r in brows:
         books[r["j"], r["c"]] = r["sub"]
+    cents_df = gio.read_relation(spark, path, "centroids")
     cent_rows = sorted(
-        spark.read.parquet(os.path.join(path, "centroids")).collect(),
+        cents_df.collect() if cents_df is not None else [],
         key=lambda r: r[0],
     )
     cent_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
@@ -1923,6 +1952,7 @@ def ann_index_append(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    meta: "dict | None" = None,
 ) -> None:
     """Append a NEW vector batch into a persisted IVF-PQ index — the
     100 TB embedding-store ingest path (VERDICT r8 item 3, mirroring
@@ -1933,13 +1963,16 @@ def ann_index_append(
     The quantizer state is FROZEN: centroids and codebooks are read from
     the index (tiny driver collect) and the batch is encoded against them
     in one Arrow pass — bucket assignment + PQ code per vector — then
-    parquet-APPENDED into the bucket-partitioned codes/ relation.  New
-    files only; no existing file is rewritten, so concurrent queries are
-    safe (at worst they miss the newest batch — eventual-ingest
-    semantics).  Appending with a frozen quantizer is exactly encoding
-    the union corpus with the corpus-fit quantizer, so append-then-query
-    equals build-on-union-with-frozen-state bit-for-bit (pinned in
-    tests/test_llm_ops.py).
+    parquet-appended into the bucket-partitioned codes/ relation and
+    published by ONE atomic manifest commit (io.manifest_append): new
+    files only, no committed file rewritten, and a reader resolves the
+    previous snapshot until the publish lands — it sees the whole batch
+    or none of it, and a crashed append's files stay orphaned-but-
+    invisible (the retry commits only its own; ``meta`` carries e.g. the
+    epoch id for retried-writer idempotence).  Appending with a frozen
+    quantizer is exactly encoding the union corpus with the corpus-fit
+    quantizer, so append-then-query equals build-on-union-with-frozen-
+    state bit-for-bit (pinned in tests/test_llm_ops.py).
 
     Re-train trigger (operational contract, not code): frozen quantizers
     drift as the data distribution moves — production monitors encode
@@ -1971,9 +2004,10 @@ def ann_index_append(
         _bucket(F.col(vec_col)).alias("bucket"),
         _pq_code_col(books)(F.col(vec_col)).alias("pq_code"),
     )
-    coded.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
-        os.path.join(path, "codes")
-    )
+    with gio.manifest_append(path, ["codes"], meta=meta):
+        coded.repartition("bucket").write.mode("append").partitionBy("bucket").parquet(
+            os.path.join(path, "codes")
+        )
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -1984,9 +2018,12 @@ def _source_fingerprint(sf_dir: str) -> str:
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
         st = os.stat(src)
-        return f"{st.st_size}:{st.st_mtime_ns}"
+        fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
-        return "missing"
+        fp = "missing"
+    # "|m1": manifest-committed layout (r10) — a cached pre-manifest
+    # generation fingerprints differently and is rebuilt, never half-read.
+    return fp + "|m1"
 
 
 def _ensure_index(spark: SparkSession, sf_dir: str, *, force: bool = False):
@@ -2195,7 +2232,7 @@ def sim_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         pre_state = _state_digest(idx)
     elif batch.limit(1).count():
         ann_index_append(spark, batch, idx)
-    post = spark.read.parquet(os.path.join(idx, "codes")).count() if n_all else 0
+    post = _read_ann_codes(spark, idx).count() if n_all else 0
     checks = [
         ("codes_rows_eq_corpus_plus_batch", post == n_all),
         ("quantizer_frozen", _state_digest(idx) == pre_state),
@@ -2327,13 +2364,15 @@ def sim_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compacted = os.path.join(tempfile.mkdtemp(prefix="ann_delc_"), "idx")
     ann_index_compact(spark, idx, compacted)
-    codes_rows = spark.read.parquet(os.path.join(compacted, "codes")).count()
+    codes_rows = _read_ann_codes(spark, compacted).count()
     return spark.createDataFrame(
         [
             (
                 codes_rows,
                 _state_digest(compacted) == _state_digest(idx),
-                not os.path.isdir(os.path.join(compacted, "tombstones")),
+                # cleared = the compacted snapshot lists no tombstone
+                # relation (manifest-level, matching how readers resolve)
+                not gio.manifest_relation_files(compacted, "tombstones"),
             )
         ],
         "codes_rows bigint, quantizer_frozen boolean, tombstones_cleared boolean",

@@ -638,20 +638,23 @@ def _incr_stream_dirs(spark: SparkSession) -> tuple:
 
 def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
     """The per-micro-batch ingest-dedup handler (lookup, per-epoch output,
-    marker-guarded append), shared by stream_incremental_dedup and its
-    delete-during-ingest variant.
+    manifest-committed append), shared by stream_incremental_dedup and
+    its delete-during-ingest variant.
 
-    Idempotent by epoch_id (ADVICE r8): foreachBatch RETRIES a failed
-    micro-batch under the same epoch_id, so (1) pair output goes to a
-    per-epoch directory with mode("overwrite") — a retry replaces its
-    own half-written output instead of blind-appending duplicates —
-    and (2) the index append is guarded by a per-epoch marker written
-    only AFTER the append commits, so a retry never re-appends (which
-    would violate minhash_index_append's ids-not-already-indexed
-    contract).  A crash between append and marker can still double-
-    append — exactly-once there needs a transactional table format —
-    but the common retry paths (lookup failure, output-write failure)
-    are replay-safe."""
+    EXACTLY-ONCE by epoch_id: foreachBatch RETRIES a failed micro-batch
+    under the same epoch_id, so (1) pair output goes to a per-epoch
+    directory with mode("overwrite") — a retry replaces its own
+    half-written output instead of blind-appending duplicates — and
+    (2) the index append publishes through the io.py manifest protocol
+    (VERDICT r9 item 4) with the epoch id riding the commit's metadata:
+    the data-visibility bit and the applied-epoch marker are ONE atomic
+    file.  A crash anywhere before the publish leaves the attempt's
+    files orphaned-but-invisible (readers resolve the previous
+    manifest), and the retry — whose epoch is absent from every
+    committed manifest — re-appends its own fresh files and commits
+    once.  The pre-r10 marker-file protocol's crash-between-append-and-
+    marker double-append window no longer exists."""
+    from sqlite_to_clickhouse_spark.io import manifest_applied_meta
     from sqlite_to_clickhouse_spark.operators.dedup import (
         _doc_tokens,
         minhash_index_append,
@@ -659,7 +662,6 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
     )
 
     def handle(bdf: DataFrame, epoch_id: int) -> None:
-        append_marker = os.path.join(idx, "_applied_epochs", str(epoch_id))
         # Batch-scoped persisted frames are handed back and unpersisted per
         # micro-batch: a production stream runs this loop indefinitely, and
         # disk-backed cached blocks are never auto-evicted (ADVICE r8).
@@ -673,13 +675,12 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
                 F.col("id_b").alias("doc_b"),
                 "jaccard",
             ).write.mode("overwrite").parquet(os.path.join(out, f"ep-{epoch_id}"))
-            if not os.path.exists(append_marker):
+            if int(epoch_id) not in manifest_applied_meta(idx, "epoch"):
                 minhash_index_append(
-                    toks, "doc_id", "tk", idx, persisted_out=batch_persists
+                    toks, "doc_id", "tk", idx,
+                    persisted_out=batch_persists,
+                    meta={"epoch": int(epoch_id)},
                 )
-                os.makedirs(os.path.dirname(append_marker), exist_ok=True)
-                with open(append_marker, "w"):
-                    pass
         finally:
             for frame in batch_persists:
                 frame.unpersist()

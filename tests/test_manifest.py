@@ -111,6 +111,67 @@ def test_clone_remains_valid_store(tmp_path):
     assert gio.manifest_relation_files(clone, "r") == [os.path.join(clone, f1)]
 
 
+def test_minhash_append_crash_invisible_then_retry_exact(spark, sf_dir, tmp_path):
+    """Index-level crash injection (VERDICT r9 item 4's done criterion):
+    kill a minhash_index_append between its data writes and the manifest
+    publish — lookups must equal the pre-append index exactly; a retry
+    must then equal exactly ONE append (the crashed attempt's files never
+    double-count)."""
+    from sqlite_to_clickhouse_spark.io import table as t
+    from sqlite_to_clickhouse_spark.operators import dedup as D
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = D._doc_tokens(docs.filter(~D._incr_batch_pred()))
+    batch = D._doc_tokens(docs.filter(D._incr_batch_pred()))
+    idx = str(tmp_path / "idx")
+    D.minhash_index_build(corpus, "doc_id", "tk", idx)
+
+    def lookup():
+        return sorted(
+            tuple(r)
+            for r in D.minhash_index_dedup(spark, batch, "doc_id", "tk", idx)
+            .collect()
+        )
+
+    before = lookup()
+
+    class Boom(RuntimeError):
+        pass
+
+    orig = gio.manifest_commit
+
+    def exploding(*a, **k):
+        raise Boom()
+
+    gio.manifest_commit = exploding
+    try:
+        with pytest.raises(Boom):
+            D.minhash_index_append(batch, "doc_id", "tk", idx)
+    finally:
+        gio.manifest_commit = orig
+
+    # Crash left orphans on disk but the committed snapshot unchanged:
+    assert lookup() == before
+
+    # Retry succeeds; the index now equals exactly one append — compare
+    # relation-by-relation against a fresh build + single clean append.
+    D.minhash_index_append(batch, "doc_id", "tk", idx)
+    ref = str(tmp_path / "ref")
+    D.minhash_index_build(corpus, "doc_id", "tk", ref)
+    D.minhash_index_append(batch, "doc_id", "tk", ref)
+
+    def rel_rows(path, rel, schema, partitioned=False):
+        df = gio.read_relation(spark, path, rel, schema, partitioned=partitioned)
+        return sorted(map(tuple, df.collect())) if df is not None else []
+
+    for rel, schema, part in (
+        ("bands", D._IDX_BANDS_SCHEMA, True),
+        ("tokens", D._IDX_TOKENS_SCHEMA, False),
+        ("sets", D._IDX_SETS_SCHEMA, False),
+    ):
+        assert rel_rows(idx, rel, schema, part) == rel_rows(ref, rel, schema, part), rel
+
+
 def test_read_relation_resolves_manifest_not_listing(spark, tmp_path):
     root = str(tmp_path)
     df = spark.range(5).selectExpr("id", "id % 2 AS pb")
