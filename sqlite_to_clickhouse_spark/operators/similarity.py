@@ -2379,6 +2379,110 @@ def sim_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Re-train trigger tolerance: a batch whose mean reconstruction cosine
+# falls more than this below the build-time baseline flags a rebuild.
+# Calibrated against the fixture at three scales (the r9 three-scale
+# gating rule): in-distribution batches read ~0.05 below the (in-sample)
+# baseline — half the tolerance — while the pinned drift construction
+# (energy concentrated on every 8th dimension, a shape the subspace
+# codebooks never saw) reads 0.17-0.22 below — well past it.
+ANN_RETRAIN_TOL = 0.11
+
+
+def _recon_mean_np(books, V) -> float:
+    """Driver-side mirror of pq_encode's kernel (same argmin, same
+    cosine) for the bounded baseline sample: mean reconstruction cosine
+    of rows ``V`` under frozen codebooks."""
+    if len(V) == 0:
+        return 0.0
+    m, kk, sub = books.shape
+    recon = np.empty_like(V)
+    for j in range(m):
+        X = V[:, j * sub : (j + 1) * sub]
+        d2 = ((X[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        recon[:, j * sub : (j + 1) * sub] = books[j][np.argmin(d2, axis=1)]
+    num = (V * recon).sum(axis=1)
+    den = np.linalg.norm(V, axis=1) * np.linalg.norm(recon, axis=1)
+    return float(np.mean(np.where(den > 0, num / np.maximum(den, 1e-300), 0.0)))
+
+
+_RETRAIN_ORACLE = """
+    SELECT 'baseline_recorded' AS component, TRUE AS ok
+    UNION ALL SELECT 'fresh_batch_within_tolerance', TRUE
+    UNION ALL SELECT 'drifted_batch_flags_rebuild', TRUE
+"""
+
+
+@register(
+    "sim_index_retrain_check",
+    oracle=_RETRAIN_ORACLE,
+    tags=("llm", "similarity", "approx", "incremental", "maintenance"),
+)
+def sim_index_retrain_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN re-train trigger AS AN OP (VERDICT r9 item 7 — previously
+    prose on sim_index_append): frozen quantizers drift as the data
+    distribution moves, and nprobe compensation (the r9 lesson) only
+    goes so far, so production monitors per-ingest encode distortion and
+    schedules ann_index_build into a fresh generation when it degrades.
+
+    The monitor: baseline = mean reconstruction cosine of the BUILD-TIME
+    training sample under the frozen codebooks (driver-side numpy over
+    the same bounded, hash-ordered sample the quantizer fit used — at
+    100 TB this number is stored with the index at build; recomputing it
+    here is fingerprint-equivalent); each ingest batch is scored by one
+    map-side pq_encode pass (batch-bounded, no shuffle) and flags
+    ``rebuild_needed`` when its mean falls more than ANN_RETRAIN_TOL
+    below baseline.  Gate rendering (the sim_index_build pattern —
+    quantizer-dependent values can't be recomputed in SQL): the op
+    emits the monitor's decisions on a matched pair of batches as
+    (component, ok) rows the oracle pins to TRUE —
+
+      - the REAL fresh batch (vec_id % 10 == 7, in-distribution) must
+        NOT flag (no false-positive rebuild storms);
+      - the pinned DRIFT construction (the batch with energy
+        concentrated on every 8th dimension — a subspace shape the
+        codebooks never saw) MUST flag.
+
+    Degenerate empty-corpus store: no quantizer → the monitor's answer
+    is trivially rebuild-needed; all three checks report False (pinned
+    in tests/test_llm_ops.py, never reachable on a driver fixture)."""
+    idx = _ensure_incr_ann_index(spark, sf_dir)
+    q = _load_quantizer(spark, idx)
+    e = table(spark, sf_dir, "embeddings")
+    batch = e.filter(_ann_batch_pred())
+    if q is None:
+        return spark.createDataFrame(
+            [
+                ("baseline_recorded", False),
+                ("fresh_batch_within_tolerance", False),
+                ("drifted_batch_flags_rebuild", False),
+            ],
+            "component STRING, ok BOOLEAN",
+        )
+    books, _, _ = q
+    sample = train_sample(e.filter(~_ann_batch_pred()), site="retrain_check")
+    V = np.array([list(r[1]) for r in sample], dtype=np.float64)
+    baseline = _recon_mean_np(books, V)
+
+    def _mean(df: DataFrame) -> float:
+        got = pq_encode(df, books).agg(F.avg("recon_cosine")).collect()[0][0]
+        return float(got) if got is not None else 0.0
+
+    drifted = batch.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> "
+            "CASE WHEN i % 8 = 0 THEN x ELSE CAST(0.0 AS FLOAT) END)"
+        ),
+    )
+    checks = [
+        ("baseline_recorded", baseline > 0.0),
+        ("fresh_batch_within_tolerance", _mean(batch) >= baseline - ANN_RETRAIN_TOL),
+        ("drifted_batch_flags_rebuild", _mean(drifted) < baseline - ANN_RETRAIN_TOL),
+    ]
+    return spark.createDataFrame(checks, "component STRING, ok BOOLEAN")
+
+
 _PCA_K = 8
 _PCA_TRAIN_CAP = 50_000
 _PCA_ROUND = 6

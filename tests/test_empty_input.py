@@ -114,6 +114,16 @@ _OPS = [
     "sink_shallow_clone",
     # empty dim -> zero-row CSV -> all-zero aggregate row
     "scan_csv_permissive",
+    # round-10 additions: persisted ER index lifecycle (empty catalog ->
+    # empty store relations, empty maps, zero-row compaction equality)
+    # and the ANN drift monitor (no quantizer -> all-False degenerate row
+    # triple, the documented rebuild-needed answer)
+    "er_index_build",
+    "er_incremental",
+    "er_index_append",
+    "er_index_delete",
+    "er_index_delete_compact",
+    "sim_index_retrain_check",
 ]
 
 

@@ -1,0 +1,179 @@
+"""Persisted ER catalog index: property pins (VERDICT r9 items 2-3).
+
+The lifecycle theorems the registered differential gates can't state
+directly:
+
+- append-twice ≡ append-once (two disjoint batches folded sequentially
+  equal the union folded once — the minhash_index_append property,
+  restated for string-name entities with MERGE semantics);
+- delete-then-read ≡ rebuild-without-deleted under stored-edge
+  semantics (exact whenever no blocking key crosses the df cap, which
+  the test asserts as a precondition instead of assuming);
+- the BRIDGE-SPLIT theorem the dedup index structurally cannot have:
+  deleting the sole name connecting two subgroups must split the
+  cluster (and deleting a canonical must re-elect) — pinned on a
+  deterministic synthetic;
+- crash injection: an append that dies between its data writes and the
+  manifest publish is invisible, and the retry lands exactly once.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sqlite_to_clickhouse_spark import io as gio
+from sqlite_to_clickhouse_spark.operators import entity as E
+from pyspark.sql import functions as F
+
+
+def _names_df(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "nm string")
+
+
+def _view(spark, path):
+    return sorted(
+        tuple(r) for r in E.er_index_entities(spark, path).collect()
+    )
+
+
+def _match(spark, path, names):
+    return sorted(
+        tuple(r)
+        for r in E.er_index_match(spark, _names_df(spark, names), path).collect()
+    )
+
+
+# Catalog: two clusters ({A,B,C} chained through B, {D}) plus a singleton.
+A, B, C = "aaaa pp", "aabb pp", "bbbb pp"   # lev(A,B)=2, lev(B,C)=2, lev(A,C)=4
+D = "zzzz qq"
+SYN_CATALOG = [A, B, C, D]
+
+
+def test_build_chains_through_bridge(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    got = dict((r[0], r[1]) for r in _view(spark, idx))
+    assert got == {A: A, B: A, C: A, D: D}
+
+
+def test_delete_bridge_splits_cluster(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    E.er_index_delete(spark, _names_df(spark, [B]), idx)
+    got = dict((r[0], r[1]) for r in _view(spark, idx))
+    # B gone; A and C no longer connected -> the cluster SPLITS.
+    assert got == {A: A, C: C, D: D}
+    # And the deleted name no longer serves as a match target: a probe at
+    # distance 1 from B ("axbb pp") must fall back to its own entity or a
+    # live name — never B.
+    m = dict((r[0], r[1]) for r in _match(spark, idx, ["aabb pq"]))
+    assert m["aabb pq"] != B
+
+
+def test_delete_canonical_reelects(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    E.er_index_delete(spark, _names_df(spark, [A]), idx)  # A was canonical
+    got = dict((r[0], r[1]) for r in _view(spark, idx))
+    assert got == {B: B, C: B, D: D}  # min live member re-elected
+
+
+def test_append_merges_via_new_bridge(spark, tmp_path):
+    """A new name bridging two existing entities MERGES them, and every
+    member of the merged component re-labels to the global min."""
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, [A, C, D]), idx)  # A,C separate (lev 4)
+    before = dict((r[0], r[1]) for r in _view(spark, idx))
+    assert before == {A: A, C: C, D: D}
+    E.er_index_append(spark, _names_df(spark, [B]), idx)  # B bridges A<->C
+    got = dict((r[0], r[1]) for r in _view(spark, idx))
+    assert got == {A: A, B: A, C: A, D: D}
+
+
+def test_append_twice_equals_once(spark, sf_dir, tmp_path):
+    cat = E._er_catalog_names(spark, sf_dir)
+    bat = E._er_batch_names(spark, sf_dir).join(cat, "nm", "left_anti")
+    b1 = bat.filter(F.crc32(F.col("nm")) % 2 == 0)
+    b2 = bat.filter(F.crc32(F.col("nm")) % 2 == 1)
+
+    once = str(tmp_path / "once")
+    twice = str(tmp_path / "twice")
+    E.er_index_build(cat, once)
+    E.er_index_build(cat, twice)
+    E.er_index_append(spark, bat, once)
+    E.er_index_append(spark, b1, twice)
+    E.er_index_append(spark, b2, twice)
+    assert _view(spark, once) == _view(spark, twice)
+    # The serving path agrees too (match reads postings + entities).
+    probes = [r[0] for r in bat.limit(20).collect()]
+    if probes:
+        assert _match(spark, once, probes) == _match(spark, twice, probes)
+
+
+def test_delete_equals_rebuild_without(spark, sf_dir, tmp_path):
+    cat = E._er_catalog_names(spark, sf_dir)
+    dels = E._er_registered_dels(spark, sf_dir)
+    # Precondition for EXACT equality under stored-edge semantics: no
+    # blocking key may cross the df cap when the deleted names leave
+    # (a >cap key can only exist if some df exceeds the cap at build).
+    max_df = (
+        cat.select("nm", F.explode(F.split("nm", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .distinct()
+        .groupBy("w")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_df <= E._ER_BLOCK_DF_CAP, (
+        "fixture drifted: df cap crossing possible — rebuild equality no "
+        "longer exact by construction; adjust the test corpus"
+    )
+    deleted = str(tmp_path / "del")
+    rebuilt = str(tmp_path / "reb")
+    E.er_index_build(cat, deleted)
+    E.er_index_delete(spark, dels, deleted)
+    E.er_index_build(cat.join(dels, "nm", "left_anti"), rebuilt)
+    assert _view(spark, deleted) == _view(spark, rebuilt)
+
+
+def test_compact_preserves_view_and_clears_tombstones(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    E.er_index_delete(spark, _names_df(spark, [B]), idx)
+    dst = str(tmp_path / "compact")
+    E.er_index_compact(spark, idx, dst)
+    assert _view(spark, dst) == _view(spark, idx)
+    assert not gio.manifest_relation_files(dst, "tombstones")
+    assert _match(spark, dst, ["aaab pp"]) == _match(spark, idx, ["aaab pp"])
+
+
+def test_append_crash_invisible_then_retry_exact(spark, tmp_path):
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, [A, C, D]), idx)
+    before = _view(spark, idx)
+
+    class Boom(RuntimeError):
+        pass
+
+    orig = gio.manifest_commit
+
+    def exploding(*a, **k):
+        raise Boom()
+
+    gio.manifest_commit = exploding
+    try:
+        with pytest.raises(Boom):
+            E.er_index_append(spark, _names_df(spark, [B]), idx)
+    finally:
+        gio.manifest_commit = orig
+    # Crashed append invisible: view and gen unchanged.
+    assert _view(spark, idx) == before
+    assert E._er_next_gen(spark, idx) == 1
+
+    # Retry lands exactly once; equals a clean build+append.
+    E.er_index_append(spark, _names_df(spark, [B]), idx)
+    ref = str(tmp_path / "ref")
+    E.er_index_build(_names_df(spark, [A, C, D]), ref)
+    E.er_index_append(spark, _names_df(spark, [B]), ref)
+    assert _view(spark, idx) == _view(spark, ref)

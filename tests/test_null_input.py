@@ -140,6 +140,16 @@ _OPS = [
     # a NULL key stages as the literal empty field and parses back NULL
     # (good row) on both sides
     "scan_csv_permissive",
+    # round-10: the persisted ER index must route NULL-adjacent rows
+    # (nulled brands never touch nm-keyed relations; NULL-padded part
+    # rows collapse identically into distinct names) and the drift
+    # monitor must stay decision-stable on the mutated embedding corpus
+    "er_index_build",
+    "er_incremental",
+    "er_index_append",
+    "er_index_delete",
+    "er_index_delete_compact",
+    "sim_index_retrain_check",
 ]
 
 
