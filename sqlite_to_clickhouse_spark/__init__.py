@@ -43,6 +43,17 @@ def __getattr__(name):
         "connected_components": "sqlite_to_clickhouse_spark.operators.dedup",
         "blocked_name_pairs": "sqlite_to_clickhouse_spark.operators.entity",
         "er_entity_map": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_index_build": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_index_entities": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_index_match": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_index_append": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_index_delete": "sqlite_to_clickhouse_spark.operators.entity",
+        "er_index_compact": "sqlite_to_clickhouse_spark.operators.entity",
+        "manifest_commit": "sqlite_to_clickhouse_spark.io",
+        "manifest_read": "sqlite_to_clickhouse_spark.io",
+        "manifest_append": "sqlite_to_clickhouse_spark.io",
+        "manifest_versions": "sqlite_to_clickhouse_spark.io",
+        "read_relation": "sqlite_to_clickhouse_spark.io",
         "topk_cosine": "sqlite_to_clickhouse_spark.operators.similarity",
         "topk_cosine_blocked": "sqlite_to_clickhouse_spark.operators.similarity",
         "ivf_topk": "sqlite_to_clickhouse_spark.operators.similarity",
