@@ -1356,8 +1356,14 @@ def er_index_append_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Registered delete set: NAME-derived (md5 bucket), never partkey-derived
+# — a partkey predicate hits every distinct name once the table is large
+# enough (at sf0.1 every name owns a partkey ≡ 3 mod 30, which deleted
+# the whole catalog; caught by the r10 10× sweep reading 0 rows), while
+# a hash of the name deletes a stable ~1/5 of the vocabulary at every sf.
 _ER_DEL_CTE = f"""
-    dels AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 30 = 3),
+    dels AS (SELECT nm FROM cat
+             WHERE CAST(('0x' || substring(md5(nm), 1, 15)) AS BIGINT) % 5 = 0),
     live AS (
         SELECT name_a, name_b FROM vpairs v
         WHERE NOT EXISTS (SELECT 1 FROM dels x WHERE x.nm = v.name_a)
@@ -1379,11 +1385,12 @@ _ER_IDX_DELETE_ORACLE = f"""
 
 
 def _er_registered_dels(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") % 30 == 3)
-        .select(F.col("p_name").alias("nm"))
-        .distinct()
+    # Name-derived md5 bucket (see _ER_DEL_CTE): ~1/5 of the distinct
+    # catalog vocabulary at every sf, GDPR-shaped (a deletion request
+    # names the record, not its surrogate keys).
+    return _er_catalog_names(spark, sf_dir).filter(
+        F.conv(F.substring(F.md5(F.col("nm")), 1, 15), 16, 10).cast("long") % 5
+        == 0
     )
 
 

@@ -276,6 +276,18 @@ DEFAULT_OPS = [
     "sink_shallow_clone",
     # Permissive CSV: bounded dim staging + one distributed scan.
     "scan_csv_permissive",
+    # Round-10: persisted ER index lifecycle — every relation is
+    # distinct-name-sized (the scale fixture replicates rows, not the
+    # name vocabulary), so build/serve/append/delete walls should stay
+    # ~flat as rows grow; the one row-linear stage is the distinct()
+    # collapse feeding them.  Drift monitor: one bounded driver baseline
+    # + two map-side batch scoring passes — batch-linear.
+    "er_index_build",
+    "er_incremental",
+    "er_index_append",
+    "er_index_delete",
+    "er_index_delete_compact",
+    "sim_index_retrain_check",
 ]
 
 
