@@ -293,6 +293,36 @@ def manifest_relation_files(
     return [os.path.join(root, p) for p in m.get("relations", {}).get(relation, [])]
 
 
+def manifest_expire(root: str, keep: "list[str]") -> "list[str]":
+    """The GC front half (Delta VACUUM / Iceberg expireSnapshots step 1):
+    delete every committed manifest NOT in ``keep``; returns the expired
+    version names.  Refuses to expire CURRENT (the pointer must always
+    resolve).  Data files are untouched — physical deletion is the
+    caller's sweep over ``manifest_live_files`` (step 2)."""
+    cur = manifest_current(root)
+    expired = []
+    for v in manifest_versions(root):
+        if v in keep or v == cur:
+            continue
+        try:
+            os.remove(os.path.join(_manifest_dir(root), f"{v}.json"))
+            expired.append(v)
+        except OSError:
+            pass
+    return expired
+
+
+def manifest_live_files(root: str) -> set:
+    """Root-relative paths referenced by ANY live manifest — the
+    reference set a vacuum sweep must never delete."""
+    live: set = set()
+    for v in manifest_versions(root):
+        m = manifest_read(root, v) or {}
+        for files in m.get("relations", {}).values():
+            live.update(files)
+    return live
+
+
 def manifest_applied_meta(root: str, key: str) -> set:
     """All values of ``meta[key]`` across committed manifests — the
     idempotence check for retried writers (e.g. foreachBatch epoch ids:

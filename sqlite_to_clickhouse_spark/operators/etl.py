@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from sqlite_to_clickhouse_spark import io as gio
 from sqlite_to_clickhouse_spark.io import TABLES, table
 from sqlite_to_clickhouse_spark.migrate import migrate_sqlite
 from sqlite_to_clickhouse_spark.registry import register
@@ -1111,36 +1112,30 @@ def sink_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: manifests are O(files) metadata; snapshot reads are
     plain parquet scans over the listed files, so every Catalyst
-    optimization (pushdown, pruning) applies unchanged."""
-    import glob as _glob
+    optimization (pushdown, pruning) applies unchanged.  Since r10 the
+    commit/read protocol is the shared io.py library (manifest_commit /
+    read_relation) — the SAME code path the MinHash/ANN/ER index stores
+    publish through, not a parallel implementation."""
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="time_travel_")
     d1 = os.path.join(base, "data", "add-0001")
     d2 = os.path.join(base, "data", "add-0002")
     o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d1)
+    f1 = gio.relation_data_files(base, "data")
     o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d2)
+    f2 = sorted(set(gio.relation_data_files(base, "data")) - set(f1))
 
-    mdir = os.path.join(base, "_manifests")
-    os.makedirs(mdir)
-
-    def _commit(version: str, files: list) -> None:
-        tmp = os.path.join(mdir, f".{version}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(sorted(files)))
-        os.rename(tmp, os.path.join(mdir, f"{version}.txt"))  # atomic publish
-
-    f1 = _glob.glob(os.path.join(d1, "part-*.parquet"))
-    f2 = _glob.glob(os.path.join(d2, "part-*.parquet"))
-    _commit("v1", f1)
-    _commit("v2", f1 + f2)  # append = old files + new files, never a rewrite
+    versions = {
+        "v1": gio.manifest_commit(base, {"data": f1}, meta={"label": "v1"}),
+        # append = old files + new files, never a rewrite
+        "v2": gio.manifest_commit(base, {"data": f1 + f2}, meta={"label": "v2"}),
+    }
 
     def _read_snapshot(version: str) -> DataFrame:
-        with open(os.path.join(mdir, f"{version}.txt")) as fh:
-            files = [ln for ln in fh.read().splitlines() if ln]
-        if not files:  # a snapshot of an empty table lists no files
-            return spark.createDataFrame([], o.schema)
-        return spark.read.parquet(*files)
+        df = gio.read_relation(spark, base, "data", version=versions[version])
+        # a snapshot of an empty table lists no files
+        return df if df is not None else spark.createDataFrame([], o.schema)
 
     # Money sums go through exact integer cents (decimal accumulator, no
     # overflow at ±1e17-cent extremes) so the total is fold-order-free —
@@ -1191,8 +1186,6 @@ def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-scoped (compact cold partitions only), which the manifest
     protocol supports unchanged — v3 would list rewritten files for the
     compacted partitions and v2's originals for the rest."""
-    import glob as _glob
-
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="snapshot_vacuum_")
     ddir = os.path.join(base, "data")
@@ -1200,34 +1193,23 @@ def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = os.path.join(ddir, "add-0002")
     d3 = os.path.join(ddir, "compact-0003")
     o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d1)
+    f1 = gio.relation_data_files(base, "data")
     o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d2)
+    f2 = sorted(set(gio.relation_data_files(base, "data")) - set(f1))
 
-    mdir = os.path.join(base, "_manifests")
-    os.makedirs(mdir)
-
-    def _commit(version: str, files: list) -> None:
-        tmp = os.path.join(mdir, f".{version}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(sorted(files)))
-        os.rename(tmp, os.path.join(mdir, f"{version}.txt"))
-
-    def _files(d: str) -> list:
-        return _glob.glob(os.path.join(d, "part-*.parquet"))
+    versions = {
+        "v1": gio.manifest_commit(base, {"data": f1}),
+        "v2": gio.manifest_commit(base, {"data": f1 + f2}),
+    }
 
     def _read_manifest(version: str) -> DataFrame:
-        with open(os.path.join(mdir, f"{version}.txt")) as fh:
-            files = [ln for ln in fh.read().splitlines() if ln]
-        if not files:
-            return spark.createDataFrame([], o.schema)
-        return spark.read.parquet(*files)
-
-    f1, f2 = _files(d1), _files(d2)
-    _commit("v1", f1)
-    _commit("v2", f1 + f2)
+        df = gio.read_relation(spark, base, "data", version=versions[version])
+        return df if df is not None else spark.createDataFrame([], o.schema)
 
     # Compaction: rewrite v2's rows into fresh files, publish v3.
     _read_manifest("v2").coalesce(1).write.parquet(d3)
-    _commit("v3", _files(d3))
+    f3 = sorted(set(gio.relation_data_files(base, "data")) - set(f1) - set(f2))
+    versions["v3"] = gio.manifest_commit(base, {"data": f3})
 
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
 
@@ -1239,22 +1221,18 @@ def maintenance_snapshot_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pre = _agg(_read_manifest("v3"))  # bounded: one aggregate row
 
-    # Expire v1/v2, then vacuum: delete every data file not referenced
-    # by a live manifest.
-    for v in ("v1", "v2"):
-        os.remove(os.path.join(mdir, f"{v}.txt"))
-    live: set = set()
-    for mf in _glob.glob(os.path.join(mdir, "*.txt")):
-        with open(mf) as fh:
-            live.update(ln for ln in fh.read().splitlines() if ln)
-    on_disk = set(_glob.glob(os.path.join(ddir, "*", "part-*.parquet")))
+    # Expire v1/v2 (library GC front half), then vacuum: delete every
+    # data file no live manifest references (sweep over
+    # manifest_live_files, the back half).
+    expired = gio.manifest_expire(base, keep=[versions["v3"]])
+    assert sorted(expired) == sorted([versions["v1"], versions["v2"]])
+    live = gio.manifest_live_files(base)
+    on_disk = set(gio.relation_data_files(base, "data"))
     for orphan in sorted(on_disk - live):
-        os.remove(orphan)
+        os.remove(os.path.join(base, orphan))
 
     post = _agg(_read_manifest("v3"))
-    orphans_remaining = len(
-        set(_glob.glob(os.path.join(ddir, "*", "part-*.parquet"))) - live
-    )
+    orphans_remaining = len(set(gio.relation_data_files(base, "data")) - live)
     row = [
         (
             post["n"],
@@ -1288,18 +1266,20 @@ def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame
     partitions and leave the hot ones' files untouched, publishing one
     manifest that mixes rewritten and original files.
 
-    Protocol here: month-partitioned original write → manifest v1 lists
-    (path, month) for every file — the manifest CARRIES the partition
-    value, Iceberg-style, so a reader never re-infers it from directory
-    names → months older than the newest _HOT_MONTHS compact to one
-    file each (a repartition-by-month rewrite of only the cold subset)
-    → manifest v2 = compacted cold files + ORIGINAL hot files. The
-    read-back resolves v2, scans the raw files (the partition column is
-    not in the data), and re-attaches each row's month by joining
-    input_file_name() against the manifest's path→month map (broadcast,
-    O(files)). Matching the raw-table oracle proves the mixed manifest
-    lost and duplicated nothing across the rewrite. NULL-dated rows ride
-    the default partition and compact like any cold month."""
+    Protocol here (shared io.py manifest library since r10): the
+    manifest CARRIES the partition value Iceberg-style — each month is
+    a RELATION of the snapshot (``ym=<val>`` → file list), so a reader
+    never re-infers partitions from directory names → months older than
+    the newest _HOT_MONTHS compact to one file each (a
+    repartition-by-month rewrite of only the cold subset) → manifest v2
+    = compacted cold relations + ORIGINAL hot relations. The read-back
+    resolves v2, scans the raw files (the partition column is not in
+    the data), and re-attaches each row's month by joining
+    input_file_name() against the manifest's relation→files map
+    (broadcast, O(files)). Matching the raw-table oracle proves the
+    mixed manifest lost and duplicated nothing across the rewrite.
+    NULL-dated rows ride the default partition and compact like any
+    cold month."""
     import glob as _glob
 
     o = table(spark, sf_dir, "orders").select(
@@ -1311,22 +1291,31 @@ def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame
     comp = os.path.join(base, "comp")
     o.write.partitionBy("ym").parquet(orig)
 
-    def _entries(root: str) -> list:
-        out = []
+    def _relations(root: str) -> dict:
+        """{"ym=<part>": [root-relative files]} for one written layout."""
+        out: dict = {}
         for d in sorted(_glob.glob(os.path.join(root, "ym=*"))):
-            part = os.path.basename(d)[3:]
-            ym = None if part == "__HIVE_DEFAULT_PARTITION__" else part
-            for f in sorted(_glob.glob(os.path.join(d, "part-*.parquet"))):
-                out.append((f, ym))
+            rel = os.path.basename(d)
+            files = sorted(
+                os.path.relpath(f, base)
+                for f in _glob.glob(os.path.join(d, "part-*.parquet"))
+            )
+            if files:
+                out[rel] = files
         return out
 
-    v1 = _entries(orig)
-    months = sorted({ym for _, ym in v1 if ym is not None})
+    def _ym(rel: str) -> "str | None":
+        part = rel[3:]
+        return None if part == "__HIVE_DEFAULT_PARTITION__" else part
+
+    v1 = _relations(orig)
+    months = sorted(m for m in (_ym(r) for r in v1) if m is not None)
     hot = set(months[-_HOT_MONTHS:])
-    cold_files = [p for p, ym in v1 if ym not in hot]
-    if cold_files:
+    cold_rels = {r: fs for r, fs in v1.items() if _ym(r) not in hot}
+    if cold_rels:
         # Rewrite ONLY the cold subset, one file per month (repartition on
         # the partition key -> each month lands in a single task's file).
+        cold_files = [os.path.join(base, f) for fs in cold_rels.values() for f in fs]
         (
             spark.read.option("basePath", orig)
             .parquet(*cold_files)
@@ -1334,7 +1323,8 @@ def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame
             .write.partitionBy("ym")
             .parquet(comp)
         )
-        v2 = _entries(comp) + [(p, ym) for p, ym in v1 if ym in hot]
+        v2 = dict(_relations(comp))
+        v2.update({r: fs for r, fs in v1.items() if _ym(r) in hot})
     else:
         v2 = v1
 
@@ -1342,10 +1332,17 @@ def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame
         return spark.createDataFrame(
             [], "ym string, n_orders long, total_price double"
         )
+    version = gio.manifest_commit(base, v2)
+    committed = (gio.manifest_read(base, version) or {}).get("relations", {})
     path_map = spark.createDataFrame(
-        [(p, ym) for p, ym in v2], "path string, ym string"
+        [
+            (os.path.join(base, f), _ym(rel))
+            for rel, fs in committed.items()
+            for f in fs
+        ],
+        "path string, ym string",
     )
-    files = [p for p, _ in v2]
+    files = [os.path.join(base, f) for fs in committed.values() for f in fs]
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
     scanned = spark.read.parquet(*files).withColumn(
         "path", F.regexp_replace(F.input_file_name(), "^file:/+", "/")
@@ -1392,39 +1389,45 @@ def sink_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The gate reads BOTH tables AFTER the clone diverged: the source must
     still aggregate to exactly its own slice (writer isolation across
-    tables sharing files), the clone to source + its append."""
+    tables sharing files), the clone to source + its append.
+
+    Library note (r10): each table is its own io.py manifest STORE; the
+    shared data files are committed by ABSOLUTE path (the object-store
+    URI shape — manifest paths resolve relative to the store root only
+    when relative), which is exactly how a production clone references
+    another table's files without copying them."""
     import glob as _glob
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
     base = tempfile.mkdtemp(prefix="shallow_clone_")
     d_src = os.path.join(base, "data", "src-0001")
     d_cln = os.path.join(base, "data", "cln-0001")
+    t_src = os.path.join(base, "tbl_source")
+    t_cln = os.path.join(base, "tbl_clone")
     o.filter(F.col("o_orderkey") % 3 != 0).write.parquet(d_src)
     o.filter(F.col("o_orderkey") % 3 == 0).write.parquet(d_cln)
 
-    mdir = os.path.join(base, "_manifests")
-    os.makedirs(mdir)
-
-    def _commit(tbl: str, version: str, files: list) -> None:
-        tmp = os.path.join(mdir, f".{tbl}-{version}.tmp")
-        with open(tmp, "w") as fh:
-            fh.write("\n".join(sorted(files)))
-        os.rename(tmp, os.path.join(mdir, f"{tbl}-{version}.txt"))
-
-    src_files = _glob.glob(os.path.join(d_src, "part-*.parquet"))
-    _commit("source", "v1", src_files)
-    _commit("clone", "v1", src_files)  # the clone: same files, new table
-    _commit(
-        "clone", "v2",
-        src_files + _glob.glob(os.path.join(d_cln, "part-*.parquet")),
+    src_files = sorted(_glob.glob(os.path.join(d_src, "part-*.parquet")))
+    versions = {
+        ("source", "v1"): (t_src, gio.manifest_commit(t_src, {"data": src_files})),
+        # the clone: same files, new table (zero bytes copied)
+        ("clone", "v1"): (t_cln, gio.manifest_commit(t_cln, {"data": src_files})),
+    }
+    versions[("clone", "v2")] = (
+        t_cln,
+        gio.manifest_commit(
+            t_cln,
+            {
+                "data": src_files
+                + sorted(_glob.glob(os.path.join(d_cln, "part-*.parquet")))
+            },
+        ),
     )
 
     def _read(tbl: str, version: str) -> DataFrame:
-        with open(os.path.join(mdir, f"{tbl}-{version}.txt")) as fh:
-            files = [ln for ln in fh.read().splitlines() if ln]
-        if not files:
-            return spark.createDataFrame([], o.schema)
-        return spark.read.parquet(*files)
+        root, v = versions[(tbl, version)]
+        df = gio.read_relation(spark, root, "data", version=v)
+        return df if df is not None else spark.createDataFrame([], o.schema)
 
     cents = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)")
 

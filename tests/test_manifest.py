@@ -98,6 +98,37 @@ def test_crash_before_publish_is_invisible_and_retry_safe(tmp_path):
     assert gio.manifest_applied_meta(root, "epoch") == {7}
 
 
+def test_expire_and_live_files(tmp_path):
+    root = str(tmp_path)
+    f1 = _touch(root, "data/a.parquet")
+    f2 = _touch(root, "data/b.parquet")
+    v1 = gio.manifest_commit(root, {"data": [f1]})
+    v2 = gio.manifest_commit(root, {"data": [f1, f2]})
+    v3 = gio.manifest_commit(root, {"data": [f2]})
+    assert gio.manifest_live_files(root) == {f1, f2}
+    expired = gio.manifest_expire(root, keep=[v3])
+    assert sorted(expired) == sorted([v1, v2])
+    assert gio.manifest_versions(root) == [v3]
+    # post-expire live set: only v3's files; f1 is now vacuum-able
+    assert gio.manifest_live_files(root) == {f2}
+    # CURRENT is never expirable
+    assert gio.manifest_expire(root, keep=[]) == []
+    assert gio.manifest_current(root) == v3
+
+
+def test_absolute_paths_resolve_verbatim(tmp_path):
+    """Cross-store file sharing (sink_shallow_clone): a manifest may
+    list ABSOLUTE paths (object-store URI shape); they resolve verbatim
+    instead of joining onto the store root."""
+    data_root = tmp_path / "shared"
+    data_root.mkdir()
+    f = str(data_root / "x.parquet")
+    open(f, "w").write("x")
+    store = str(tmp_path / "tbl")
+    gio.manifest_commit(store, {"data": [f]})
+    assert gio.manifest_relation_files(store, "data") == [f]
+
+
 def test_clone_remains_valid_store(tmp_path):
     """Relative manifest paths: a copytree clone of the whole store is a
     valid store at its new root (how streaming ops snapshot the shared
