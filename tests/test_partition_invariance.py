@@ -38,6 +38,13 @@ _OPS = [
     # round-9: tombstoned lookup adds an anti-join + a per-cluster
     # re-election aggregate (min_by) — both must be width-independent.
     "dedup_incremental_deletes",
+    # round-10: the persisted ER index — label propagation over star
+    # edges + new pairs, last-write-wins gen window, (d, cname)
+    # tie-broken best match, and the delete-time affected-cluster
+    # re-label must all be width-independent.
+    "er_incremental",
+    "er_index_append",
+    "er_index_delete",
 ]
 
 
