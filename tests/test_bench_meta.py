@@ -51,3 +51,8 @@ def test_committed_bench_full_tracks_the_ratio():
         full = json.load(fh)
     ratio = full.get("derived", {}).get("dedup_incremental_vs_full")
     assert ratio is not None and ratio > 0
+    # From r10: the ER serving path reads the PERSISTED catalog index,
+    # and the amortization must be a tracked, committed number < 1
+    # (VERDICT r9 item 2's done criterion).
+    er = full.get("derived", {}).get("er_incremental_vs_full")
+    assert er is not None and 0 < er < 1.0
