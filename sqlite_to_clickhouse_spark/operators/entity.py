@@ -1323,7 +1323,14 @@ _ER_IDX_APPEND_ORACLE = f"""
         UNION SELECT name_a, name_b FROM new_edges
     ),
     {_er_closure("all_pairs")},
-    allnames AS (SELECT nm FROM cat UNION SELECT nm FROM batnew)
+    -- DISTINCT over UNION ALL, not UNION: DuckDB 1.0's recursive-CTE
+    -- context treats NULLs as pairwise-distinct inside a set-op CTE, so
+    -- a NULL name present in BOTH cat and batnew would emit twice under
+    -- UNION (caught by the dedicated NULL-name mutant in
+    -- tests/test_null_input.py); plain SELECT DISTINCT dedupes NULLs
+    -- normally, matching Spark's distinct().
+    allnames AS (SELECT DISTINCT nm FROM (
+        SELECT nm FROM cat UNION ALL SELECT nm FROM batnew) t)
     SELECT n.nm AS name,
            coalesce(c.eid, n.nm) AS entity_id,
            (coalesce(c.eid, n.nm) = n.nm) AS is_canonical
@@ -1451,7 +1458,11 @@ def er_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         and before.exceptAll(after).limit(1).count() == 0
     )
     n_names = after.count()
-    n_entities = after.select("entity_id").distinct().count()
+    # countDistinct, not distinct().count(): a NULL-name survivor maps to
+    # a NULL entity, which DuckDB's count(DISTINCT ...) excludes while
+    # Spark's distinct().count() would count as a row (caught by the
+    # dedicated NULL-name mutant) — countDistinct matches the oracle.
+    n_entities = after.agg(F.countDistinct("entity_id")).collect()[0][0]
     return spark.createDataFrame(
         [
             (

@@ -196,6 +196,52 @@ def test_oracle_match_with_nulls(spark, null_duck, null_sf_dir, name):
         assert_df_matches_oracle(df, null_duck, q.oracle, name=name)
 
 
+_ER_IDX_OPS = [
+    "er_index_build",
+    "er_incremental",
+    "er_index_append",
+    "er_index_delete",
+    "er_index_delete_compact",
+    "er_blocked_pairs",
+    "er_clusters",
+]
+
+
+@pytest.mark.parametrize("name", _ER_IDX_OPS)
+def test_er_ops_under_null_names(spark, sf_dir, tmp_path_factory, name):
+    """The shared null mutant never nulls p_name — the ER family's KEY
+    column — so this dedicated mutant does (every 7th part row), pinning
+    the NULL-name path end-to-end: a NULL name explodes to no blocking
+    words, pairs with nothing, maps to a NULL entity on BOTH engines,
+    can never be tombstone-matched, and must hash identically through
+    the persisted store's LWW window and the recursive-CTE oracles."""
+    dst = tmp_path_factory.mktemp("sf_null_names")
+    for t in TABLES:
+        tab = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        if t == "part":
+            n = tab.num_rows
+            mask = pa.array([(i % 7) == 3 for i in range(n)])
+            cols = {c: tab.column(c).combine_chunks() for c in tab.schema.names}
+            cols["p_name"] = pc.if_else(
+                mask, pa.nulls(n, type=tab.schema.field("p_name").type),
+                cols["p_name"],
+            )
+            tab = pa.table(cols)
+        pq.write_table(tab, str(dst / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'"
+        )
+    try:
+        q = _Q[name]
+        assert_df_matches_oracle(
+            q.fn(spark, str(dst)), con, q.oracle, name=f"{name}_nullnames"
+        )
+    finally:
+        con.close()
+
+
 def test_csv_permissive_null_key_roundtrip(spark, sf_dir, tmp_path):
     """ADVICE r9 (medium): NULL fields must stage as EMPTY CSV fields, not
     the literal string 'None' — a 'None' n_nationkey failed the Long parse
