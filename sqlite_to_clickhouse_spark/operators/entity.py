@@ -773,10 +773,14 @@ def er_index_match(
         .select("bname", "cname", "d")
     )
     ents = er_index_entities(spark, path)
+    # No forced broadcast on the entity map: it is distinct-names-sized
+    # (bounded only by the vocabulary, not by any contract), so the hint
+    # would be wrong at 100 TB — AQE broadcasts it anyway while it is
+    # actually small, and shuffle-joins it when it is not.
     return (
         bat.join(best, bat["nm"] == best["bname"], "left")
         .join(
-            F.broadcast(ents.select(F.col("nm").alias("cname"), "entity_id")),
+            ents.select(F.col("nm").alias("cname"), "entity_id"),
             "cname",
             "left",
         )
@@ -839,9 +843,11 @@ def er_index_append(
     )
     new_keys = new_w.filter(F.col("df") <= _ER_BLOCK_DF_CAP).select("w")
     new_stop = new_w.filter(F.col("df") > _ER_BLOCK_DF_CAP).select("w")
-    # The batch's posting rows: stored keys + admitted new keys.
+    # The batch's posting rows: stored keys + admitted new keys.  The
+    # key set is vocabulary-sized (no contract bound), so no forced
+    # broadcast — AQE picks the strategy; the semi-shape join keys on w.
     bat_postings = bwords.join(
-        F.broadcast(known.unionByName(new_keys).distinct()), "w"
+        known.unionByName(new_keys).distinct(), "w"
     ).select("w", "nm")
 
     # Candidates: batch × catalog (stored postings) ∪ batch × batch.
