@@ -185,7 +185,19 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
 # File paths inside a manifest are RELATIVE to the store root, so a
 # file-level clone of the whole store (shutil.copytree — how the streaming
 # ops snapshot the shared cached index) remains a valid store at its new
-# location, manifests included.
+# location, manifests included.  (Absolute paths are also honored — they
+# resolve verbatim — which is how a shallow clone references another
+# table's files without copying them.)
+#
+# Writer contract: ONE writer per store at a time (foreachBatch runs
+# micro-batches sequentially; batch jobs own their clone).  build_lock
+# serializes version ALLOCATION so racing committers can't collide on a
+# version id, but manifest_append's before/after file diff is not
+# transactional across writers — two concurrent appends to the same
+# store could each commit the other's in-flight files.  READERS are
+# always safe (they resolve an immutable committed snapshot); a
+# multi-writer deployment serializes commits the way Delta does, with
+# the commit lock held across the whole append.
 # ---------------------------------------------------------------------------
 
 MANIFEST_DIRNAME = "_manifests"
