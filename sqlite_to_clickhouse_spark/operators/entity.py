@@ -59,6 +59,19 @@ _ER_MAXDIST = 2
 _ER_BLOCK_DF_CAP = 30
 
 
+def _lev(a, b):
+    """BYTE-edit levenshtein — the measure the whole ER family verifies
+    with.  Spark's builtin counts CODEPOINT edits while DuckDB's (and
+    ClickHouse editDistance's, the reference-adjacent spelling) count
+    BYTE edits, so the two diverge on any non-ASCII name (found by the
+    dedicated unicode-name mutant in tests/test_unicode_input.py).
+    Reinterpreting the UTF-8 bytes as ISO-8859-1 gives a string whose
+    codepoints ARE the bytes, making Spark's codepoint distance exactly
+    the byte distance — a no-op on ASCII, engine-exact everywhere."""
+    as_bytes = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")  # noqa: E731
+    return F.levenshtein(as_bytes(a), as_bytes(b))
+
+
 def _distinct_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         table(spark, sf_dir, "part")
@@ -102,7 +115,7 @@ def blocked_name_pairs(names: DataFrame) -> DataFrame:
     return cand.select(
         "name_a",
         "name_b",
-        F.levenshtein("name_a", "name_b").alias("edit_dist"),
+        _lev("name_a", "name_b").alias("edit_dist"),
     ).filter(F.col("edit_dist") <= _ER_MAXDIST)
 
 
@@ -430,7 +443,7 @@ def _serving_state(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     scored = cand.select(
-        "bname", "cname", F.levenshtein("bname", "cname").alias("d")
+        "bname", "cname", _lev("bname", "cname").alias("d")
     ).filter(F.col("d") <= _ER_MAXDIST)
     rk = Window.partitionBy("bname").orderBy(F.col("d").asc(), F.col("cname").asc())
     best = (
@@ -764,7 +777,7 @@ def er_index_match(
         .distinct()
     )
     scored = cand.select(
-        "bname", "cname", F.levenshtein("bname", "cname").alias("d")
+        "bname", "cname", _lev("bname", "cname").alias("d")
     ).filter(F.col("d") <= _ER_MAXDIST)
     rk = Window.partitionBy("bname").orderBy(F.col("d").asc(), F.col("cname").asc())
     best = (
@@ -875,7 +888,7 @@ def er_index_append(
             F.greatest("bname", "cname").alias("name_b"),
         )
         .distinct()
-        .filter(F.levenshtein("name_a", "name_b") <= _ER_MAXDIST)
+        .filter(_lev("name_a", "name_b") <= _ER_MAXDIST)
     )
 
     # Re-label over star edges (nm → entity_id) ∪ new edges: one CC run

@@ -103,3 +103,65 @@ def test_oracle_match_with_unicode(spark, unicode_duck, unicode_sf_dir, name):
         assert df.count() >= 0 and df.columns
     else:
         assert_df_matches_oracle(df, unicode_duck, q.oracle, name=name)
+
+
+_ER_UNI_OPS = [
+    "er_blocked_pairs",
+    "er_clusters",
+    "er_index_build",
+    "er_incremental",
+    "er_index_append",
+    "er_index_delete",
+    "er_index_delete_compact",
+    "er_reordered_match",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_names_sf_dir(sf_dir, tmp_path_factory):
+    """The shared unicode mutant never touches p_name — the ER family's
+    key column — so this dedicated mutant accents/extends every 5th
+    part name: levenshtein must count CODEPOINTS identically in both
+    engines (the byte-vs-codepoint class the r5 sweep found in
+    fn_editdistance), splits must tokenize the CJK word as one token,
+    and the md5 delete bucket must hash the UTF-8 bytes identically."""
+    import shutil
+
+    dst = tmp_path_factory.mktemp("sf_unicode_names")
+    for t in TABLES:
+        if t != "part":
+            shutil.copy(os.path.join(sf_dir, f"{t}.parquet"), str(dst / f"{t}.parquet"))
+    tab = pq.read_table(os.path.join(sf_dir, "part.parquet"))
+    names = tab.column("p_name").to_pylist()
+    out = []
+    for i, nm in enumerate(names):
+        if nm is not None and i % 5 == 2:
+            nm = nm.replace("a", "á").replace("o", "ö") + " 快速"
+        out.append(nm)
+    cols = {n: tab.column(n) for n in tab.schema.names}
+    cols["p_name"] = pa.array(out, pa.string())
+    pq.write_table(pa.table(cols), str(dst / "part.parquet"))
+    return str(dst)
+
+
+@pytest.fixture(scope="module")
+def unicode_names_duck(unicode_names_sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM '{unicode_names_sf_dir}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _ER_UNI_OPS)
+def test_er_ops_under_unicode_names(spark, unicode_names_duck, unicode_names_sf_dir, name):
+    q = _Q[name]
+    assert_df_matches_oracle(
+        q.fn(spark, unicode_names_sf_dir),
+        unicode_names_duck,
+        q.oracle,
+        name=f"{name}_uninames",
+    )
