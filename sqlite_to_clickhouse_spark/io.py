@@ -16,6 +16,17 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
+def write_atomic(path: str, text: str) -> None:
+    """Publish a small control file (SERIAL, CURRENT) via tmp +
+    ``os.replace`` — never an in-place truncate+write, which a crash can
+    leave partial (ADVICE r10: a truncated SERIAL re-allocates a low
+    version number and silently overwrites committed history)."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as fh:
+        fh.write(text)
+    os.replace(tmp, path)
+
+
 def read_marker(marker: str) -> "str | None":
     """Read a cache-validity marker, None when absent/unreadable — the
     mandatory companion to ``build_lock``'s double-checked re-check."""
@@ -143,20 +154,28 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
         got = None if force else _valid()
         if got:
             return got
-        serial = int(read_marker(os.path.join(base, "SERIAL")) or "0") + 1
-        with open(os.path.join(base, "SERIAL"), "w") as fh:
-            fh.write(str(serial))
-        name = "gen-" + hashlib.md5(f"{fp}:{serial}".encode()).hexdigest()[:16]
-        gen = os.path.join(base, name)
-        shutil.rmtree(gen, ignore_errors=True)  # debris of a failed build
-        os.makedirs(gen)
+        serial = int(read_marker(os.path.join(base, "SERIAL")) or "0")
+        # Allocate the next serial whose gen dir is free.  A crash can
+        # leave SERIAL truncated (pre-r11 it was an in-place write); a
+        # re-allocated serial must never rmtree a COMPLETED generation a
+        # reader may be scanning — only markerless debris of a failed
+        # build is reclaimable (ADVICE r10).
+        while True:
+            serial += 1
+            name = "gen-" + hashlib.md5(f"{fp}:{serial}".encode()).hexdigest()[:16]
+            gen = os.path.join(base, name)
+            if not os.path.exists(gen):
+                break
+            if read_marker(os.path.join(gen, GEN_MARKER)) != fp:
+                shutil.rmtree(gen, ignore_errors=True)  # failed-build debris
+                break
+            # live completed generation under a recycled serial: skip it
+        write_atomic(os.path.join(base, "SERIAL"), str(serial))
+        os.makedirs(gen, exist_ok=True)
         build(gen)
         with open(os.path.join(gen, GEN_MARKER), "w") as fh:
             fh.write(fp)
-        tmp = cur_file + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(name)
-        os.replace(tmp, cur_file)  # atomic pointer swap
+        write_atomic(cur_file, name)  # atomic pointer swap
         _gc_generations(base, keep=name)
     return gen
 
@@ -177,10 +196,15 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
 #     can't tear a read, and a crashed append (files written, manifest
 #     missing) is INVISIBLE rather than half-read or double-counted;
 #   - a writer that must be idempotent (foreachBatch retries under the
-#     same epoch_id) records its epoch in the commit's ``meta``: the
-#     data-visibility bit and the applied-epoch marker are ONE atomic
-#     file, which closes the crash-between-append-and-marker window the
-#     pre-r10 marker-file protocol documented as residual.
+#     same epoch_id) records its epoch in the commit's ``meta``, and the
+#     applied-epoch check reads ONLY the visible lineage (the cumulative
+#     ``applied`` chain in CURRENT — manifest_applied_meta): the
+#     data-visibility bit and the applied-epoch record are one atomic
+#     publish.  Publish itself is two renames (version file, then
+#     CURRENT); a crash between them leaves an ORPHAN version whose data
+#     is invisible AND whose epoch is un-applied — the retry re-appends
+#     fresh files and commits a later version, so neither the pre-r10
+#     double-append nor the ADVICE-r10 silent-drop window exists.
 #
 # File paths inside a manifest are RELATIVE to the store root, so a
 # file-level clone of the whole store (shutil.copytree — how the streaming
@@ -256,6 +280,25 @@ def manifest_versions(root: str) -> "list[str]":
     return sorted(n[:-5] for n in names if n.endswith(".json"))
 
 
+def _applied_chain_scan(root: str, upto: "str | None") -> "dict[str, set]":
+    """Legacy applied-value recovery: fold the scalar ``meta`` values of
+    every committed version ≤ ``upto`` into one key → value-set dict.
+    Versions NEWER than ``upto`` (the visible CURRENT) are orphans of a
+    crashed commit — their data never published, so their meta must not
+    count as applied (ADVICE r10 medium).  Zero-padded version names
+    compare correctly as strings.  Only needed once per pre-r11 store:
+    every r11+ commit carries the cumulative chain forward in-manifest."""
+    chain: "dict[str, set]" = {}
+    for v in manifest_versions(root):
+        if upto is not None and v > upto:
+            continue
+        m = manifest_read(root, v) or {}
+        for k, val in m.get("meta", {}).items():
+            if val is not None and isinstance(val, (str, int, float, bool)):
+                chain.setdefault(k, set()).add(val)
+    return chain
+
+
 def manifest_commit(
     root: str,
     relations: "dict[str, list[str]]",
@@ -267,29 +310,58 @@ def manifest_commit(
     then swing CURRENT via ``os.replace`` — a reader sees the old
     snapshot or the new one, never a torn state.  Version allocation is
     serialized under ``build_lock`` (single-writer stores pay an
-    uncontended flock; concurrent committers get distinct versions)."""
+    uncontended flock; concurrent committers get distinct versions) and
+    crash-hardened (ADVICE r10): SERIAL publishes via tmp+replace, a
+    truncated/missing SERIAL recovers as max(existing versions)+1, and
+    an allocation that would overwrite a committed manifest fails loudly
+    instead of corrupting time-travel history.
+
+    Each manifest also carries ``applied``: the CUMULATIVE key →
+    applied-value chain of the visible commit lineage plus this commit's
+    own scalar meta values.  ``manifest_applied_meta`` reads that chain
+    from CURRENT alone — one JSON read regardless of stream lifetime,
+    and values riding an orphaned (published-but-never-CURRENT) version
+    never count as applied, so a foreachBatch retry after a crash
+    between the two renames re-appends instead of silently dropping the
+    micro-batch."""
     import json
 
     mdir = _manifest_dir(root)
     os.makedirs(mdir, exist_ok=True)
     with build_lock(mdir):
-        serial = int(read_marker(os.path.join(mdir, "SERIAL")) or "0") + 1
-        with open(os.path.join(mdir, "SERIAL"), "w") as fh:
-            fh.write(str(serial))
+        serial = int(read_marker(os.path.join(mdir, "SERIAL")) or "0")
+        existing = manifest_versions(root)
+        for v in existing:
+            if v[1:].isdigit():
+                serial = max(serial, int(v[1:]))
+        serial += 1
+        write_atomic(os.path.join(mdir, "SERIAL"), str(serial))
         version = f"v{serial:06d}"
+        target = os.path.join(mdir, f"{version}.json")
+        if os.path.exists(target):  # unreachable after recovery; guard anyway
+            raise FileExistsError(f"manifest version already committed: {target}")
+        cur = manifest_current(root)
+        prev = manifest_read(root, cur) if cur is not None else None
+        if prev is None:
+            chain: "dict[str, set]" = {}
+        elif "applied" in prev:
+            chain = {k: set(v) for k, v in prev["applied"].items()}
+        else:  # pre-r11 store: seed the chain from the visible lineage once
+            chain = _applied_chain_scan(root, cur)
+        for k, val in (meta or {}).items():
+            if val is not None and isinstance(val, (str, int, float, bool)):
+                chain.setdefault(k, set()).add(val)
         doc = {
             "version": version,
             "relations": {k: sorted(v) for k, v in relations.items()},
             "meta": meta or {},
+            "applied": {k: sorted(v, key=str) for k, v in chain.items()},
         }
         tmp = os.path.join(mdir, f".{version}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
-        os.rename(tmp, os.path.join(mdir, f"{version}.json"))
-        cur_tmp = os.path.join(mdir, ".CURRENT.tmp")
-        with open(cur_tmp, "w") as fh:
-            fh.write(version)
-        os.replace(cur_tmp, os.path.join(mdir, "CURRENT"))
+        os.rename(tmp, target)
+        write_atomic(os.path.join(mdir, "CURRENT"), version)
     return version
 
 
@@ -336,37 +408,65 @@ def manifest_live_files(root: str) -> set:
 
 
 def manifest_applied_meta(root: str, key: str) -> set:
-    """All values of ``meta[key]`` across committed manifests — the
-    idempotence check for retried writers (e.g. foreachBatch epoch ids:
-    a retry whose epoch already appears in ANY commit must not
-    re-append)."""
-    out = set()
-    for v in manifest_versions(root):
-        m = manifest_read(root, v) or {}
-        val = m.get("meta", {}).get(key)
-        if val is not None:
-            out.add(val)
-    return out
+    """Applied values of ``meta[key]`` in the VISIBLE commit lineage —
+    the idempotence check for retried writers (foreachBatch epoch ids).
+
+    Reads the cumulative ``applied`` chain from the CURRENT manifest:
+    ONE JSON read per check regardless of how many epochs the stream has
+    committed (pre-r11 this re-parsed every version file per micro-batch
+    — O(epochs) on a path documented as running indefinitely), and
+    expired manifests no longer forget their applied epochs (the chain
+    survives in CURRENT).  Crucially it NEVER counts a version newer
+    than CURRENT: a crash between publishing ``vNNNNNN.json`` and
+    swinging CURRENT leaves that commit's data invisible, and treating
+    its meta as applied would make the retry skip its re-append — the
+    micro-batch silently lost (ADVICE r10 medium).  No CURRENT → nothing
+    applied.  Pre-r11 stores (no chain in CURRENT) fall back to scanning
+    versions ≤ CURRENT."""
+    cur = manifest_current(root)
+    if cur is None:
+        return set()
+    m = manifest_read(root, cur) or {}
+    if "applied" in m:
+        return set(m["applied"].get(key, []))
+    return _applied_chain_scan(root, cur).get(key, set())
 
 
 @contextlib.contextmanager
-def manifest_append(root: str, relations: "list[str]", meta: "dict | None" = None):
+def manifest_append(
+    root: str,
+    relations: "list[str]",
+    meta: "dict | None" = None,
+    replace: "list[str]" = (),
+):
     """Append-files-then-publish, as one protocol step: snapshot the
     on-disk file sets of ``relations``, let the caller run its Spark
     appends, then commit CURRENT ∪ the newly-appeared files atomically.
+
+    Relations named in ``replace`` commit as ONLY the files the body
+    wrote — the previous snapshot's files drop out of the manifest (the
+    in-commit rewrite shape: er_index_append un-tombstoning re-arrived
+    names rewrites the tombstone relation in the same atomic snapshot as
+    its appends).  Dropped files stay on disk for older versions' time
+    travel; compaction reclaims them.
 
     A crash inside the body (or in commit itself) leaves the new files
     ORPHANED but invisible — readers keep resolving the previous
     manifest, and a retry's diff is taken against the files present at
     ITS start, so the orphans of a failed attempt are never committed
     (no double-append).  Compaction deletes unreferenced files."""
-    pre = {rel: set(relation_data_files(root, rel)) for rel in relations}
+    track = list(dict.fromkeys(list(relations) + list(replace)))
+    pre = {rel: set(relation_data_files(root, rel)) for rel in track}
     yield
     base = manifest_read(root) or {"relations": {}}
     merged = dict(base.get("relations", {}))
+    fresh = {
+        rel: sorted(set(relation_data_files(root, rel)) - pre[rel]) for rel in track
+    }
     for rel in relations:
-        fresh = sorted(set(relation_data_files(root, rel)) - pre[rel])
-        merged[rel] = sorted(set(merged.get(rel, [])) | set(fresh))
+        merged[rel] = sorted(set(merged.get(rel, [])) | set(fresh[rel]))
+    for rel in replace:
+        merged[rel] = fresh[rel]
     manifest_commit(root, merged, meta=meta)
 
 

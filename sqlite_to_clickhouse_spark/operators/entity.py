@@ -826,8 +826,19 @@ def er_index_append(
     of the merged component gets a fresh entities row at the next gen
     (last-write-wins), committed in the same snapshot.
 
+    A previously TOMBSTONED name may re-arrive (the GDPR shape: a
+    deleted customer signs up again): the append un-tombstones it by
+    rewriting the tombstone relation minus the re-arrived names in the
+    SAME atomic commit (ADVICE r10 — without the rewrite the new
+    entities/posting rows stay anti-join-masked until compaction and
+    the append is a silent no-op at read time).  The name re-enters as
+    a fresh batch name: its edges are recomputed against the live
+    catalog, and its new entities row outranks the stale pre-delete row
+    on gen.
+
     Caller contract (mirrors minhash_index_append): the batch's names
-    are not already in the index — filter exact re-arrivals first."""
+    are not already LIVE in the index — filter exact re-arrivals
+    against ``er_index_entities`` first (tombstoned names are fine)."""
     from sqlite_to_clickhouse_spark import io as gio
     from sqlite_to_clickhouse_spark.operators.dedup import connected_components
 
@@ -919,13 +930,25 @@ def er_index_append(
         )
         .select("nm", F.col("n.entity_id").alias("entity_id"), F.lit(gen).alias("gen"))
     )
+    # Un-tombstone re-arrived names: rewrite the tombstone relation
+    # (minus the batch) in the same commit.  The existence probe is one
+    # limit-1 job over the tombstone relation — deleted-names-sized, not
+    # catalog-sized.
+    untomb = tomb is not None and tomb.join(bat, "nm", "semi").limit(1).count() > 0
     with gio.manifest_append(
-        path, list(_ER_IDX_RELATIONS), meta={**(meta or {}), "gen": gen}
+        path,
+        list(_ER_IDX_RELATIONS),
+        meta={**(meta or {}), "gen": gen},
+        replace=["tombstones"] if untomb else (),
     ):
         changed.write.mode("append").parquet(os.path.join(path, "entities"))
         bat_postings.write.mode("append").parquet(os.path.join(path, "postings"))
         new_stop.write.mode("append").parquet(os.path.join(path, "stopkeys"))
         new_edges.write.mode("append").parquet(os.path.join(path, "edges"))
+        if untomb:
+            tomb.join(bat, "nm", "left_anti").write.mode("append").parquet(
+                os.path.join(path, "tombstones")
+            )
     cur.unpersist()
 
 

@@ -166,15 +166,16 @@ def compute_rotation(
     each round).
 
     Policy, in order (VERDICT r5 item 3: an unclosed failure must never
-    wait behind the backlog; VERDICT r9 item 1: expired certifications
-    are as risky as none, and unlike new ops they carry no fresh local
-    drive — burn them before first-certifying new registrations):
+    wait behind the backlog; VERDICT r10 item 1: a five-round-stale green
+    record is still evidence, zero record is not — never-driven ops must
+    outrank expired re-certs or they trickle in at ~1/round behind a
+    steady-state-saturated expired tier):
       1. ops whose LATEST record is red (rows/schema/hash mismatch or err)
          — unclosed failures re-certify before anything else;
-      2. green ops whose record is ≥ ``EXPIRED_AGE`` rounds old, oldest
+      2. ops with NO driver record yet (registration order) — the brief's
+         bar is a green CORRECTNESS row for *every* op in ``queries()``;
+      3. green ops whose record is ≥ ``EXPIRED_AGE`` rounds old, oldest
          first — expired certifications;
-      3. ops with NO driver record yet (registration order) — new code,
-         locally driver-simulated green at registration time;
       4. remaining green ops, oldest-verified first — freshness re-certs,
          so every row cycles back through the gate every
          ceil(N/window − 1) rounds.
@@ -234,7 +235,7 @@ def compute_rotation(
     )
     expired = [n for n in greens if history[n][0] <= latest - EXPIRED_AGE]
     fresh = [n for n in greens if history[n][0] > latest - EXPIRED_AGE]
-    return (red + expired + never + fresh)[:window], latest
+    return (red + never + expired + fresh)[:window], latest
 
 
 def all_queries() -> dict[str, RegisteredQuery]:

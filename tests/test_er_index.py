@@ -148,6 +148,42 @@ def test_compact_preserves_view_and_clears_tombstones(spark, tmp_path):
     assert _match(spark, dst, ["aaab pp"]) == _match(spark, idx, ["aaab pp"])
 
 
+def test_tombstoned_name_rearrives_via_append(spark, tmp_path):
+    """ADVICE r10: a deleted name that re-arrives in a later batch must
+    become VISIBLE again — er_index_append un-tombstones it in the same
+    atomic commit (pre-r11 the unconditional tombstone anti-join masked
+    the new rows until compaction, making the append a silent no-op)."""
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    E.er_index_delete(spark, _names_df(spark, [B, D]), idx)
+    assert dict(_view(spark, idx)) == {A: A, C: C}
+    # B re-arrives (GDPR shape: deleted customer signs up again); D stays
+    # deleted — its tombstone must survive the rewrite.
+    E.er_index_append(spark, _names_df(spark, [B]), idx)
+    got = dict(_view(spark, idx))
+    assert got == {A: A, B: A, C: A}  # B visible AND re-bridges A<->C
+    m = dict((r[0], r[3]) for r in _match(spark, idx, [B, D]))
+    assert m[B] == A  # resolves through the live index
+    assert m[D] == D  # still deleted: falls back to self-entity
+    # The rewrite and the append landed in ONE commit: no intermediate
+    # version shows B live with D's tombstone dropped or vice versa.
+    tomb_files = gio.manifest_relation_files(idx, "tombstones")
+    df = spark.read.schema(E._ER_TOMB_SCHEMA).parquet(*tomb_files)
+    assert [r[0] for r in df.collect()] == [D]
+
+
+def test_append_without_rearrival_keeps_tombstones(spark, tmp_path):
+    """The tombstone relation is rewritten ONLY when the batch actually
+    re-arrives a deleted name — a plain append leaves it byte-identical
+    (no spurious rewrite work on the hot ingest path)."""
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    E.er_index_delete(spark, _names_df(spark, [D]), idx)
+    before = gio.manifest_relation_files(idx, "tombstones")
+    E.er_index_append(spark, _names_df(spark, ["aabc pp"]), idx)
+    assert gio.manifest_relation_files(idx, "tombstones") == before
+
+
 def test_append_crash_invisible_then_retry_exact(spark, tmp_path):
     idx = str(tmp_path / "idx")
     E.er_index_build(_names_df(spark, [A, C, D]), idx)

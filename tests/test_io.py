@@ -287,6 +287,48 @@ def test_ensure_generation_immutable_builds(tmp_path, monkeypatch):
         tempfile.tempdir = None
 
 
+def test_ensure_generation_serial_truncation_spares_live_gen(tmp_path, monkeypatch):
+    """ADVICE r10: a crash-truncated SERIAL must never make a rebuild
+    recycle a serial and rmtree a COMPLETED generation a reader may be
+    scanning — completed gens (valid marker) are skipped, only
+    markerless debris is reclaimed."""
+    import os
+
+    import sqlite_to_clickhouse_spark.io as io_mod
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        def build(tag):
+            def _b(gen):
+                with open(os.path.join(gen, "data"), "w") as fh:
+                    fh.write(tag)
+            return _b
+
+        g1 = io_mod.ensure_generation("t2", "key", "fpA", build("b1"))
+        base = os.path.dirname(g1)
+        # Crash left SERIAL truncated: the next forced build would
+        # re-allocate serial 1, whose gen dir is g1 — it must skip to a
+        # fresh serial, leaving g1's bytes intact.
+        with open(os.path.join(base, "SERIAL"), "w") as fh:
+            fh.write("")
+        g2 = io_mod.ensure_generation("t2", "key", "fpA", build("b2"), force=True)
+        assert g2 != g1
+        assert open(os.path.join(g1, "data")).read() == "b1"
+        assert open(os.path.join(g2, "data")).read() == "b2"
+        # Markerless debris under a recycled serial IS reclaimed.
+        with open(os.path.join(base, "SERIAL"), "w") as fh:
+            fh.write("")
+        os.remove(os.path.join(g1, io_mod.GEN_MARKER))  # g1 now debris
+        g3 = io_mod.ensure_generation("t2", "key", "fpA", build("b3"), force=True)
+        assert g3 == g1  # serial 1's dir reused after debris reclaim
+        assert open(os.path.join(g3, "data")).read() == "b3"
+    finally:
+        tempfile.tempdir = None
+
+
 def test_ensure_generation_racing_builders(tmp_path, monkeypatch):
     """N processes race ensure_generation on one (kind, key, fp): the
     build must run exactly once, every process must resolve the SAME

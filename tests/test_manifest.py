@@ -98,6 +98,127 @@ def test_crash_before_publish_is_invisible_and_retry_safe(tmp_path):
     assert gio.manifest_applied_meta(root, "epoch") == {7}
 
 
+def test_orphan_version_epoch_not_applied(tmp_path):
+    """ADVICE r10 (medium): a crash BETWEEN the version-file rename and
+    the CURRENT swing leaves a published-but-invisible orphan.  Its
+    epoch must NOT count as applied — otherwise the foreachBatch retry
+    skips its re-append and the micro-batch is silently lost."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    f2 = _touch(root, "r/b.parquet")
+    v1 = gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 1})
+    v2 = gio.manifest_commit(root, {"r": [f1, f2]}, meta={"epoch": 2})
+    # Simulate the crash: v2.json exists but CURRENT never swung.
+    gio.write_atomic(
+        os.path.join(root, gio.MANIFEST_DIRNAME, "CURRENT"), v1
+    )
+    assert gio.manifest_applied_meta(root, "epoch") == {1}
+    # The retry re-appends fresh data and commits a LATER version; the
+    # epoch is now applied exactly once and the data visible.
+    with gio.manifest_append(root, ["r"], meta={"epoch": 2}):
+        f3 = _touch(root, "r/b-retry.parquet")
+    assert gio.manifest_applied_meta(root, "epoch") == {1, 2}
+    got = gio.manifest_read(root)["relations"]["r"]
+    assert got == sorted([f1, f3])  # orphan f2 never committed
+    # And even after CURRENT advances PAST the orphan version, the
+    # orphan's meta stays un-applied (the chain folds only the visible
+    # lineage, never version files newer than the CURRENT they preceded).
+    assert v2 not in (gio.manifest_current(root),)
+
+
+def test_no_current_means_nothing_applied(tmp_path):
+    """A store whose CURRENT is missing (first publish crashed between
+    the two renames) has NO visible snapshot: nothing is applied."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 5})
+    os.remove(os.path.join(root, gio.MANIFEST_DIRNAME, "CURRENT"))
+    assert gio.manifest_applied_meta(root, "epoch") == set()
+
+
+def test_serial_truncation_never_overwrites_history(tmp_path):
+    """ADVICE r10: SERIAL publishes via tmp+replace, and a truncated /
+    missing SERIAL recovers as max(existing versions)+1 instead of
+    re-allocating a low number and silently overwriting a committed
+    manifest."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    f2 = _touch(root, "r/b.parquet")
+    v1 = gio.manifest_commit(root, {"r": [f1]})
+    v2 = gio.manifest_commit(root, {"r": [f1, f2]})
+    # Crash left SERIAL truncated:
+    with open(os.path.join(root, gio.MANIFEST_DIRNAME, "SERIAL"), "w") as fh:
+        fh.write("")
+    v3 = gio.manifest_commit(root, {"r": [f2]})
+    assert gio.manifest_versions(root) == [v1, v2, v3]
+    assert v3 == "v000003"
+    # v1's history is intact — time travel still reads it exactly.
+    assert gio.manifest_relation_files(root, "r", version=v1) == [
+        os.path.join(root, f1)
+    ]
+
+
+def test_applied_chain_survives_expire(tmp_path):
+    """The cumulative chain rides CURRENT, so expiring old manifests no
+    longer forgets their applied epochs (pre-r11 the scan over version
+    files did)."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 1})
+    gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 2})
+    v3 = gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 3})
+    gio.manifest_expire(root, keep=[])  # keeps only CURRENT (v3)
+    assert gio.manifest_versions(root) == [v3]
+    assert gio.manifest_applied_meta(root, "epoch") == {1, 2, 3}
+
+
+def test_legacy_store_without_chain_still_answers(tmp_path):
+    """Pre-r11 manifests carry no ``applied`` chain: the check falls
+    back to scanning versions ≤ CURRENT, and the first NEW commit seeds
+    the chain from that visible lineage (no applied epoch forgotten
+    across the protocol upgrade)."""
+    import json
+
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    mdir = os.path.join(root, gio.MANIFEST_DIRNAME)
+    os.makedirs(mdir)
+    for i, epoch in ((1, 10), (2, 11), (3, 12)):
+        with open(os.path.join(mdir, f"v{i:06d}.json"), "w") as fh:
+            json.dump(
+                {"version": f"v{i:06d}", "relations": {"r": [f1]},
+                 "meta": {"epoch": epoch}},
+                fh,
+            )
+    gio.write_atomic(os.path.join(mdir, "CURRENT"), "v000002")
+    gio.write_atomic(os.path.join(mdir, "SERIAL"), "3")
+    # Fallback scan: versions ≤ CURRENT only — v000003 is an orphan.
+    assert gio.manifest_applied_meta(root, "epoch") == {10, 11}
+    # A new commit seeds the chain from the visible legacy lineage.
+    gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 13})
+    m = gio.manifest_read(root)
+    assert set(m["applied"]["epoch"]) == {10, 11, 13}
+    assert gio.manifest_applied_meta(root, "epoch") == {10, 11, 13}
+
+
+def test_append_replace_rewrites_relation(tmp_path):
+    """``replace`` relations commit as ONLY the body's fresh files — the
+    in-commit rewrite er_index_append uses to un-tombstone re-arrived
+    names atomically with its appends."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    t1 = _touch(root, "tomb/t0.parquet")
+    gio.manifest_commit(root, {"r": [f1], "tomb": [t1]})
+    with gio.manifest_append(root, ["r"], replace=["tomb"]):
+        f2 = _touch(root, "r/b.parquet")
+        t2 = _touch(root, "tomb/t1.parquet")
+    m = gio.manifest_read(root)["relations"]
+    assert m["r"] == sorted([f1, f2])  # append semantics
+    assert m["tomb"] == [t2]  # replace semantics: t1 dropped
+    # t1 stays on disk for the OLD version's time travel.
+    assert os.path.exists(os.path.join(root, t1))
+
+
 def test_expire_and_live_files(tmp_path):
     root = str(tmp_path)
     f1 = _touch(root, "data/a.parquet")

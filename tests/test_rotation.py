@@ -4,8 +4,10 @@ The driver's correctness gate verifies the FIRST 50 entries of
 ``queries()``; ``compute_rotation`` derives that window from the committed
 CORRECTNESS_r*.json history.  These tests pin the policy: latest-red
 first (an unclosed failure never waits behind the backlog — VERDICT r5
-item 3), never-verified second, then greens oldest-first; deterministic;
-every emitted name registered.
+item 3), never-verified second (zero record is weaker evidence than any
+green record, however stale — VERDICT r10 item 1), expired greens third,
+then fresh greens oldest-first; deterministic; every emitted name
+registered.
 """
 
 from __future__ import annotations
@@ -109,35 +111,43 @@ def test_no_oracle_record_with_rows_counts_as_pass(tmp_path):
     assert rotation[-1] == a  # ⊘-pass rotates to the freshest end
 
 
-def test_expired_green_outranks_never_verified(tmp_path):
-    """A green record ≥ EXPIRED_AGE rounds old certifies nothing anymore
-    (VERDICT r9 item 1): the op re-certifies BEFORE never-driven new
-    registrations, which carry a fresh at-registration local drive."""
+def test_never_driven_outranks_expired_green(tmp_path):
+    """A never-driven op has NO driver evidence at all; an expired green
+    record is stale but still evidence (VERDICT r10 item 1 — the r9-era
+    opposite ordering let never-driven ops trickle in at ~1/round behind
+    a steady-state-saturated expired tier).  Never-driven certifies
+    BEFORE expired re-certs."""
     all_queries()
     names = list(R._REGISTRY)
     a, b = names[0], names[1]  # a: expired green; b: never driven
     _write(tmp_path, 1, {a: GREEN})
     _write(tmp_path, 1 + R.EXPIRED_AGE, {n: GREEN for n in names if n not in (a, b)})
     rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
-    assert rotation[0] == a  # expired tier leads
-    assert rotation[1] == b  # then the never-driven backlog
-    # One round younger and it is merely the stalest FRESH green: never-
-    # driven b moves ahead of it.
+    assert rotation[0] == b  # never-driven leads
+    assert rotation[1] == a  # then the expired tier
+    # One round younger and a is merely the stalest FRESH green: b still
+    # leads, a falls behind the (empty) expired tier into the fresh tail.
     _write(tmp_path, 2, {a: GREEN})
     rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
     assert rotation[0] == b
     assert rotation[1] == a
 
 
-def test_red_still_outranks_expired(tmp_path):
+def test_red_still_outranks_never_and_expired(tmp_path):
     all_queries()
     names = list(R._REGISTRY)
-    a, b = names[0], names[1]  # a: expired green; b: fresh red
+    # a: expired green; b: fresh red; c: never driven
+    a, b, c = names[0], names[1], names[2]
     _write(tmp_path, 1, {a: GREEN})
-    _write(tmp_path, 1 + R.EXPIRED_AGE, {n: (RED_HASH if n == b else GREEN) for n in names if n != a})
+    _write(
+        tmp_path,
+        1 + R.EXPIRED_AGE,
+        {n: (RED_HASH if n == b else GREEN) for n in names if n not in (a, c)},
+    )
     rotation, _ = compute_rotation(window=len(names), correctness_dir=str(tmp_path))
-    assert rotation[0] == b
-    assert rotation[1] == a
+    assert rotation[0] == b  # red first, always
+    assert rotation[1] == c  # then never-driven
+    assert rotation[2] == a  # then expired
 
 
 def test_rotation_names_all_registered_and_unique(tmp_path):
