@@ -58,6 +58,38 @@ _ER_MAXDIST = 2
 # behavior is pinned by tests/test_entity.py on a synthetic hot key.
 _ER_BLOCK_DF_CAP = 30
 
+# Persisted-INDEX-family catalog/batch split: NAME-derived (md5 bucket),
+# never partkey-derived — the same rule the registered delete set learned
+# in r10, now applied to the batch too.  Every distinct name owns
+# partkeys of every residue once the table is large enough, so the old
+# partkey-mod-10 "batch" was a subset of the catalog at every driver sf:
+# the exact-re-arrival filter emptied it, er_index_append appended
+# NOTHING, and the append gate (and its merge-relabel path) passed
+# vacuously (VERDICT r10 item 6 — caught by the merge-count pin in
+# tests/test_er_index.py).  Bucket 2-of-4 holds out 18 of the 64-name
+# vocabulary and bridges ≥5 existing-entity merges at sf0.001/0.01/0.1
+# (the vocabulary is sf-stable, probed at all three).  NULL names route
+# to the CATALOG on both engines (md5(NULL) is NULL, which fails the
+# batch predicate; the catalog predicate admits it explicitly) so the
+# dedicated NULL-name mutant keeps exercising the store's NULL path.
+_ER_IDX_BUCKET_MOD = 4
+_ER_IDX_BUCKET_REM = 2
+_ER_IDX_BUCKET_SQL = (
+    f"CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT) "
+    f"% {_ER_IDX_BUCKET_MOD}"
+)
+_ER_IDX_CAT_WHERE = f"(p_name IS NULL OR {_ER_IDX_BUCKET_SQL} <> {_ER_IDX_BUCKET_REM})"
+_ER_IDX_BAT_WHERE = f"{_ER_IDX_BUCKET_SQL} = {_ER_IDX_BUCKET_REM}"
+
+
+def _er_name_bucket(col):
+    """Spark spelling of ``_ER_IDX_BUCKET_SQL`` (md5-hex prefix → bigint
+    mod), engine-identical to the DuckDB cast on UTF-8 name bytes."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+        % _ER_IDX_BUCKET_MOD
+    )
+
 
 def _lev(a, b):
     """BYTE-edit levenshtein — the measure the whole ER family verifies
@@ -325,9 +357,15 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_INCR_CTE = f"""
-    cat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 <> 0),
-    bat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 = 0),
+def _incr_cte(cat_where: str, bat_where: str) -> str:
+    """The serving-path oracle CTE chain, parameterized on the
+    catalog/batch split: er_incremental_match keeps the legacy
+    partkey-mod-10 feed model, while the persisted-index serving op
+    (er_incremental) runs the name-bucket split its store is built on
+    — a genuinely-held-out batch whose matches are non-trivial."""
+    return f"""
+    cat AS (SELECT DISTINCT p_name AS nm FROM part WHERE {cat_where}),
+    bat AS (SELECT DISTINCT p_name AS nm FROM part WHERE {bat_where}),
     cwords AS (SELECT DISTINCT nm, w FROM (
         SELECT nm, unnest(string_split(nm, ' ')) AS w FROM cat) WHERE w <> ''),
     ckeys AS (SELECT w FROM cwords GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
@@ -368,8 +406,10 @@ _INCR_CTE = f"""
     )
 """
 
-_INCR_ORACLE = f"""
-    WITH RECURSIVE {_INCR_CTE}
+
+_INCR_CTE = _incr_cte("p_partkey % 10 <> 0", "p_partkey % 10 = 0")
+
+_INCR_SELECT = """
     SELECT b.nm AS name,
            best.cname AS matched_name,
            best.d AS edit_dist,
@@ -379,6 +419,14 @@ _INCR_ORACLE = f"""
     LEFT JOIN best ON best.bname = b.nm
     LEFT JOIN comp c2 ON c2.node = best.cname
 """
+
+_INCR_ORACLE = f"WITH RECURSIVE {_INCR_CTE} {_INCR_SELECT}"
+
+# The index serving op's oracle: same shape over the name-bucket split
+# the persisted store is built on.
+_ER_IDX_INCR_ORACLE = (
+    f"WITH RECURSIVE {_incr_cte(_ER_IDX_CAT_WHERE, _ER_IDX_BAT_WHERE)} {_INCR_SELECT}"
+)
 
 
 def _serving_state(spark: SparkSession, sf_dir: str):
@@ -1047,21 +1095,25 @@ def er_index_compact(spark: SparkSession, path: str, dst: str) -> None:
 
 
 def _er_catalog_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") % 10 != 0)
-        .select(F.col("p_name").alias("nm"))
-        .distinct()
+    # Name-bucket split (see _ER_IDX_BUCKET_MOD): NULL names stay in the
+    # catalog so the store's NULL path keeps driver coverage.
+    names = (
+        table(spark, sf_dir, "part").select(F.col("p_name").alias("nm")).distinct()
+    )
+    return names.filter(
+        F.col("nm").isNull() | (_er_name_bucket(F.col("nm")) != _ER_IDX_BUCKET_REM)
     )
 
 
 def _er_batch_names(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        table(spark, sf_dir, "part")
-        .filter(F.col("p_partkey") % 10 == 0)
-        .select(F.col("p_name").alias("nm"))
-        .distinct()
+    # The held-out name bucket: genuinely-new names at every sf (disjoint
+    # from the catalog by construction), whose fold-in bridges ≥5
+    # existing-entity merges — the merge-relabel path runs non-vacuously
+    # under the driver gate (VERDICT r10 item 6).
+    names = (
+        table(spark, sf_dir, "part").select(F.col("p_name").alias("nm")).distinct()
     )
+    return names.filter(_er_name_bucket(F.col("nm")) == _ER_IDX_BUCKET_REM)
 
 
 def _er_index_path(spark: SparkSession, sf_dir: str, *, force: bool = False) -> str:
@@ -1076,7 +1128,10 @@ def _er_index_path(spark: SparkSession, sf_dir: str, *, force: bool = False) -> 
         fp = f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
         fp = "missing"
-    fp = f"{fp}|cap{_ER_BLOCK_DF_CAP}|d{_ER_MAXDIST}|mod10r0|v1"
+    fp = (
+        f"{fp}|cap{_ER_BLOCK_DF_CAP}|d{_ER_MAXDIST}"
+        f"|nmb{_ER_IDX_BUCKET_MOD}r{_ER_IDX_BUCKET_REM}|v2"
+    )
 
     def _build(gen: str) -> None:
         er_index_build(_er_catalog_names(spark, sf_dir), gen)
@@ -1244,7 +1299,7 @@ def er_reordered_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ER_CAT_CTE = f"""
-    cat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 <> 0),
+    cat AS (SELECT DISTINCT p_name AS nm FROM part WHERE {_ER_IDX_CAT_WHERE}),
     cwords AS (SELECT DISTINCT nm, w FROM (
         SELECT nm, unnest(string_split(nm, ' ')) AS w FROM cat) WHERE w <> ''),
     ckeys AS (SELECT w FROM cwords GROUP BY w HAVING count(*) <= {_ER_BLOCK_DF_CAP}),
@@ -1315,11 +1370,12 @@ def er_index_build_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("er_incremental", oracle=_INCR_ORACLE, tags=("llm", "entity", "incremental"))
+@register("er_incremental", oracle=_ER_IDX_INCR_ORACLE, tags=("llm", "entity", "incremental"))
 def er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ER serving path with the clustering cost actually AMORTIZED
-    (VERDICT r9 item 2): same contract and oracle as
-    er_incremental_match — today's batch (p_partkey % 10 == 0) resolves
+    (VERDICT r9 item 2): same contract as er_incremental_match — today's
+    batch (the held-out md5 name bucket, genuinely absent from the
+    catalog so every match is non-trivial) resolves
     against the existing catalog — but the catalog's entity map and
     blocking lists come from the PERSISTED index (cached generation,
     built once per corpus fingerprint), so the per-ingest plan is two
@@ -1333,7 +1389,7 @@ def er_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ER_IDX_APPEND_ORACLE = f"""
     WITH RECURSIVE {_ER_CAT_CTE},
-    bat AS (SELECT DISTINCT p_name AS nm FROM part WHERE p_partkey % 10 = 0),
+    bat AS (SELECT DISTINCT p_name AS nm FROM part WHERE {_ER_IDX_BAT_WHERE}),
     batnew AS (SELECT nm FROM bat b
                WHERE NOT EXISTS (SELECT 1 FROM cat c WHERE c.nm = b.nm)),
     bwords AS (SELECT DISTINCT nm, w FROM (

@@ -44,6 +44,25 @@ def test_derived_er_incremental_ratio():
     assert bench.derived_ratios({"er_clusters": 0.0}) == {}
 
 
+def test_committed_scale_ratios_stay_amortized():
+    """VERDICT r10 item 7: incremental-vs-full amortization is a SCALE
+    claim — the serving path is batch-bounded while the full recompute
+    grows with the corpus, so the < 1 ratio must hold at the 10× sweep,
+    not just at fixture scale.  tools/scale_check.py emits the two
+    ratios to SCALE_RATIOS.json (committed); this pins them."""
+    p = os.path.join(_REPO, "SCALE_RATIOS.json")
+    assert os.path.exists(p), (
+        "SCALE_RATIOS.json missing — run tools/make_scale.py 10 && "
+        "python tools/scale_check.py 10 er_incremental er_clusters "
+        "dedup_incremental dedup_fuzzy_minhash"
+    )
+    with open(p) as fh:
+        d = json.load(fh)
+    assert d["k"] >= 10
+    assert 0 < d["er_incremental_vs_full"] < 1.0
+    assert 0 < d["dedup_incremental_vs_full"] < 1.0
+
+
 def test_committed_bench_full_tracks_the_ratio():
     """BENCH_FULL.json is refreshed by every bench run and committed; from
     round 9 on it must carry the amortization ratio as a positive number."""

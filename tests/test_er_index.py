@@ -148,6 +148,41 @@ def test_compact_preserves_view_and_clears_tombstones(spark, tmp_path):
     assert _match(spark, dst, ["aaab pp"]) == _match(spark, idx, ["aaab pp"])
 
 
+@pytest.mark.mutant_keycol  # ER-family battery; rides the fourth group's runtime headroom
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_registered_append_batch_triggers_merges(spark, sf):
+    """VERDICT r10 item 6: the merge-relabel is er_index_append's one
+    genuinely new algorithm, but the registered gate only proves the
+    post-append MAP is right — if fixture statistics drifted until the
+    mod-10 batch bridged nothing, the gate would still pass while the
+    merge path ran vacuously.  Pin, at both driver scales, that the
+    registered batch collapses ≥ 1 pair of pre-existing entities.
+    Merges are the only way a catalog name's entity count can shrink on
+    append (appends never split), so merged = distinct-old − distinct-
+    new-over-old-names."""
+    import os
+
+    if not os.path.isdir(sf):
+        pytest.skip(f"fixture dir missing: {sf}")
+    idx = E._clone_er_index(spark, sf)
+    pre = E.er_index_entities(spark, idx).persist()
+    fresh = E._er_batch_names(spark, sf).join(pre.select("nm"), "nm", "left_anti")
+    E.er_index_append(spark, fresh, idx)
+    post = E.er_index_entities(spark, idx)
+    old_n = pre.select("entity_id").distinct().count()
+    new_n = (
+        post.join(pre.select("nm"), "nm").select("entity_id").distinct().count()
+    )
+    pre.unpersist()
+    assert old_n - new_n >= 1, (
+        f"registered append batch at {sf} merged no existing entities — "
+        "the merge-relabel gate has gone vacuous; re-derive the batch "
+        "predicate (entity.py _er_batch_names)"
+    )
+
+
 def test_tombstoned_name_rearrives_via_append(spark, tmp_path):
     """ADVICE r10: a deleted name that re-arrives in a later batch must
     become VISIBLE again — er_index_append un-tombstones it in the same

@@ -207,6 +207,7 @@ _ER_IDX_OPS = [
 ]
 
 
+@pytest.mark.mutant_keycol
 @pytest.mark.parametrize("name", _ER_IDX_OPS)
 def test_er_ops_under_null_names(spark, sf_dir, tmp_path_factory, name):
     """The shared null mutant never nulls p_name — the ER family's KEY
@@ -242,6 +243,7 @@ def test_er_ops_under_null_names(spark, sf_dir, tmp_path_factory, name):
         con.close()
 
 
+@pytest.mark.mutant_keycol
 def test_csv_permissive_null_key_roundtrip(spark, sf_dir, tmp_path):
     """ADVICE r9 (medium): NULL fields must stage as EMPTY CSV fields, not
     the literal string 'None' — a 'None' n_nationkey failed the Long parse

@@ -156,6 +156,7 @@ def unicode_names_duck(unicode_names_sf_dir):
     con.close()
 
 
+@pytest.mark.mutant_keycol
 @pytest.mark.parametrize("name", _ER_UNI_OPS)
 def test_er_ops_under_unicode_names(spark, unicode_names_duck, unicode_names_sf_dir, name):
     q = _Q[name]
