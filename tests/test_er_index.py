@@ -25,6 +25,11 @@ from sqlite_to_clickhouse_spark import io as gio
 from sqlite_to_clickhouse_spark.operators import entity as E
 from pyspark.sql import functions as F
 
+# Fourth suite command (VERDICT r10 item 4): the whole per-family ER
+# store battery rides the keycol group's runtime headroom — group 1 hit
+# 10:58 against its 10-minute window when this module grew in r11.
+pytestmark = pytest.mark.mutant_keycol
+
 
 def _names_df(spark, names):
     return spark.createDataFrame([(n,) for n in names], "nm string")
@@ -148,7 +153,6 @@ def test_compact_preserves_view_and_clears_tombstones(spark, tmp_path):
     assert _match(spark, dst, ["aaab pp"]) == _match(spark, idx, ["aaab pp"])
 
 
-@pytest.mark.mutant_keycol  # ER-family battery; rides the fourth group's runtime headroom
 @pytest.mark.parametrize(
     "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 )

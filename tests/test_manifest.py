@@ -263,6 +263,7 @@ def test_clone_remains_valid_store(tmp_path):
     assert gio.manifest_relation_files(clone, "r") == [os.path.join(clone, f1)]
 
 
+@pytest.mark.mutant_keycol  # per-family store battery: rides the fourth suite command
 def test_minhash_append_crash_invisible_then_retry_exact(spark, sf_dir, tmp_path):
     """Index-level crash injection (VERDICT r9 item 4's done criterion):
     kill a minhash_index_append between its data writes and the manifest
