@@ -187,6 +187,29 @@ def test_registered_append_batch_triggers_merges(spark, sf):
     )
 
 
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+)
+def test_registered_delete_set_nonvacuous(spark, sf):
+    """Same non-vacuousness class as the merge pin, for the delete side:
+    er_index_delete/delete_compact return WHOLE-state views, so an empty
+    registered delete set would leave Spark and oracle agreeing on a
+    no-op while the tombstone/re-label/split machinery never ran.  Pin
+    that the md5 delete bucket stays a real, proper subset of the
+    catalog at both driver scales (reads ~14 of 46 names today)."""
+    import os
+
+    if not os.path.isdir(sf):
+        pytest.skip(f"fixture dir missing: {sf}")
+    cat = E._er_catalog_names(spark, sf).count()
+    dels = E._er_registered_dels(spark, sf).count()
+    assert 0 < dels < cat, (
+        f"registered ER delete set at {sf}: {dels} of {cat} catalog names "
+        "— empty (vacuous gate) or total (deletes the whole catalog, the "
+        "r10 partkey-predicate bug shape); re-derive the bucket"
+    )
+
+
 def test_tombstoned_name_rearrives_via_append(spark, tmp_path):
     """ADVICE r10: a deleted name that re-arrives in a later batch must
     become VISIBLE again — er_index_append un-tombstones it in the same
