@@ -299,10 +299,28 @@ def _applied_chain_scan(root: str, upto: "str | None") -> "dict[str, set]":
     return chain
 
 
+def manifest_applied_chain(root: str) -> "dict[str, list]":
+    """The VISIBLE applied chain of a store, as committed JSON shape
+    ({key: sorted values}) — what a compaction passes as
+    ``applied_seed`` so the fresh store remembers which epochs the
+    source already applied (a stream swapped onto the compacted store
+    must not double-append on retry)."""
+    cur = manifest_current(root)
+    if cur is None:
+        return {}
+    m = manifest_read(root, cur) or {}
+    if "applied" in m:
+        return {k: list(v) for k, v in m["applied"].items()}
+    return {
+        k: sorted(v, key=str) for k, v in _applied_chain_scan(root, cur).items()
+    }
+
+
 def manifest_commit(
     root: str,
     relations: "dict[str, list[str]]",
     meta: "dict | None" = None,
+    applied_seed: "dict[str, list] | None" = None,
 ) -> str:
     """Publish one snapshot atomically; returns the new version name.
 
@@ -348,6 +366,11 @@ def manifest_commit(
             chain = {k: set(v) for k, v in prev["applied"].items()}
         else:  # pre-r11 store: seed the chain from the visible lineage once
             chain = _applied_chain_scan(root, cur)
+        for k, vals in (applied_seed or {}).items():
+            # Cross-store inheritance (compaction: the fresh store must
+            # remember the source's applied epochs or a stream swapped
+            # onto it double-appends on retry).
+            chain.setdefault(k, set()).update(vals)
         for k, val in (meta or {}).items():
             if val is not None and isinstance(val, (str, int, float, bool)):
                 chain.setdefault(k, set()).add(val)

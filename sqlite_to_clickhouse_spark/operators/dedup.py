@@ -1216,10 +1216,13 @@ def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
             .parquet(os.path.join(dst, rel))
         )
     # The compacted store's initial snapshot: tombstones physically
-    # applied, so the manifest lists no tombstone relation at all.
+    # applied, so the manifest lists no tombstone relation at all.  The
+    # source's applied-epoch chain carries over — a stream swapped onto
+    # the compacted store must still skip epochs it already ingested.
     gio.manifest_commit(
         dst,
         {rel: gio.relation_data_files(dst, rel) for rel in _IDX_RELATIONS},
+        applied_seed=gio.manifest_applied_chain(path),
     )
 
 

@@ -1087,10 +1087,13 @@ def er_index_compact(spark: SparkSession, path: str, dst: str) -> None:
     postings.write.parquet(os.path.join(dst, "postings"))
     stop.write.parquet(os.path.join(dst, "stopkeys"))
     edges.write.parquet(os.path.join(dst, "edges"))
+    # applied_seed: the compacted store inherits the source's applied-
+    # epoch chain, so a writer swapped onto it keeps exactly-once.
     gio.manifest_commit(
         dst,
         {rel: gio.relation_data_files(dst, rel) for rel in _ER_IDX_RELATIONS},
         meta={"gen": 0},
+        applied_seed=gio.manifest_applied_chain(path),
     )
 
 

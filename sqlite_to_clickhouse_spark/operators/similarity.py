@@ -1718,13 +1718,18 @@ def ann_index_build(
 _ANN_RELATIONS = ("codes", "centroids", "codebooks")
 
 
-def _commit_ann_snapshot(path: str) -> None:
+def _commit_ann_snapshot(path: str, applied_from: "str | None" = None) -> None:
     """Publish the store's initial manifest: one atomic commit listing
     every relation's files (io.py manifest protocol, VERDICT r9 item 4).
-    From here on readers resolve manifests, never directory listings."""
+    From here on readers resolve manifests, never directory listings.
+    ``applied_from`` carries a source store's applied-epoch chain into
+    the fresh manifest (compaction)."""
     gio.manifest_commit(
         path,
         {rel: gio.relation_data_files(path, rel) for rel in _ANN_RELATIONS},
+        applied_seed=(
+            gio.manifest_applied_chain(applied_from) if applied_from else None
+        ),
     )
 
 
@@ -1802,8 +1807,9 @@ def ann_index_compact(
     for rel in ("centroids", "codebooks"):
         shutil.copytree(os.path.join(path, rel), os.path.join(dst, rel))
     # Compacted store's initial snapshot: tombstones physically applied,
-    # so no tombstone relation in the manifest at all.
-    _commit_ann_snapshot(dst)
+    # so no tombstone relation in the manifest at all; the source's
+    # applied-epoch chain carries over.
+    _commit_ann_snapshot(dst, applied_from=path)
 
 
 def ann_index_query(

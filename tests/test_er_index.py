@@ -151,6 +151,10 @@ def test_compact_preserves_view_and_clears_tombstones(spark, tmp_path):
     assert _view(spark, dst) == _view(spark, idx)
     assert not gio.manifest_relation_files(dst, "tombstones")
     assert _match(spark, dst, ["aaab pp"]) == _match(spark, idx, ["aaab pp"])
+    # The compacted store inherits the source's applied chain (a writer
+    # swapped onto it keeps exactly-once across the swap).
+    src_gens = gio.manifest_applied_meta(idx, "gen")
+    assert src_gens and src_gens <= gio.manifest_applied_meta(dst, "gen")
 
 
 @pytest.mark.parametrize(

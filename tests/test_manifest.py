@@ -201,6 +201,34 @@ def test_legacy_store_without_chain_still_answers(tmp_path):
     assert gio.manifest_applied_meta(root, "epoch") == {10, 11, 13}
 
 
+def test_applied_chain_carries_through_compaction(tmp_path):
+    """A compacted store is a FRESH root with a fresh manifest — without
+    inheritance its applied chain starts empty, and a stream swapped
+    onto it would re-append an already-ingested epoch on retry.
+    ``applied_seed`` (wired in minhash/ANN/ER compaction) carries the
+    source's chain into the new store's first commit."""
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    f1 = _touch(src, "r/a.parquet")
+    gio.manifest_commit(src, {"r": [f1]}, meta={"epoch": 1})
+    gio.manifest_commit(src, {"r": [f1]}, meta={"epoch": 2})
+    dst = str(tmp_path / "compacted")
+    os.makedirs(dst)
+    g1 = _touch(dst, "r/compact-a.parquet")
+    gio.manifest_commit(
+        dst, {"r": [g1]}, applied_seed=gio.manifest_applied_chain(src)
+    )
+    assert gio.manifest_applied_meta(dst, "epoch") == {1, 2}
+    # The retried epoch is skipped on the NEW store; a genuinely new
+    # epoch still folds in on top of the inherited chain.
+    with gio.manifest_append(dst, ["r"], meta={"epoch": 3}):
+        _touch(dst, "r/ep3.parquet")
+    assert gio.manifest_applied_meta(dst, "epoch") == {1, 2, 3}
+    # Seeding an empty source is a no-op, not an error.
+    empty = str(tmp_path / "empty")
+    assert gio.manifest_applied_chain(empty) == {}
+
+
 def test_append_replace_rewrites_relation(tmp_path):
     """``replace`` relations commit as ONLY the body's fresh files — the
     in-commit rewrite er_index_append uses to un-tombstone re-arrived
