@@ -216,12 +216,13 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
 # Writer contract: ONE writer per store at a time (foreachBatch runs
 # micro-batches sequentially; batch jobs own their clone).  build_lock
 # serializes version ALLOCATION so racing committers can't collide on a
-# version id, but manifest_append's before/after file diff is not
-# transactional across writers — two concurrent appends to the same
+# version id, but manifest_append's DEFAULT before/after file diff is
+# not transactional across writers — two concurrent appends to the same
 # store could each commit the other's in-flight files.  READERS are
 # always safe (they resolve an immutable committed snapshot); a
-# multi-writer deployment serializes commits the way Delta does, with
-# the commit lock held across the whole append.
+# multi-writer deployment passes ``manifest_append(..., exclusive=True)``
+# on every writer, which serializes commits the way Delta does — the
+# append lock held across the whole step (see the docstring).
 # ---------------------------------------------------------------------------
 
 MANIFEST_DIRNAME = "_manifests"
@@ -461,6 +462,7 @@ def manifest_append(
     relations: "list[str]",
     meta: "dict | None" = None,
     replace: "list[str]" = (),
+    exclusive: bool = False,
 ):
     """Append-files-then-publish, as one protocol step: snapshot the
     on-disk file sets of ``relations``, let the caller run its Spark
@@ -477,20 +479,45 @@ def manifest_append(
     ORPHANED but invisible — readers keep resolving the previous
     manifest, and a retry's diff is taken against the files present at
     ITS start, so the orphans of a failed attempt are never committed
-    (no double-append).  Compaction deletes unreferenced files."""
-    track = list(dict.fromkeys(list(relations) + list(replace)))
-    pre = {rel: set(relation_data_files(root, rel)) for rel in track}
-    yield
-    base = manifest_read(root) or {"relations": {}}
-    merged = dict(base.get("relations", {}))
-    fresh = {
-        rel: sorted(set(relation_data_files(root, rel)) - pre[rel]) for rel in track
-    }
-    for rel in relations:
-        merged[rel] = sorted(set(merged.get(rel, [])) | set(fresh[rel]))
-    for rel in replace:
-        merged[rel] = fresh[rel]
-    manifest_commit(root, merged, meta=meta)
+    (no double-append).  Compaction deletes unreferenced files.
+
+    ``exclusive=True`` holds an append lock across the WHOLE step —
+    Delta-style commit serialization for MULTI-writer stores, where the
+    default diff protocol is unsafe (writer A's before/after diff would
+    capture writer B's in-flight files and commit them half-written).
+    All writers to a multi-writer store must opt in; appends then
+    serialize, at the cost of holding a lock across the Spark job.  The
+    lock is an flock, so a crashed holder releases it with its process.
+    Default OFF: every registered store here is single-writer by
+    contract (foreachBatch runs micro-batches sequentially; batch jobs
+    own their clone), and serializing those would buy nothing."""
+
+    def _step():
+        track = list(dict.fromkeys(list(relations) + list(replace)))
+        pre = {rel: set(relation_data_files(root, rel)) for rel in track}
+        yield
+        base = manifest_read(root) or {"relations": {}}
+        merged = dict(base.get("relations", {}))
+        fresh = {
+            rel: sorted(set(relation_data_files(root, rel)) - pre[rel])
+            for rel in track
+        }
+        for rel in relations:
+            merged[rel] = sorted(set(merged.get(rel, [])) | set(fresh[rel]))
+        for rel in replace:
+            merged[rel] = fresh[rel]
+        manifest_commit(root, merged, meta=meta)
+
+    if exclusive:
+        mdir = _manifest_dir(root)
+        os.makedirs(mdir, exist_ok=True)
+        # A DISTINCT lockfile from manifest_commit's version-allocation
+        # lock (flock is not reentrant across fds within one process —
+        # reusing it would self-deadlock at the commit inside).
+        with build_lock(os.path.join(mdir, "append")):
+            yield from _step()
+    else:
+        yield from _step()
 
 
 def read_relation(

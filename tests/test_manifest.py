@@ -247,6 +247,52 @@ def test_append_replace_rewrites_relation(tmp_path):
     assert os.path.exists(os.path.join(root, t1))
 
 
+def test_exclusive_append_serializes_racing_writers(tmp_path):
+    """Multi-writer stores opt into ``exclusive=True``: N processes
+    appending concurrently must land N clean commits — no writer ever
+    commits another's in-flight files (the default diff protocol's
+    documented hazard), no version collides, every file appears exactly
+    once in the final snapshot."""
+    import multiprocessing as mp
+
+    root = str(tmp_path)
+    f0 = _touch(root, "r/seed.parquet")
+    gio.manifest_commit(root, {"r": [f0]})
+
+    def writer(i: int) -> None:
+        import time
+
+        from sqlite_to_clickhouse_spark import io as g
+
+        with g.manifest_append(root, ["r"], meta={"epoch": i}, exclusive=True):
+            # Stretch the body so racing writers genuinely overlap the
+            # window the lock must protect.
+            p = os.path.join(root, "r", f"w{i}.parquet")
+            with open(p, "w") as fh:
+                fh.write("x")
+            time.sleep(0.2)
+
+    procs = [mp.Process(target=writer, args=(i,)) for i in range(4)]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join()
+        assert p.exitcode == 0
+    final = gio.manifest_read(root)["relations"]["r"]
+    assert final == sorted([f0] + [f"r/w{i}.parquet" for i in range(4)])
+    assert gio.manifest_applied_meta(root, "epoch") == {0, 1, 2, 3}
+    # 1 seed + 4 appends, no version overwritten or skipped
+    assert len(gio.manifest_versions(root)) == 5
+    # Each intermediate version is a clean superset chain: every commit
+    # included the files of the snapshot it extended (nobody committed a
+    # peer's in-flight file mid-write: file sets grow by exactly one).
+    sizes = sorted(
+        len(gio.manifest_read(root, v)["relations"]["r"])
+        for v in gio.manifest_versions(root)
+    )
+    assert sizes == [1, 2, 3, 4, 5]
+
+
 def test_expire_and_live_files(tmp_path):
     root = str(tmp_path)
     f1 = _touch(root, "data/a.parquet")
