@@ -17,14 +17,36 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def write_atomic(path: str, text: str) -> None:
-    """Publish a small control file (SERIAL, CURRENT) via tmp +
-    ``os.replace`` — never an in-place truncate+write, which a crash can
-    leave partial (ADVICE r10: a truncated SERIAL re-allocates a low
-    version number and silently overwrites committed history)."""
+    """Publish a small control file (SERIAL, CURRENT) via tmp + fsync +
+    ``os.replace`` + directory fsync — never an in-place truncate+write,
+    which a crash can leave partial (ADVICE r10: a truncated SERIAL
+    re-allocates a low version number and silently overwrites committed
+    history).  The fsyncs close the POWER-loss variant: without them a
+    filesystem may persist the rename but not the contents, leaving an
+    empty CURRENT after the machine comes back."""
     tmp = f"{path}.tmp"
     with open(tmp, "w") as fh:
         fh.write(text)
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, path)
+    _fsync_dir(os.path.dirname(path))
+
+
+def _fsync_dir(dirpath: str) -> None:
+    """Flush a rename to the directory entry (best-effort — some
+    filesystems refuse O_RDONLY dir fsync; the data-file fsync above is
+    the load-bearing half)."""
+    try:
+        fd = os.open(dirpath or ".", os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
 
 
 def read_marker(marker: str) -> "str | None":
@@ -171,7 +193,10 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
                 break
             # live completed generation under a recycled serial: skip it
         write_atomic(os.path.join(base, "SERIAL"), str(serial))
-        os.makedirs(gen, exist_ok=True)
+        # No exist_ok: if the debris rmtree above partially failed (NFS
+        # silly-rename, read-only nested dir), building INTO the remnant
+        # would serve a mix of stale and fresh files — fail loudly.
+        os.makedirs(gen)
         build(gen)
         with open(os.path.join(gen, GEN_MARKER), "w") as fh:
             fh.write(fp)
@@ -257,9 +282,22 @@ def manifest_current(root: str) -> "str | None":
 
 def manifest_read(root: str, version: "str | None" = None) -> "dict | None":
     """Load one manifest: ``{"relations": {name: [relpaths]}, "meta": {}}``.
-    ``version=None`` resolves CURRENT.  None when absent."""
+    ``version=None`` resolves CURRENT; None when the store has no CURRENT
+    (uninitialized — the legitimate empty case).
+
+    A CURRENT that RESOLVES but whose manifest can't be read or parsed
+    RAISES instead of returning None: the commit protocol publishes the
+    version file strictly before swinging CURRENT, so this state is
+    corruption or a transient I/O failure — and treating it as "empty
+    store" would silently reset the store (the next commit's merge base
+    would be ``{}``, dropping every committed file and forgetting every
+    applied epoch) and make readers serve an empty index.  Fail the
+    operation; a foreachBatch retry re-runs it.  Explicit ``version``
+    reads keep returning None on absence — expired manifests are a
+    legitimate miss for time travel."""
     import json
 
+    explicit = version is not None
     if version is None:
         version = manifest_current(root)
         if version is None:
@@ -267,7 +305,14 @@ def manifest_read(root: str, version: "str | None" = None) -> "dict | None":
     try:
         with open(os.path.join(_manifest_dir(root), f"{version}.json")) as fh:
             return json.load(fh)
-    except (OSError, ValueError):
+    except (OSError, ValueError) as ex:
+        if not explicit:
+            raise RuntimeError(
+                f"manifest store corrupt or unreadable: CURRENT names "
+                f"{version!r} but its manifest cannot be loaded at "
+                f"{_manifest_dir(root)} ({ex!r}); refusing to treat a "
+                f"committed store as empty"
+            ) from ex
         return None
 
 
@@ -279,6 +324,28 @@ def manifest_versions(root: str) -> "list[str]":
     except OSError:
         return []
     return sorted(n[:-5] for n in names if n.endswith(".json"))
+
+
+# Applied-chain retention (the Delta setTransaction-retention analog):
+# each commit rewrites the full chain, so an indefinite stream would grow
+# it one epoch per micro-batch forever.  Keep the N LARGEST values per
+# key — idempotence only protects against a RETRY, and a retried writer's
+# epoch is always at the recent end; a value old enough to fall off the
+# window can no longer arrive as a retry.  10k one-minute micro-batches
+# ≈ a week of lost-retry horizon, at ~100 KB of manifest.
+MANIFEST_APPLIED_RETAIN = 10_000
+
+
+def _retain_applied(vals: set) -> list:
+    """The retained slice of one applied-value set, in the committed
+    (deterministic, str-sorted) form."""
+    if len(vals) > MANIFEST_APPLIED_RETAIN:
+        try:
+            ordered = sorted(vals)  # numeric for homogeneous epochs
+        except TypeError:
+            ordered = sorted(vals, key=str)
+        vals = set(ordered[-MANIFEST_APPLIED_RETAIN:])
+    return sorted(vals, key=str)
 
 
 def _applied_chain_scan(root: str, upto: "str | None") -> "dict[str, set]":
@@ -309,7 +376,7 @@ def manifest_applied_chain(root: str) -> "dict[str, list]":
     cur = manifest_current(root)
     if cur is None:
         return {}
-    m = manifest_read(root, cur) or {}
+    m = manifest_read(root) or {}  # strict: corrupt CURRENT raises
     if "applied" in m:
         return {k: list(v) for k, v in m["applied"].items()}
     return {
@@ -360,7 +427,7 @@ def manifest_commit(
         if os.path.exists(target):  # unreachable after recovery; guard anyway
             raise FileExistsError(f"manifest version already committed: {target}")
         cur = manifest_current(root)
-        prev = manifest_read(root, cur) if cur is not None else None
+        prev = manifest_read(root)  # strict: corrupt CURRENT raises, never seeds {}
         if prev is None:
             chain: "dict[str, set]" = {}
         elif "applied" in prev:
@@ -379,12 +446,15 @@ def manifest_commit(
             "version": version,
             "relations": {k: sorted(v) for k, v in relations.items()},
             "meta": meta or {},
-            "applied": {k: sorted(v, key=str) for k, v in chain.items()},
+            "applied": {k: _retain_applied(v) for k, v in chain.items()},
         }
         tmp = os.path.join(mdir, f".{version}.json.tmp")
         with open(tmp, "w") as fh:
             json.dump(doc, fh)
+            fh.flush()
+            os.fsync(fh.fileno())  # power-loss: never a truncated manifest
         os.rename(tmp, target)
+        _fsync_dir(mdir)
         write_atomic(os.path.join(mdir, "CURRENT"), version)
     return version
 
@@ -450,7 +520,7 @@ def manifest_applied_meta(root: str, key: str) -> set:
     cur = manifest_current(root)
     if cur is None:
         return set()
-    m = manifest_read(root, cur) or {}
+    m = manifest_read(root) or {}  # strict: corrupt CURRENT raises
     if "applied" in m:
         return set(m["applied"].get(key, []))
     return _applied_chain_scan(root, cur).get(key, set())

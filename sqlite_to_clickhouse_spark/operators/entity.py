@@ -74,21 +74,29 @@ _ER_BLOCK_DF_CAP = 30
 # dedicated NULL-name mutant keeps exercising the store's NULL path.
 _ER_IDX_BUCKET_MOD = 4
 _ER_IDX_BUCKET_REM = 2
-_ER_IDX_BUCKET_SQL = (
-    f"CAST(('0x' || substring(md5(p_name), 1, 15)) AS BIGINT) "
-    f"% {_ER_IDX_BUCKET_MOD}"
-)
+# The registered DELETE set's bucket (GDPR-shaped: a deletion request
+# names the record) — same recipe, different modulus.
+_ER_DEL_MOD = 5
+_ER_DEL_REM = 0
+
+
+def _md5_bucket_sql(expr: str, mod: int) -> str:
+    """ONE DuckDB spelling of the md5-hex-prefix → bigint-mod bucket
+    (the batch split and the delete set both derive from it — a recipe
+    change lands in every oracle at once, never desynchronizing an
+    engine side from its oracle)."""
+    return f"CAST(('0x' || substring(md5({expr}), 1, 15)) AS BIGINT) % {mod}"
+
+
+def _er_name_bucket(col, mod: int = _ER_IDX_BUCKET_MOD):
+    """Spark spelling of ``_md5_bucket_sql`` (md5-hex prefix → bigint
+    mod), engine-identical to the DuckDB cast on UTF-8 name bytes."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long") % mod
+
+
+_ER_IDX_BUCKET_SQL = _md5_bucket_sql("p_name", _ER_IDX_BUCKET_MOD)
 _ER_IDX_CAT_WHERE = f"(p_name IS NULL OR {_ER_IDX_BUCKET_SQL} <> {_ER_IDX_BUCKET_REM})"
 _ER_IDX_BAT_WHERE = f"{_ER_IDX_BUCKET_SQL} = {_ER_IDX_BUCKET_REM}"
-
-
-def _er_name_bucket(col):
-    """Spark spelling of ``_ER_IDX_BUCKET_SQL`` (md5-hex prefix → bigint
-    mod), engine-identical to the DuckDB cast on UTF-8 name bytes."""
-    return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
-        % _ER_IDX_BUCKET_MOD
-    )
 
 
 def _lev(a, b):
@@ -1471,7 +1479,7 @@ def er_index_append_op(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a hash of the name deletes a stable ~1/5 of the vocabulary at every sf.
 _ER_DEL_CTE = f"""
     dels AS (SELECT nm FROM cat
-             WHERE CAST(('0x' || substring(md5(nm), 1, 15)) AS BIGINT) % 5 = 0),
+             WHERE {_md5_bucket_sql("nm", _ER_DEL_MOD)} = {_ER_DEL_REM}),
     live AS (
         SELECT name_a, name_b FROM vpairs v
         WHERE NOT EXISTS (SELECT 1 FROM dels x WHERE x.nm = v.name_a)
@@ -1497,8 +1505,7 @@ def _er_registered_dels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # catalog vocabulary at every sf, GDPR-shaped (a deletion request
     # names the record, not its surrogate keys).
     return _er_catalog_names(spark, sf_dir).filter(
-        F.conv(F.substring(F.md5(F.col("nm")), 1, 15), 16, 10).cast("long") % 5
-        == 0
+        _er_name_bucket(F.col("nm"), _ER_DEL_MOD) == _ER_DEL_REM
     )
 
 

@@ -201,6 +201,45 @@ def test_legacy_store_without_chain_still_answers(tmp_path):
     assert gio.manifest_applied_meta(root, "epoch") == {10, 11, 13}
 
 
+def test_applied_chain_retention_bounds_manifest_growth(tmp_path, monkeypatch):
+    """The chain would otherwise grow one epoch per micro-batch forever
+    (each commit rewrites it whole).  Retention keeps the N LARGEST
+    values — a retry is always at the recent end, so recent idempotence
+    survives while the manifest stays bounded."""
+    monkeypatch.setattr(gio, "MANIFEST_APPLIED_RETAIN", 3)
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    for epoch in range(6):
+        gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": epoch})
+    # Only the 3 largest retained; a recent retry is still skipped, an
+    # ancient value has aged out of the idempotence horizon by design.
+    assert gio.manifest_applied_meta(root, "epoch") == {3, 4, 5}
+    m = gio.manifest_read(root)
+    assert len(m["applied"]["epoch"]) == 3
+
+
+def test_corrupt_current_manifest_fails_loudly(tmp_path):
+    """CURRENT naming an unreadable manifest is corruption, not an empty
+    store: a lenient read here would make the next commit's merge base
+    {} (silently dropping every committed file and forgetting every
+    applied epoch) and make readers serve an empty index."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    v1 = gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 1})
+    mpath = os.path.join(root, gio.MANIFEST_DIRNAME, f"{v1}.json")
+    with open(mpath, "w") as fh:
+        fh.write("{truncated")
+    with pytest.raises(RuntimeError, match="corrupt or unreadable"):
+        gio.manifest_read(root)
+    with pytest.raises(RuntimeError):
+        gio.manifest_applied_meta(root, "epoch")
+    with pytest.raises(RuntimeError):
+        gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 2})
+    # Explicit-version reads stay lenient: an expired manifest is a
+    # legitimate time-travel miss, not corruption.
+    assert gio.manifest_read(root, "v999999") is None
+
+
 def test_applied_chain_carries_through_compaction(tmp_path):
     """A compacted store is a FRESH root with a fresh manifest — without
     inheritance its applied chain starts empty, and a stream swapped
