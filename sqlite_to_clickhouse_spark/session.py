@@ -15,7 +15,9 @@ from pyspark.sql import SparkSession
 
 
 def get_spark(
-    app_name: str = "sqlite_to_clickhouse_spark", master: str | None = None
+    app_name: str = "sqlite_to_clickhouse_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     shuffle_partitions = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
@@ -41,4 +43,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for key, val in (extra_conf or {}).items():
+        builder = builder.config(key, val)
     return builder.getOrCreate()
