@@ -150,11 +150,21 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()
 
 
 # A green driver record this many rounds old (or older) is treated as
-# having EXPIRED: the library code, fixtures, and oracle conventions have
-# churned for five rounds since it was taken, so it certifies the op no
-# better than a never-driven op's at-registration local drive does
-# (VERDICT r9 item 1: "the r04 cohort becomes the next r01 problem").
-EXPIRED_AGE = 5
+# having EXPIRED.  The constant must respect the rotation arithmetic
+# (VERDICT r11 item 4): with N registered ops and a 50-op window, a full
+# re-certification cycle takes ceil(N/50) rounds — ~7 at the current 304
+# — so any EXPIRED_AGE below that GUARANTEES a permanent ~window-sized
+# "expired" tier at steady state, contradicting the tier's own doctrine
+# ("expired certifies no better than never-driven": at age 5 that
+# doctrine indicted ~50 ops the policy itself could never clear).  At
+# ceil(304/50) + 1 = 7 the steady-state expired tier is empty: every
+# record is re-taken before it reaches the boundary, and the tier only
+# populates on a genuine disruption (a skipped round, a registration
+# burst) — which is exactly when oldest-first escalation should kick in.
+# Note the WINDOW is invariant to this constant: expired + fresh greens
+# are both ordered oldest-verified-first, so the split point moves but
+# the concatenation (and hence the computed window) does not.
+EXPIRED_AGE = 7
 
 
 def compute_rotation(

@@ -202,3 +202,33 @@ def test_repo_window_wastes_no_slot():
         )
     # And reds always make it in.
     assert all(risk(n) != "red" or n in window for n in names)
+
+
+def test_expiry_arithmetic_converges_at_steady_state(tmp_path):
+    """VERDICT r11 item 3 (defect): with N ops and a 50-op window the
+    re-cert cycle is ceil(N/50) rounds, so any EXPIRED_AGE below that
+    guarantees a permanent ~window-sized expired tier the policy can
+    never clear — the tier's doctrine indicting its own steady state.
+    Pin the constant against the arithmetic AND simulate the steady
+    state: rotate the real registry forward with every window going
+    green, and assert the expired tier drains to empty and stays empty
+    (max record age = cycle length − 1 < EXPIRED_AGE)."""
+    all_queries()
+    names = list(R._REGISTRY)
+    cycle = -(-len(names) // 50)  # ceil; steady-state max record age is
+    # cycle − 1 when N % 50 ≤ the rotation slack (simulation below proves
+    # the actual bound), so EXPIRED_AGE ≥ cycle keeps the tier empty.
+    assert R.EXPIRED_AGE >= cycle, (
+        f"EXPIRED_AGE={R.EXPIRED_AGE} below re-cert cycle {cycle}: "
+        "a permanent expired tier is back"
+    )
+    order = {n: i for i, n in enumerate(names)}
+    h = {n: 0 for n in names}  # all records equally stale at round 0
+    for rnd in range(1, 3 * cycle + 1):
+        window = sorted(names, key=lambda n: (h[n], order[n]))[:50]
+        for n in window:
+            h[n] = rnd
+        if rnd >= 2 * cycle:  # past the transient
+            expired = [n for n in names if h[n] <= rnd - R.EXPIRED_AGE]
+            assert not expired, f"round {rnd}: {len(expired)} ops past expiry"
+            assert rnd - min(h.values()) <= cycle - 1 + (1 if len(names) % 50 else 0)
