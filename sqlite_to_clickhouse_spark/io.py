@@ -191,7 +191,18 @@ def ensure_generation(kind: str, key: str, fp: str, build, *, force: bool = Fals
             if read_marker(os.path.join(gen, GEN_MARKER)) != fp:
                 shutil.rmtree(gen, ignore_errors=True)  # failed-build debris
                 break
-            # live completed generation under a recycled serial: skip it
+            # Live COMPLETED generation for this same fingerprint under a
+            # recycled serial (a crash rolled SERIAL back): it is already
+            # the build we were about to redo, so re-point CURRENT to it
+            # instead of rebuilding from scratch (ADVICE r11).  force=True
+            # never takes this path — a forced rebuild must produce fresh
+            # bytes.  SERIAL advances past the collision so the next
+            # allocation doesn't re-walk it.
+            if not force:
+                write_atomic(os.path.join(base, "SERIAL"), str(serial))
+                write_atomic(cur_file, name)
+                _gc_generations(base, keep=name)
+                return gen
         write_atomic(os.path.join(base, "SERIAL"), str(serial))
         # No exist_ok: if the debris rmtree above partially failed (NFS
         # silly-rename, read-only nested dir), building INTO the remnant
@@ -317,13 +328,32 @@ def manifest_read(root: str, version: "str | None" = None) -> "dict | None":
 
 
 def manifest_versions(root: str) -> "list[str]":
-    """All committed version names, oldest first — index time travel."""
+    """All committed version names, oldest first — index time travel.
+
+    Ordering is NUMERIC on the serial (ADVICE r11): the zero pad covers
+    six digits, and past v999999 a lexicographic sort inverts
+    (``"v1000000" < "v999999"``), mis-ordering time travel, the orphan
+    cutoff in ``_applied_chain_scan``, and max-version recovery.  ~2
+    years of 1-minute micro-batches reaches the pad — cheap to be exact.
+    """
     mdir = _manifest_dir(root)
     try:
         names = os.listdir(mdir)
     except OSError:
         return []
-    return sorted(n[:-5] for n in names if n.endswith(".json"))
+    return sorted(
+        (n[:-5] for n in names if n.endswith(".json")),
+        key=lambda n: (_version_serial(n), n),
+    )
+
+
+def _version_serial(name: str) -> int:
+    """Numeric serial of a ``vNNNNNN`` version name (−1 if malformed —
+    malformed names sort first and never win a max-version recovery)."""
+    try:
+        return int(name[1:])
+    except (ValueError, IndexError):
+        return -1
 
 
 # Applied-chain retention (the Delta setTransaction-retention analog):
@@ -336,14 +366,36 @@ def manifest_versions(root: str) -> "list[str]":
 MANIFEST_APPLIED_RETAIN = 10_000
 
 
+def _applied_order_key(v):
+    """Recency ordering for applied idempotence values: numbers AND
+    digit-clean strings order by numeric value (ADVICE r11: a str-sorted
+    window would keep '999' and evict '1000' — exactly the recent epoch
+    retry-idempotence exists to protect), non-numeric strings order
+    after them lexicographically (their recency is unknowable; at least
+    the eviction is deterministic)."""
+    if isinstance(v, bool):
+        return (0, int(v), "")
+    if isinstance(v, (int, float)):
+        return (0, v, "")
+    s = str(v)
+    try:
+        return (0, int(s), s)
+    except ValueError:
+        pass
+    try:
+        return (0, float(s), s)
+    except (ValueError, OverflowError):
+        return (1, 0, s)
+
+
 def _retain_applied(vals: set) -> list:
     """The retained slice of one applied-value set, in the committed
-    (deterministic, str-sorted) form."""
+    (deterministic, str-sorted) form.  The RETENTION window is computed
+    under numeric-first ordering (``_applied_order_key``) so heterogeneous
+    or string-typed epochs still evict oldest-first; the committed list
+    stays str-sorted for byte-stable manifests."""
     if len(vals) > MANIFEST_APPLIED_RETAIN:
-        try:
-            ordered = sorted(vals)  # numeric for homogeneous epochs
-        except TypeError:
-            ordered = sorted(vals, key=str)
+        ordered = sorted(vals, key=_applied_order_key)
         vals = set(ordered[-MANIFEST_APPLIED_RETAIN:])
     return sorted(vals, key=str)
 
@@ -353,12 +405,13 @@ def _applied_chain_scan(root: str, upto: "str | None") -> "dict[str, set]":
     every committed version ≤ ``upto`` into one key → value-set dict.
     Versions NEWER than ``upto`` (the visible CURRENT) are orphans of a
     crashed commit — their data never published, so their meta must not
-    count as applied (ADVICE r10 medium).  Zero-padded version names
-    compare correctly as strings.  Only needed once per pre-r11 store:
-    every r11+ commit carries the cumulative chain forward in-manifest."""
+    count as applied (ADVICE r10 medium).  The cutoff compares SERIALS,
+    not names — lexicographic comparison inverts past the 6-digit pad
+    (ADVICE r11).  Only needed once per pre-r11 store: every r11+ commit
+    carries the cumulative chain forward in-manifest."""
     chain: "dict[str, set]" = {}
     for v in manifest_versions(root):
-        if upto is not None and v > upto:
+        if upto is not None and _version_serial(v) > _version_serial(upto):
             continue
         m = manifest_read(root, v) or {}
         for k, val in m.get("meta", {}).items():

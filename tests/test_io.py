@@ -329,6 +329,51 @@ def test_ensure_generation_serial_truncation_spares_live_gen(tmp_path, monkeypat
         tempfile.tempdir = None
 
 
+def test_ensure_generation_repoints_to_completed_same_fp_gen(tmp_path, monkeypatch):
+    """ADVICE r11: when the serial walk (force=False) collides with a
+    LIVE completed generation whose marker equals this fingerprint — a
+    crash rolled SERIAL back and lost CURRENT — that directory already
+    IS the requested build, so CURRENT is re-pointed to it instead of
+    rebuilding from scratch.  force=True must still rebuild fresh."""
+    import os
+
+    import sqlite_to_clickhouse_spark.io as io_mod
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None
+    try:
+        def build(tag):
+            def _b(gen):
+                with open(os.path.join(gen, "data"), "w") as fh:
+                    fh.write(tag)
+            return _b
+
+        def explode(gen):
+            raise AssertionError("rebuild fired despite a valid same-fp gen")
+
+        g1 = io_mod.ensure_generation("t3", "key", "fpA", build("b1"))
+        base = os.path.dirname(g1)
+        # Crash lost BOTH pointers: SERIAL truncated and CURRENT gone.
+        with open(os.path.join(base, "SERIAL"), "w") as fh:
+            fh.write("")
+        os.remove(os.path.join(base, "CURRENT"))
+        g2 = io_mod.ensure_generation("t3", "key", "fpA", explode)
+        assert g2 == g1  # re-pointed, not rebuilt
+        assert open(os.path.join(g1, "data")).read() == "b1"
+        # and the fast path resolves again without entering the lock
+        assert io_mod.ensure_generation("t3", "key", "fpA", explode) == g1
+        # SERIAL advanced past the collision: a follow-up FORCED rebuild
+        # allocates a fresh dir and leaves g1 intact.
+        g3 = io_mod.ensure_generation("t3", "key", "fpA", build("b3"), force=True)
+        assert g3 != g1
+        assert open(os.path.join(g3, "data")).read() == "b3"
+        assert open(os.path.join(g1, "data")).read() == "b1"
+    finally:
+        tempfile.tempdir = None
+
+
 def test_ensure_generation_racing_builders(tmp_path, monkeypatch):
     """N processes race ensure_generation on one (kind, key, fp): the
     build must run exactly once, every process must resolve the SAME

@@ -453,3 +453,48 @@ def test_read_relation_resolves_manifest_not_listing(spark, tmp_path):
     assert set(got.columns) == {"id", "pb"}
     # empty / absent relations
     assert gio.read_relation(spark, root, "tombstones") is None
+
+
+def test_applied_retention_orders_string_epochs_numerically(tmp_path, monkeypatch):
+    """ADVICE r11: str-sorted retention would keep '999' and evict
+    '1000' — exactly the recent epoch retry-idempotence protects.  The
+    window must order digit-clean strings (and mixed int/str chains)
+    numerically; genuinely non-numeric values trail deterministically."""
+    monkeypatch.setattr(gio, "MANIFEST_APPLIED_RETAIN", 3)
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    for epoch in ("998", "999", "1000", "1001"):  # lexicographic trap
+        gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": epoch})
+    assert gio.manifest_applied_meta(root, "epoch") == {"999", "1000", "1001"}
+    # mixed int/str epochs (a writer upgraded mid-stream) trim sanely too
+    for epoch in (1002, 1003):
+        gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": epoch})
+    assert gio.manifest_applied_meta(root, "epoch") == {"1001", 1002, 1003}
+    # pure-function check: non-numeric strings order after numerics,
+    # deterministically, instead of raising
+    monkeypatch.setattr(gio, "MANIFEST_APPLIED_RETAIN", 10)
+    out = gio._retain_applied({"abc", 5, "7", 6.5})
+    assert set(out) == {"abc", 5, "7", 6.5}
+    monkeypatch.setattr(gio, "MANIFEST_APPLIED_RETAIN", 2)
+    assert set(gio._retain_applied({"abc", 5, "7", 6.5})) == {"7", "abc"}
+
+
+def test_version_ordering_is_numeric_past_the_pad(tmp_path, monkeypatch):
+    """ADVICE r11: past serial 999999 the 6-digit pad stops protecting
+    lexicographic order (v1000000 < v999999 as strings), inverting time
+    travel, the orphan cutoff, and GC's notion of 'latest'.  Pin numeric
+    ordering end-to-end by committing across the pad boundary."""
+    root = str(tmp_path)
+    f1 = _touch(root, "r/a.parquet")
+    mdir = os.path.join(root, gio.MANIFEST_DIRNAME)
+    os.makedirs(mdir, exist_ok=True)
+    gio.write_atomic(os.path.join(mdir, "SERIAL"), "999999")
+    v1 = gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 1})
+    v2 = gio.manifest_commit(root, {"r": [f1]}, meta={"epoch": 2})
+    assert (v1, v2) == ("v1000000", "v1000001")
+    assert gio.manifest_versions(root) == [v1, v2]  # oldest first, numerically
+    # orphan cutoff: a crashed commit's version PAST CURRENT must not
+    # count as applied even across the pad boundary
+    assert gio._version_serial("v1000000") > gio._version_serial("v999999")
+    chain = gio._applied_chain_scan(root, v1)
+    assert chain["epoch"] == {1}  # v1000001 correctly excluded as newer
