@@ -894,11 +894,16 @@ def er_index_append(
 
     Caller contract (mirrors minhash_index_append): the batch's names
     are not already LIVE in the index — filter exact re-arrivals
-    against ``er_index_entities`` first (tombstoned names are fine)."""
+    against ``er_index_entities`` first (tombstoned names are fine).
+    NULL names are dropped at entry (ADVICE r11): NULL is not an entity
+    name — it can carry no postings (split/explode of NULL yields
+    nothing) and every nm-keyed join in the lifecycle (blocking,
+    re-label, un-tombstone) would silently never match it, so admitting
+    it would create an unreachable tombstone/entities row."""
     from sqlite_to_clickhouse_spark import io as gio
     from sqlite_to_clickhouse_spark.operators.dedup import connected_components
 
-    bat = new_names.select("nm").distinct()
+    bat = new_names.select("nm").filter(F.col("nm").isNotNull()).distinct()
     cur = er_index_entities(spark, path).persist()
     postings = _er_read(spark, path, "postings", _ER_POST_SCHEMA)
     tomb = gio.read_relation(spark, path, "tombstones", _ER_TOMB_SCHEMA)
@@ -1024,7 +1029,10 @@ def er_index_delete(spark: SparkSession, del_names: DataFrame, path: str) -> Non
 
     from sqlite_to_clickhouse_spark.operators.dedup import connected_components
 
-    dels = del_names.select("nm").distinct().persist()
+    # NULL is not an entity name (same contract as er_index_append,
+    # ADVICE r11): a NULL tombstone row would anti-join-mask nothing and
+    # be un-tombstone-able forever — drop it at entry.
+    dels = del_names.select("nm").filter(F.col("nm").isNotNull()).distinct().persist()
     cur = er_index_entities(spark, path).persist()
     # Affected clusters: those holding a deleted name.
     hit_eids = (

@@ -279,3 +279,25 @@ def test_append_crash_invisible_then_retry_exact(spark, tmp_path):
     E.er_index_build(_names_df(spark, [A, C, D]), ref)
     E.er_index_append(spark, _names_df(spark, [B]), ref)
     assert _view(spark, idx) == _view(spark, ref)
+
+
+def test_null_names_dropped_at_entry(spark, tmp_path):
+    """ADVICE r11: NULL is not an entity name.  Every nm-keyed join in
+    the lifecycle silently never matches NULL, so an admitted NULL would
+    become an unreachable entities row — and a NULL tombstone could
+    never be un-tombstoned by a re-arrival (NULL ≠ NULL in the semi
+    join).  Both append and delete drop NULLs at entry; the surviving
+    behavior is exactly the no-NULL run's."""
+    idx = str(tmp_path / "idx")
+    E.er_index_build(_names_df(spark, SYN_CATALOG), idx)
+    null_df = spark.createDataFrame([("aabc pp",), (None,)], "nm string")
+    E.er_index_append(spark, null_df, idx)
+    got = dict(_view(spark, idx))
+    assert None not in got
+    assert got["aabc pp"] == A  # the real name landed and clustered
+    # delete with a NULL in the set: no inert NULL tombstone row
+    E.er_index_delete(spark, spark.createDataFrame([(D,), (None,)], "nm string"), idx)
+    tomb_files = gio.manifest_relation_files(idx, "tombstones")
+    df = spark.read.schema(E._ER_TOMB_SCHEMA).parquet(*tomb_files)
+    assert [r[0] for r in df.collect()] == [D]
+    assert None not in dict(_view(spark, idx))
