@@ -982,12 +982,21 @@ def er_index_append(
         "nm", F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id")
     )
     gen = _er_next_gen(spark, path)
+    # nm.isNotNull(): the catalog MAY hold a NULL name (er_index_build
+    # admits it; only append/delete batches filter NULLs).  The left
+    # join on nm never matches NULL, so without the guard that row reads
+    # as "new" (c.entity_id NULL) and is re-written at every append
+    # forever — write amplification of a row nothing can ever change
+    # (no postings, no edges, entity = self).
     changed = (
         new_map.alias("n")
         .join(cur.alias("c"), "nm", "left")
         .filter(
-            F.col("c.entity_id").isNull()
-            | (F.col("n.entity_id") != F.col("c.entity_id"))
+            F.col("nm").isNotNull()
+            & (
+                F.col("c.entity_id").isNull()
+                | (F.col("n.entity_id") != F.col("c.entity_id"))
+            )
         )
         .select("nm", F.col("n.entity_id").alias("entity_id"), F.lit(gen).alias("gen"))
     )

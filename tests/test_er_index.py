@@ -301,3 +301,25 @@ def test_null_names_dropped_at_entry(spark, tmp_path):
     df = spark.read.schema(E._ER_TOMB_SCHEMA).parquet(*tomb_files)
     assert [r[0] for r in df.collect()] == [D]
     assert None not in dict(_view(spark, idx))
+
+
+def test_catalog_null_row_not_rechurned_by_appends(spark, tmp_path):
+    """A NULL catalog name (er_index_build admits it — the store's NULL
+    path keeps driver coverage under the null-mutant sweep) must not be
+    re-written as a 'changed' entities row by every append: the left
+    join on nm never matches NULL, so pre-r12 each append appended one
+    more (NULL, NULL, gen) row forever.  Exactly ONE NULL row — the
+    build's — may exist however many appends land."""
+    idx = str(tmp_path / "idx")
+    null_cat = spark.createDataFrame(
+        [(A,), (B,), (D,), (None,)], "nm string"
+    )
+    E.er_index_build(null_cat, idx)
+    E.er_index_append(spark, _names_df(spark, [C]), idx)
+    E.er_index_append(spark, _names_df(spark, ["zzzz qr"]), idx)
+    ents_files = gio.manifest_relation_files(idx, "entities")
+    raw = spark.read.parquet(*ents_files)
+    assert raw.filter(F.col("nm").isNull()).count() == 1
+    # and the served view still carries the NULL row exactly once
+    view = E.er_index_entities(spark, idx)
+    assert view.filter(F.col("nm").isNull()).count() == 1
