@@ -303,9 +303,40 @@ def derived_ratios(timings: dict) -> dict:
     return out
 
 
+def host_speed_probe(mib: int = 128, passes: int = 3) -> float:
+    """Single-thread CPU canary: best-of-``passes`` seconds to SHA-256
+    ``mib`` MiB of deterministic bytes.  Pure guest-side compute — no
+    I/O, no JVM, no Spark — so the RATIO of two artifacts' probes
+    measures how much faster/slower the HOST was between the runs.
+
+    Why it exists (r12): this box is a microVM whose guest load average
+    only counts guest-runnable tasks — hypervisor co-tenant steal slows
+    every query uniformly while ``uptime`` reads 0.1.  Three rounds
+    (r8, r11, r12) read phantom uniform bench lifts that had to be
+    argued away as "host-load signature"; with the probe committed in
+    ``derived.host_probe_sec``, tools/bench_compare.py divides the
+    median query ratio by the probe ratio and the argument becomes a
+    measurement."""
+    import hashlib
+
+    buf = bytes(range(256)) * (mib * 4096)  # 256 B pattern × 4096/MiB
+    best = None
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        step = 1 << 24
+        for i in range(0, len(buf), step):
+            h.update(buf[i : i + step])
+        h.hexdigest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    host_probe = host_speed_probe()
     # The StateStore maintenance thread fires on a 60s default interval; a
     # bench run long enough to cross a tick can have that thread race
     # session teardown and dump an IllegalStateException stack trace AFTER
@@ -373,6 +404,7 @@ def main() -> None:
         "cold_total_sec": round(cold_total, 2),
         "full_total_sec": round(total, 4),
         "full_n": len(names),
+        "host_probe_sec": host_probe,
     }
     if timings.get("migrate_sqlite_roundtrip"):
         derived["migrate_rows_per_s"] = round(

@@ -32,10 +32,26 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 PASSES = 3
 
 _CHILD = r"""
-import json, sys, time
+import hashlib, json, sys, time
 sys.path.insert(0, sys.argv[1])
 from sqlite_to_clickhouse_spark.session import get_spark
 from sqlite_to_clickhouse_spark.registry import all_queries
+
+def _probe():
+    # Inline twin of bench.host_speed_probe (inlined so the OLD side's
+    # tree, which may predate the probe, still reports one): best-of-3
+    # single-thread SHA-256 over 128 MiB — host speed, not guest load.
+    buf = bytes(range(256)) * (128 * 4096)
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for i in range(0, len(buf), 1 << 24):
+            h.update(buf[i:i + (1 << 24)])
+        h.hexdigest()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
 
 sf_dir, names = sys.argv[2], sys.argv[3:]
 spark = get_spark("ab-time")
@@ -55,6 +71,7 @@ for n in names:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     out[n] = round(best, 4)
+out["__probe"] = _probe()
 print("ABTIME:" + json.dumps(out))
 """ % PASSES
 
@@ -90,16 +107,29 @@ def main() -> None:
             capture_output=True,
         )
         subprocess.run(["git", "-C", REPO, "worktree", "prune"], capture_output=True)
+    # Host-speed canary (r12): the sides run minutes apart, and on a
+    # microVM the host can change speed between them without the guest
+    # load average moving.  Each child reports a pure-CPU probe; HEAD
+    # timings are normalized by the probe ratio before classification,
+    # so host drift between the sides can't read as a code delta.
+    po, pn = old.pop("__probe", None), new.pop("__probe", None)
+    scale = (po / pn) if (po and pn) else 1.0
+    if po and pn:
+        print(
+            f"host probe: old {po:.3f}s  HEAD {pn:.3f}s "
+            f"({pn/po:.2f}x — HEAD column normalized by {scale:.3f})"
+        )
     print(f"{'query':34s} {commit[:10]:>10s} {'HEAD':>8s}  verdict")
     for n in names:
         o, h = old.get(n), new.get(n)
         if o is None or h is None:
             print(f"{n:34s} {'-':>10s} {'-':>8s}  (absent on one side)")
             continue
-        if h <= o * 1.1:
+        h_adj = h * scale
+        if h_adj <= o * 1.1:
             v = "HEAD <= old: NOT a code regression"
-        elif h > o * 1.25:
-            v = f"HEAD {h/o:.2f}x old: code-caused — bisect {commit}..HEAD"
+        elif h_adj > o * 1.25:
+            v = f"HEAD {h_adj/o:.2f}x old: code-caused — bisect {commit}..HEAD"
         else:
             v = "within 25% — noise band, re-run or widen passes"
         print(f"{n:34s} {o:10.3f} {h:8.3f}  {v}")

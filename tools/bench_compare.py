@@ -39,7 +39,8 @@ SLACK = 1.35
 ABS_FLOOR_S = 0.15
 
 
-def load(path: str) -> dict[str, float]:
+def load(path: str) -> "tuple[dict[str, float], float | None]":
+    """(queries map, host_probe_sec or None) of one artifact."""
     with open(path) as fh:
         d = json.load(fh)
     if "tail" in d:  # driver BENCH_r{N}.json: JSON line inside the tail
@@ -50,7 +51,10 @@ def load(path: str) -> dict[str, float]:
     q = d.get("queries")
     if not isinstance(q, dict) or not q:
         raise SystemExit(f"{path}: no queries map")
-    return {k: float(v) for k, v in q.items()}
+    probe = d.get("derived", {}).get("host_probe_sec")
+    return {k: float(v) for k, v in q.items()}, (
+        float(probe) if probe else None
+    )
 
 
 def main() -> None:
@@ -61,7 +65,7 @@ def main() -> None:
             top = int(a.split("=", 1)[1]) if "=" in a else top
     if len(args) != 2:
         raise SystemExit(__doc__)
-    old, new = load(args[0]), load(args[1])
+    (old, old_probe), (new, new_probe) = load(args[0]), load(args[1])
     common = [
         k for k in old if k in new and old[k] >= MIN_SEC and new[k] >= MIN_SEC
     ]
@@ -71,6 +75,17 @@ def main() -> None:
     med = statistics.median(ratios.values())
     spread = statistics.quantiles(ratios.values(), n=4)
     print(f"n={len(common)}  median ratio {med:.2f}  IQR [{spread[0]:.2f}, {spread[2]:.2f}]")
+    # Host-speed canary (r12): both artifacts carry a pure-CPU probe, so
+    # the host's speed difference between the two runs is a MEASUREMENT
+    # — co-tenant steal on a microVM never shows in guest load average.
+    probe_ratio = None
+    if old_probe and new_probe:
+        probe_ratio = new_probe / old_probe
+        print(
+            f"host probe {old_probe:.3f}s -> {new_probe:.3f}s "
+            f"({probe_ratio:.2f}x)  host-adjusted median "
+            f"{med / probe_ratio:.2f}x"
+        )
 
     suspects = [
         k
@@ -83,11 +98,19 @@ def main() -> None:
         print(f"{ratios[k]:5.2f}x  {k:34s} {old[k]:7.3f} -> {new[k]:7.3f}{mark}")
 
     if med > 1.15 and not suspects:
-        print(
-            f"\nverdict: UNIFORM {med:.2f}x lift, no localized suspects — "
-            "host-load signature; re-run on a quiet box (check uptime) "
-            "before reading anything into it."
-        )
+        if probe_ratio and 1 / 1.15 < med / probe_ratio < 1.15:
+            print(
+                f"\nverdict: UNIFORM {med:.2f}x lift fully explained by "
+                f"the measured {probe_ratio:.2f}x host-speed delta "
+                f"(host-adjusted median {med / probe_ratio:.2f}x) — the "
+                "box changed, the code didn't."
+            )
+        else:
+            print(
+                f"\nverdict: UNIFORM {med:.2f}x lift, no localized suspects — "
+                "host-load signature; re-run on a quiet box (check uptime) "
+                "before reading anything into it."
+            )
     elif suspects:
         print(
             f"\nverdict: {len(suspects)} localized suspect(s) above the "
