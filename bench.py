@@ -467,7 +467,14 @@ def main() -> None:
     # be the process's literal LAST output, so ALL teardown — including
     # waiting for the gateway JVM to fully exit, the only writer that can
     # race a Python-side print — happens BEFORE the line is emitted.
-    _teardown_quietly(spark)
+    # Under a WATCHDOG: spark.stop()/gateway.shutdown() are unbounded
+    # py4j round-trips, and a wedged executor must cost us teardown
+    # quietness (the pre-r12 status quo), never the record itself.
+    import threading
+
+    t = threading.Thread(target=_teardown_quietly, args=(spark,), daemon=True)
+    t.start()
+    t.join(timeout=120)
     emit_summary_line(line)
 
 
@@ -526,7 +533,10 @@ def emit_summary_line(line: str, out=None) -> None:
         sys.stderr.flush()
     except Exception:
         pass
-    stream.write(line + "\n")
+    # Leading newline: a crashed prior writer can leave a PARTIAL line
+    # (no trailing \n) in combined output; gluing the JSON onto it would
+    # defeat the 'final JSON line' recipe for the cost of one byte.
+    stream.write("\n" + line + "\n")
     stream.flush()
 
 

@@ -373,8 +373,12 @@ def _applied_order_key(v):
     retry-idempotence exists to protect), non-numeric strings order
     after them lexicographically (their recency is unknowable; at least
     the eviction is deterministic)."""
+    import math
+
     if isinstance(v, bool):
         return (0, int(v), "")
+    if isinstance(v, float) and math.isnan(v):
+        return (1, 0, "nan")  # NaN never compares: sort key must not be it
     if isinstance(v, (int, float)):
         return (0, v, "")
     s = str(v)
@@ -383,7 +387,12 @@ def _applied_order_key(v):
     except ValueError:
         pass
     try:
-        return (0, float(s), s)
+        f = float(s)
+        # 'nan'/'inf' strings parse but NaN poisons sort comparability —
+        # route non-finite parses to the deterministic lexicographic tier.
+        if math.isnan(f):
+            return (1, 0, s)
+        return (0, f, s)
     except (ValueError, OverflowError):
         return (1, 0, s)
 

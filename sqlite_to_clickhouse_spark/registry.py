@@ -157,7 +157,8 @@ def register(name: str, oracle: Optional[str] = None, tags: tuple[str, ...] = ()
 # "expired" tier at steady state, contradicting the tier's own doctrine
 # ("expired certifies no better than never-driven": at age 5 that
 # doctrine indicted ~50 ops the policy itself could never clear).  At
-# ceil(304/50) + 1 = 7 the steady-state expired tier is empty: every
+# EXPIRED_AGE = ceil(304/50) = 7 the steady-state expired tier is empty
+# (the simulated steady-state max record age is cycle − 1 = 6): every
 # record is re-taken before it reaches the boundary, and the tier only
 # populates on a genuine disruption (a skipped round, a registration
 # burst) — which is exactly when oldest-first escalation should kick in.

@@ -200,3 +200,27 @@ def test_bench_compare_measures_host_speed_delta(tmp_path):
     )
     assert r2.returncode == 0
     assert "host-load signature" in r2.stdout
+
+
+def test_bench_compare_unmasks_regression_on_faster_host(tmp_path):
+    """Review r12: gating the verdict on the RAW median would let a host
+    that got FASTER between runs hide a uniform code regression as
+    'within noise'.  Probes 0.28 -> 0.20 (host 1.4x faster) with flat
+    query ratios must classify as a NOT-host-explained uniform lift."""
+    import subprocess
+    import sys as _sys
+
+    qs = {f"q{i}": 0.5 + i * 0.01 for i in range(20)}
+    old = {"queries": qs, "derived": {"host_probe_sec": 0.28}}
+    new = {"queries": dict(qs), "derived": {"host_probe_sec": 0.20}}
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(_REPO, "tools", "bench_compare.py"),
+         str(po), str(pn)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "host does NOT explain" in r.stdout
+    assert "within noise" not in r.stdout

@@ -498,3 +498,21 @@ def test_version_ordering_is_numeric_past_the_pad(tmp_path, monkeypatch):
     assert gio._version_serial("v1000000") > gio._version_serial("v999999")
     chain = gio._applied_chain_scan(root, v1)
     assert chain["epoch"] == {1}  # v1000001 correctly excluded as newer
+
+
+def test_applied_retention_deterministic_under_nan(monkeypatch):
+    """Review r12: float('nan') (or the string 'nan') as a sort key
+    poisons ordering — NaN comparisons are all False, leaving eviction
+    in hash-seed-dependent set order.  Non-finite values must route to
+    the deterministic lexicographic tier."""
+    monkeypatch.setattr(gio, "MANIFEST_APPLIED_RETAIN", 3)
+    vals = {1, 2, 3, float("nan"), "nan"}
+    outs = {tuple(gio._retain_applied(set(vals))) for _ in range(20)}
+    assert len(outs) == 1  # deterministic under any hash seed
+    kept = outs.pop()
+    # Non-numeric values sort AFTER numerics (recency unknowable —
+    # conservatively treated as recent, so a possibly-live retry key is
+    # never evicted in favor of an old numeric epoch); the newest
+    # numeric epoch must still survive.
+    assert 3 in set(kept)
+    assert len(kept) == 3

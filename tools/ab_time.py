@@ -116,8 +116,9 @@ def main() -> None:
     scale = (po / pn) if (po and pn) else 1.0
     if po and pn:
         print(
-            f"host probe: old {po:.3f}s  HEAD {pn:.3f}s "
-            f"({pn/po:.2f}x — HEAD column normalized by {scale:.3f})"
+            f"host probe: old {po:.3f}s  HEAD {pn:.3f}s ({pn/po:.2f}x). "
+            f"Columns show RAW seconds; verdicts classify HEAD x {scale:.3f} "
+            "(host-normalized)."
         )
     print(f"{'query':34s} {commit[:10]:>10s} {'HEAD':>8s}  verdict")
     for n in names:

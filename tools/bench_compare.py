@@ -86,6 +86,11 @@ def main() -> None:
             f"({probe_ratio:.2f}x)  host-adjusted median "
             f"{med / probe_ratio:.2f}x"
         )
+    # The VERDICT gates on the host-adjusted median when probes exist:
+    # gating on the raw median would let a host that got FASTER between
+    # runs mask a uniform code regression as "within noise" (the exact
+    # inverse of the phantom-lift problem the probe was added for).
+    med_adj = med / probe_ratio if probe_ratio else med
 
     suspects = [
         k
@@ -97,13 +102,13 @@ def main() -> None:
         mark = "  <-- SUSPECT" if k in suspects else ""
         print(f"{ratios[k]:5.2f}x  {k:34s} {old[k]:7.3f} -> {new[k]:7.3f}{mark}")
 
-    if med > 1.15 and not suspects:
-        if probe_ratio and 1 / 1.15 < med / probe_ratio < 1.15:
+    if med_adj > 1.15 and not suspects:
+        if probe_ratio:
             print(
-                f"\nverdict: UNIFORM {med:.2f}x lift fully explained by "
-                f"the measured {probe_ratio:.2f}x host-speed delta "
-                f"(host-adjusted median {med / probe_ratio:.2f}x) — the "
-                "box changed, the code didn't."
+                f"\nverdict: UNIFORM lift with host-adjusted median "
+                f"{med_adj:.2f}x (raw {med:.2f}x, probe {probe_ratio:.2f}x) "
+                "— the host does NOT explain it; treat as a uniform code/"
+                "fixture change and A/B a few queries via tools/ab_time.py."
             )
         else:
             print(
@@ -111,6 +116,13 @@ def main() -> None:
                 "host-load signature; re-run on a quiet box (check uptime) "
                 "before reading anything into it."
             )
+    elif med > 1.15 and not suspects and probe_ratio:
+        print(
+            f"\nverdict: UNIFORM {med:.2f}x lift fully explained by "
+            f"the measured {probe_ratio:.2f}x host-speed delta "
+            f"(host-adjusted median {med_adj:.2f}x) — the "
+            "box changed, the code didn't."
+        )
     elif suspects:
         print(
             f"\nverdict: {len(suspects)} localized suspect(s) above the "
