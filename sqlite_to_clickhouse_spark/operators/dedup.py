@@ -778,7 +778,20 @@ def minhash_index_build(
     bands, _ = minhash_bands_tokens(
         _rep_subset(df, id_col, rep_ids), id_col, tokens_col, hash_mode=hash_mode
     )
-    _band_frame(bands).write.partitionBy("pb").parquet(os.path.join(path, "bands"))
+    # Cluster by pb BEFORE the partitioned write (one shuffle of a thin
+    # (bk, doc_id, pb) frame): a map-side partitionBy write emits one file
+    # per (task × pb value) — ~700 KB-size files at 22 upstream tasks × 32
+    # buckets — and every later lookup/append/compact pays the per-file
+    # open cost (guide §6 small-files; measured: the corpus-bands scan ran
+    # 538 tasks before, ≤32 row-group-sized files after).  Same layout the
+    # compactor produces, so a fresh build now starts compact.
+    (
+        _band_frame(bands)
+        .repartition("pb")
+        .write.partitionBy("pb")
+        .option("maxRecordsPerFile", 5_000_000)
+        .parquet(os.path.join(path, "bands"))
+    )
     _member_tokens(df, id_col, tokens_col, members, hash_mode).write.parquet(
         os.path.join(path, "tokens")
     )
@@ -851,9 +864,12 @@ def minhash_index_append(
         hash_mode=hash_mode,
     )
     with gio.manifest_append(path, list(_IDX_RELATIONS), meta=meta):
-        _band_frame(bands).write.partitionBy("pb").mode("append").parquet(
-            os.path.join(path, "bands")
-        )
+        # Same pb-clustering as the build write: an append lands one file
+        # per pb partition it touches instead of (tasks × partitions)
+        # shards, bounding the small-file growth rate per micro-batch.
+        _band_frame(bands).repartition("pb").write.partitionBy("pb").mode(
+            "append"
+        ).parquet(os.path.join(path, "bands"))
         _member_tokens(df_new, id_col, tokens_col, members, hash_mode).write.mode(
             "append"
         ).parquet(os.path.join(path, "tokens"))
@@ -1089,7 +1105,10 @@ def _incr_index_path(
         fp = "missing"
     # "|m1": manifest-committed layout (r10) — a cached pre-manifest
     # generation fingerprints differently and is rebuilt, never half-read.
-    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}|v2|m1"
+    # "|c1": pb-clustered bands layout (r12) — a cached generation built
+    # with the old map-side partitionBy write (tasks × 32 tiny files)
+    # rebuilds once into the compact layout every later scan assumes.
+    fp = f"{fp}|{hash_mode}|mod{INCR_MOD}r{INCR_REM}|v2|m1|c1"
 
     def _build(gen: str) -> None:
         corpus = table(spark, sf_dir, "documents").filter(~_incr_batch_pred())
@@ -1635,7 +1654,11 @@ def dedup_simhash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 25
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+    jump_from: int = 3,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation (library
     API): undirected edge list in, (node, component_id) out, where
@@ -1650,14 +1673,37 @@ def connected_components(
     truncates the lineage (an iterative plan otherwise grows exponentially
     in analysis time) and materializes the small label table, never the
     edges.
+
+    Execution shape (r12 A/B-tuned; identical output on every variant):
+
+    - ``und`` is hash-repartitioned on ``s`` BEFORE the persist, so every
+      round's edges⨝labels join reuses the one materialized exchange of
+      the edge table instead of re-exchanging it per round (guide §2.4 —
+      two operations keyed the same way share one exchange).
+    - checkpoints are LAZY (``eager=False``): each round's label table is
+      materialized exactly once, by the convergence count that must run
+      anyway, instead of once eagerly and once by the count.
+    - from round ``jump_from`` the update also adopts label-of-label
+      (pointer jumping / path halving), cutting rounds from O(diameter)
+      to O(log diameter) on chain-shaped dup graphs.  The extra
+      label⨝label join costs one small-table shuffle per round, which
+      loses on shallow graphs — so the first ``jump_from - 1`` rounds run
+      plain.  Measured at sf0.1: ER name graph (diameter ~4) unchanged,
+      MinHash doc graph 11 rounds → 8, CC wall 10.5 s → 5.8 s.
+      Adopting min(neighbor label, label-of-label) preserves the
+      invariant that a node's label is always the id of some node in its
+      component, so the fixpoint (component min) and the emitted rows are
+      bit-identical to the plain iteration — differentially pinned by the
+      recursive-CTE oracles on dedup_connected_components/_corpus_apply/
+      _keep_best and the ER cluster gates.
     """
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    und = und.persist()
+    und = und.repartition("s").persist()
     labels = (
         und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
-    ).localCheckpoint()
-    for _ in range(max_iter):
+    ).localCheckpoint(eager=False)
+    for i in range(max_iter):
         nbr_min = (
             und.join(labels, und["s"] == labels["node"])
             .groupBy(und["d"].alias("node2"))
@@ -1665,18 +1711,21 @@ def connected_components(
         )
         # The convergence flag rides the label update itself (one column in
         # the checkpoint) instead of a separate new-vs-old join per round.
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("new_label"),
-                (F.coalesce(F.col("nbr_label"), F.col("label")) < F.col("label")).alias(
-                    "chg"
-                ),
+        cand = F.coalesce(F.col("nbr_label"), F.col("label"))
+        joined = labels.join(nbr_min, labels["node"] == nbr_min["node2"], "left")
+        if i + 1 >= jump_from:
+            lol = labels.select(
+                F.col("node").alias("jnode"), F.col("label").alias("jlabel")
             )
-        ).localCheckpoint()
+            joined = joined.join(lol, labels["label"] == lol["jnode"], "left")
+            cand = F.least(cand, F.coalesce(F.col("jlabel"), F.col("label")))
+        stepped = (
+            joined.select(
+                "node",
+                F.least(F.col("label"), cand).alias("new_label"),
+                (cand < F.col("label")).alias("chg"),
+            )
+        ).localCheckpoint(eager=False)
         changed = stepped.filter(F.col("chg")).count()
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
