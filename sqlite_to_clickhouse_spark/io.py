@@ -49,6 +49,42 @@ def _fsync_dir(dirpath: str) -> None:
         os.close(fd)
 
 
+def run_jobs(*thunks) -> list:
+    """Run independent Spark ACTIONS concurrently from driver threads and
+    return their results in argument order.
+
+    Spark's scheduler happily runs several jobs at once inside one
+    application; actions are only sequential because driver code calls
+    them sequentially (guide §2.6).  An index publish that writes three
+    relation parquet files back-to-back leaves most of local[32] idle in
+    each job's scheduling/commit tail — submitting the writes from a
+    small thread pool lets the next job's tasks back-fill those cores.
+    FIFO scheduling keeps the first job prioritized, which is exactly
+    the back-fill behaviour wanted.
+
+    Exceptions propagate (the first one raised, after all threads
+    finish) so a failed write inside a manifest_append body still aborts
+    the commit.  Shared cached frames are safe: concurrent first
+    materialization of a persisted partition is serialized by the block
+    manager (one task computes, the rest wait)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as ex:  # noqa: BLE001 — re-raised below
+                results.append(None)
+                first_err = first_err or ex
+        if first_err is not None:
+            raise first_err
+        return results
+
+
 def read_marker(marker: str) -> "str | None":
     """Read a cache-validity marker, None when absent/unreadable — the
     mandatory companion to ``build_lock``'s double-checked re-check."""

@@ -785,19 +785,24 @@ def minhash_index_build(
     # open cost (guide §6 small-files; measured: the corpus-bands scan ran
     # 538 tasks before, ≤32 row-group-sized files after).  Same layout the
     # compactor produces, so a fresh build now starts compact.
-    (
-        _band_frame(bands)
-        .repartition("pb")
-        .write.partitionBy("pb")
-        .option("maxRecordsPerFile", 5_000_000)
-        .parquet(os.path.join(path, "bands"))
+    # The three relation writes are independent jobs — submit them from
+    # driver threads so each job's scheduling/commit tail back-fills the
+    # others' idle cores (guide §2.6; sets/members are persisted, so the
+    # shared aggregation still runs once, guarded by the block manager).
+    gio.run_jobs(
+        lambda: (
+            _band_frame(bands)
+            .repartition("pb")
+            .write.partitionBy("pb")
+            .option("maxRecordsPerFile", 5_000_000)
+            .parquet(os.path.join(path, "bands"))
+        ),
+        lambda: _member_tokens(df, id_col, tokens_col, members, hash_mode)
+        .write.parquet(os.path.join(path, "tokens")),
+        lambda: sets.select(
+            F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
+        ).write.parquet(os.path.join(path, "sets")),
     )
-    _member_tokens(df, id_col, tokens_col, members, hash_mode).write.parquet(
-        os.path.join(path, "tokens")
-    )
-    sets.select(
-        F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
-    ).write.parquet(os.path.join(path, "sets"))
     # Publish the initial snapshot: one atomic manifest listing every
     # relation's files — from here on, readers resolve manifests, never
     # directory listings (io.py manifest protocol, VERDICT r9 item 4).
@@ -867,15 +872,24 @@ def minhash_index_append(
         # Same pb-clustering as the build write: an append lands one file
         # per pb partition it touches instead of (tasks × partitions)
         # shards, bounding the small-file growth rate per micro-batch.
-        _band_frame(bands).repartition("pb").write.partitionBy("pb").mode(
-            "append"
-        ).parquet(os.path.join(path, "bands"))
-        _member_tokens(df_new, id_col, tokens_col, members, hash_mode).write.mode(
-            "append"
-        ).parquet(os.path.join(path, "tokens"))
-        new_sets.select(
-            F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
-        ).write.mode("append").parquet(os.path.join(path, "sets"))
+        # Concurrent independent writes (guide §2.6): the manifest diff
+        # runs after ALL of them complete, and a failure in any aborts
+        # the commit (run_jobs re-raises), so atomicity is unchanged.
+        gio.run_jobs(
+            lambda: _band_frame(bands)
+            .repartition("pb")
+            .write.partitionBy("pb")
+            .mode("append")
+            .parquet(os.path.join(path, "bands")),
+            lambda: _member_tokens(df_new, id_col, tokens_col, members, hash_mode)
+            .write.mode("append")
+            .parquet(os.path.join(path, "tokens")),
+            lambda: new_sets.select(
+                F.col("__set").alias("skey"), F.col("__rep").alias("rep_id")
+            )
+            .write.mode("append")
+            .parquet(os.path.join(path, "sets")),
+        )
 
 
 _IDX_TOMB_SCHEMA = "doc_id long"
@@ -1222,18 +1236,25 @@ def minhash_index_compact(spark: SparkSession, path: str, dst: str) -> None:
         sets = sets.join(remap, "rep_id").select(
             "skey", F.col("__new").alias("rep_id")
         )
-    (
-        bands.repartition("pb")
-        .write.partitionBy("pb")
-        .option("maxRecordsPerFile", 5_000_000)
-        .parquet(os.path.join(dst, "bands"))
-    )
-    for rel, df in (("tokens", tokens), ("sets", sets)):
-        (
+    def _write_rel(rel: str, df: DataFrame):
+        return lambda: (
             df.coalesce(8)
             .write.option("maxRecordsPerFile", 5_000_000)
             .parquet(os.path.join(dst, rel))
         )
+
+    # The three compacted-relation rewrites are independent jobs —
+    # overlap them from driver threads (guide §2.6).
+    gio.run_jobs(
+        lambda: (
+            bands.repartition("pb")
+            .write.partitionBy("pb")
+            .option("maxRecordsPerFile", 5_000_000)
+            .parquet(os.path.join(dst, "bands"))
+        ),
+        _write_rel("tokens", tokens),
+        _write_rel("sets", sets),
+    )
     # The compacted store's initial snapshot: tombstones physically
     # applied, so the manifest lists no tombstone relation at all.  The
     # source's applied-epoch chain carries over — a stream swapped onto

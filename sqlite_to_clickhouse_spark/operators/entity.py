@@ -752,7 +752,13 @@ def er_index_build(names: DataFrame, path: str) -> None:
     keys = dfc.filter(F.col("df") <= _ER_BLOCK_DF_CAP).select("w")
     stop = dfc.filter(F.col("df") > _ER_BLOCK_DF_CAP).select("w")
     postings = words.join(F.broadcast(stop), "w", "left_anti").select("w", "nm")
-    pairs = blocked_name_pairs(names).select("name_a", "name_b")
+    # The verified pair graph is the build's most expensive subtree
+    # (blocking joins + per-candidate edit distance) and is consumed
+    # TWICE — by the clustering below and by the edges/ write.  CC
+    # persists only its derived undirected table and unpersists it
+    # before returning, so without this persist the edges write would
+    # re-run the whole blocking+verify pipeline from scratch.
+    pairs = blocked_name_pairs(names).select("name_a", "name_b").persist()
     comp = connected_components(
         pairs.select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
     ).select(F.col("node").alias("nm"), F.col("component_id").alias("eid"))
@@ -761,10 +767,14 @@ def er_index_build(names: DataFrame, path: str) -> None:
         F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id"),
         F.lit(0).alias("gen"),
     )
-    entities.write.parquet(os.path.join(path, "entities"))
-    postings.write.parquet(os.path.join(path, "postings"))
-    stop.write.parquet(os.path.join(path, "stopkeys"))
-    pairs.write.parquet(os.path.join(path, "edges"))
+    # Independent relation writes — overlap the jobs (guide §2.6).
+    gio.run_jobs(
+        lambda: entities.write.parquet(os.path.join(path, "entities")),
+        lambda: postings.write.parquet(os.path.join(path, "postings")),
+        lambda: stop.write.parquet(os.path.join(path, "stopkeys")),
+        lambda: pairs.write.parquet(os.path.join(path, "edges")),
+    )
+    pairs.unpersist()
     gio.manifest_commit(
         path,
         {rel: gio.relation_data_files(path, rel) for rel in _ER_IDX_RELATIONS},
@@ -953,6 +963,10 @@ def er_index_append(
         )
         .distinct()
     )
+    # Persisted: consumed by the re-label clustering below AND the
+    # edges/ write — without the persist the candidate joins + edit-
+    # distance verify re-run per consumer (CC caches only its derived
+    # undirected table and drops it before returning).
     new_edges = (
         cat_cand.unionByName(bat_cand)
         .select(
@@ -961,7 +975,7 @@ def er_index_append(
         )
         .distinct()
         .filter(_lev("name_a", "name_b") <= _ER_MAXDIST)
-    )
+    ).persist()
 
     # Re-label over star edges (nm → entity_id) ∪ new edges: one CC run
     # whose input is O(names + new pairs) — the catalog is never
@@ -1011,15 +1025,31 @@ def er_index_append(
         meta={**(meta or {}), "gen": gen},
         replace=["tombstones"] if untomb else (),
     ):
-        changed.write.mode("append").parquet(os.path.join(path, "entities"))
-        bat_postings.write.mode("append").parquet(os.path.join(path, "postings"))
-        new_stop.write.mode("append").parquet(os.path.join(path, "stopkeys"))
-        new_edges.write.mode("append").parquet(os.path.join(path, "edges"))
+        # Independent relation appends — overlap the jobs (guide §2.6);
+        # the manifest diff runs after all of them, atomicity unchanged.
+        jobs = [
+            lambda: changed.write.mode("append").parquet(
+                os.path.join(path, "entities")
+            ),
+            lambda: bat_postings.write.mode("append").parquet(
+                os.path.join(path, "postings")
+            ),
+            lambda: new_stop.write.mode("append").parquet(
+                os.path.join(path, "stopkeys")
+            ),
+            lambda: new_edges.write.mode("append").parquet(
+                os.path.join(path, "edges")
+            ),
+        ]
         if untomb:
-            tomb.join(bat, "nm", "left_anti").write.mode("append").parquet(
-                os.path.join(path, "tombstones")
+            jobs.append(
+                lambda: tomb.join(bat, "nm", "left_anti")
+                .write.mode("append")
+                .parquet(os.path.join(path, "tombstones"))
             )
+        gio.run_jobs(*jobs)
     cur.unpersist()
+    new_edges.unpersist()
 
 
 def er_index_delete(spark: SparkSession, del_names: DataFrame, path: str) -> None:
@@ -1079,8 +1109,15 @@ def er_index_delete(spark: SparkSession, del_names: DataFrame, path: str) -> Non
     with gio.manifest_append(
         path, ["entities", "tombstones"], meta={"gen": gen}
     ):
-        changed.write.mode("append").parquet(os.path.join(path, "entities"))
-        dels.write.mode("append").parquet(os.path.join(path, "tombstones"))
+        # Independent appends — overlap the two jobs (guide §2.6).
+        gio.run_jobs(
+            lambda: changed.write.mode("append").parquet(
+                os.path.join(path, "entities")
+            ),
+            lambda: dels.write.mode("append").parquet(
+                os.path.join(path, "tombstones")
+            ),
+        )
     dels.unpersist()
     cur.unpersist()
 
@@ -1106,12 +1143,15 @@ def er_index_compact(spark: SparkSession, path: str, dst: str) -> None:
                 tomb.select(F.col("nm").alias("name_a")), "name_a", "left_anti"
             ).join(tomb.select(F.col("nm").alias("name_b")), "name_b", "left_anti")
         ).select("name_a", "name_b")
-    cur.select("nm", "entity_id", F.lit(0).alias("gen")).write.parquet(
-        os.path.join(dst, "entities")
+    # Independent compacted-relation rewrites — overlap the jobs
+    # (guide §2.6; all four read committed files, no shared lineage).
+    gio.run_jobs(
+        lambda: cur.select("nm", "entity_id", F.lit(0).alias("gen"))
+        .write.parquet(os.path.join(dst, "entities")),
+        lambda: postings.write.parquet(os.path.join(dst, "postings")),
+        lambda: stop.write.parquet(os.path.join(dst, "stopkeys")),
+        lambda: edges.write.parquet(os.path.join(dst, "edges")),
     )
-    postings.write.parquet(os.path.join(dst, "postings"))
-    stop.write.parquet(os.path.join(dst, "stopkeys"))
-    edges.write.parquet(os.path.join(dst, "edges"))
     # applied_seed: the compacted store inherits the source's applied-
     # epoch chain, so a writer swapped onto it keeps exactly-once.
     gio.manifest_commit(
