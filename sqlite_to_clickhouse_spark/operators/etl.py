@@ -1043,7 +1043,9 @@ def maintenance_ttl_partition_drop(spark: SparkSession, sf_dir: str) -> DataFram
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
     base = os.path.join(tempfile.mkdtemp(prefix="ttl_drop_"), "orders")
-    o.write.mode("overwrite").partitionBy("ym").parquet(base)
+    # Clustered by ym for the same reason as maintenance_partition_compact:
+    # parallel file creation, same one-file-per-month layout.
+    o.repartition("ym").write.mode("overwrite").partitionBy("ym").parquet(base)
 
     mx = o.agg(F.max("o_orderdate").alias("m")).collect()[0]["m"]
     if mx is None:  # empty corpus: nothing to expire, nothing survives
@@ -1289,7 +1291,11 @@ def maintenance_partition_compact(spark: SparkSession, sf_dir: str) -> DataFrame
     base = tempfile.mkdtemp(prefix="part_compact_")
     orig = os.path.join(base, "orig")
     comp = os.path.join(base, "comp")
-    o.write.partitionBy("ym").parquet(orig)
+    # repartition on the partition key: the orders scan is one input
+    # split, so the map-side partitionBy write had a single task creating
+    # all ~80 month files serially; clustering by ym spreads the file
+    # creation across tasks with the identical one-file-per-month layout.
+    o.repartition("ym").write.partitionBy("ym").parquet(orig)
 
     def _relations(root: str) -> dict:
         """{"ym=<part>": [root-relative files]} for one written layout."""

@@ -658,6 +658,7 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
     double-append nor the silent-drop window exists, and the per-batch
     idempotence check is ONE JSON read however long the stream runs
     (pre-r11 it re-parsed every committed manifest per micro-batch)."""
+    from sqlite_to_clickhouse_spark import io as gio
     from sqlite_to_clickhouse_spark.io import manifest_applied_meta
     from sqlite_to_clickhouse_spark.operators.dedup import (
         _doc_tokens,
@@ -672,19 +673,35 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
         batch_persists: list = []
         toks = _doc_tokens(bdf)
         try:
-            minhash_index_dedup(
+            pairs = minhash_index_dedup(
                 spark, toks, "doc_id", "tk", idx, persisted_out=batch_persists
             ).select(
                 F.col("id_a").alias("doc_a"),
                 F.col("id_b").alias("doc_b"),
                 "jaccard",
-            ).write.mode("overwrite").parquet(os.path.join(out, f"ep-{epoch_id}"))
-            if int(epoch_id) not in manifest_applied_meta(idx, "epoch"):
-                minhash_index_append(
-                    toks, "doc_id", "tk", idx,
-                    persisted_out=batch_persists,
-                    meta={"epoch": int(epoch_id)},
+            )
+            # The epoch-pair write and the index append are INDEPENDENT:
+            # the lookup plan resolved the index manifest when it was
+            # built, so its scans read the pre-append file list whatever
+            # the append does concurrently — overlap the two (io.run_jobs,
+            # guide §2.6).  Retry semantics are unchanged: the pair write
+            # is overwrite-idempotent per epoch, the append is gated on
+            # the applied-epoch chain (checked up front), and a failure
+            # in either fails the micro-batch before the epoch commits.
+            jobs = [
+                lambda: pairs.write.mode("overwrite").parquet(
+                    os.path.join(out, f"ep-{epoch_id}")
                 )
+            ]
+            if int(epoch_id) not in manifest_applied_meta(idx, "epoch"):
+                jobs.append(
+                    lambda: minhash_index_append(
+                        toks, "doc_id", "tk", idx,
+                        persisted_out=batch_persists,
+                        meta={"epoch": int(epoch_id)},
+                    )
+                )
+            gio.run_jobs(*jobs)
         finally:
             for frame in batch_persists:
                 frame.unpersist()
