@@ -1697,10 +1697,11 @@ def connected_components(
 
     Execution shape (r12 A/B-tuned; identical output on every variant):
 
-    - ``und`` is hash-repartitioned on ``s`` BEFORE the persist, so every
-      round's edges⨝labels join reuses the one materialized exchange of
-      the edge table instead of re-exchanging it per round (guide §2.4 —
-      two operations keyed the same way share one exchange).
+    - ``und`` is hash-repartitioned on ``s`` and then lazily
+      checkpointed, so every round's edges⨝labels join reuses the one
+      materialized layout of the edge table instead of re-exchanging it
+      per round (guide §2.4), and the caller's edge lineage is cut out
+      of every round's analysis (see the in-body comment).
     - checkpoints are LAZY (``eager=False``): each round's label table is
       materialized exactly once, by the convergence count that must run
       anyway, instead of once eagerly and once by the count.
@@ -1720,7 +1721,16 @@ def connected_components(
     """
     fwd = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     und = fwd.union(fwd.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
-    und = und.repartition("s").persist()
+    # localCheckpoint, not persist (r12): persist caches the DATA but the
+    # LOGICAL plan keeps the caller's full edge lineage (LSH candidate
+    # joins, Levenshtein verifies, contraction joins, ...), and Catalyst
+    # re-analyzes that whole tree every round — measured ~0.3-0.6 s/round
+    # of pure planning on deep-lineage inputs (er_index_append's
+    # contracted CC: 4.1 s → 1.6 s standalone).  The lazy checkpoint
+    # truncates the plan to a leaf at first materialization (the labels
+    # count that must run anyway) while keeping the repartition's hash
+    # layout on the materialized blocks.
+    und = und.repartition("s").localCheckpoint(eager=False)
     labels = (
         und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=False)
@@ -1751,7 +1761,6 @@ def connected_components(
         labels = stepped.select("node", F.col("new_label").alias("label"))
         if changed == 0:
             break
-    und.unpersist()
     return labels.select("node", F.col("label").alias("component_id"))
 
 

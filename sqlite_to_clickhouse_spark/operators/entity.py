@@ -977,43 +977,61 @@ def er_index_append(
         .filter(_lev("name_a", "name_b") <= _ER_MAXDIST)
     ).persist()
 
-    # Re-label over star edges (nm → entity_id) ∪ new edges: one CC run
-    # whose input is O(names + new pairs) — the catalog is never
-    # re-paired OR re-bands; untouched components keep their label (min
-    # member is stable under no-edge-change).
-    stars = cur.filter(F.col("nm") != F.col("entity_id")).select(
-        F.col("nm").alias("src"), F.col("entity_id").alias("dst")
+    # Re-label on the CONTRACTED graph (r12, guide §1.2): only components
+    # touched by a new edge can change, so instead of running CC over the
+    # catalog's star edges ∪ new edges (catalog-sized input, several
+    # catalog-wide shuffles per round), map each new-edge endpoint to its
+    # CURRENT entity id (batch names, absent from the live view, map to
+    # themselves) and run CC on those contracted edges — O(new pairs)
+    # nodes.  Equivalence to the full-graph run is exact: an entity_id is
+    # by construction the MIN member name of its component, so the min
+    # label over a merged set of contracted nodes {entity ids ∪ batch
+    # names} equals the min over all member names of the merged
+    # component; untouched entities never appear and keep their label.
+    # Every new edge has ≥1 batch endpoint (candidates are batch×catalog
+    # ∪ batch×batch) and batch names are live-disjoint by contract, so
+    # contraction produces no self-loops and every endpoint lands in the
+    # CC output.
+    ends = (
+        new_edges.select(F.col("name_a").alias("nm"))
+        .unionByName(new_edges.select(F.col("name_b").alias("nm")))
+        .distinct()
     )
-    comp = connected_components(
-        stars.unionByName(
-            new_edges.select(
-                F.col("name_a").alias("src"), F.col("name_b").alias("dst")
-            )
+    emap = ends.join(cur, "nm", "left").select(
+        "nm", F.coalesce(F.col("entity_id"), F.col("nm")).alias("cnode")
+    )
+    cedges = (
+        new_edges.join(
+            emap.select(F.col("nm").alias("name_a"), F.col("cnode").alias("src")),
+            "name_a",
         )
-    ).select(F.col("node").alias("nm"), F.col("component_id").alias("eid"))
-    all_names = cur.select("nm").unionByName(bat).distinct()
-    new_map = all_names.join(comp, "nm", "left").select(
-        "nm", F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id")
+        .join(
+            emap.select(F.col("nm").alias("name_b"), F.col("cnode").alias("dst")),
+            "name_b",
+        )
+        .select("src", "dst")
+    )
+    # relabel: contracted node (old entity id or batch name) → merged id.
+    relabel = connected_components(cedges).select(
+        F.col("node").alias("cnode"), F.col("component_id").alias("eid")
     )
     gen = _er_next_gen(spark, path)
-    # nm.isNotNull(): the catalog MAY hold a NULL name (er_index_build
-    # admits it; only append/delete batches filter NULLs).  The left
-    # join on nm never matches NULL, so without the guard that row reads
-    # as "new" (c.entity_id NULL) and is re-written at every append
-    # forever — write amplification of a row nothing can ever change
-    # (no postings, no edges, entity = self).
-    changed = (
-        new_map.alias("n")
-        .join(cur.alias("c"), "nm", "left")
-        .filter(
-            F.col("nm").isNotNull()
-            & (
-                F.col("c.entity_id").isNull()
-                | (F.col("n.entity_id") != F.col("c.entity_id"))
-            )
-        )
-        .select("nm", F.col("n.entity_id").alias("entity_id"), F.lit(gen).alias("gen"))
+    # Changed catalog rows: members of a touched entity whose merged id
+    # differs.  The catalog's NULL-name row (er_index_build admits it;
+    # only append/delete batches filter NULLs) carries entity_id NULL,
+    # never matches the relabel join, and is therefore never re-written
+    # (ADVICE r11 — write amplification of a row nothing can change).
+    cat_changed = (
+        cur.join(relabel, cur["entity_id"] == relabel["cnode"])
+        .filter(F.col("eid") != F.col("entity_id"))
+        .select("nm", F.col("eid").alias("entity_id"))
     )
+    # Every batch name gets a row: its merged label when it has edges,
+    # itself when isolated — batch names are NULL-filtered at entry.
+    bat_changed = bat.join(relabel, bat["nm"] == relabel["cnode"], "left").select(
+        "nm", F.coalesce(F.col("eid"), F.col("nm")).alias("entity_id")
+    )
+    changed = cat_changed.unionByName(bat_changed).withColumn("gen", F.lit(gen))
     # Un-tombstone re-arrived names: rewrite the tombstone relation
     # (minus the batch) in the same commit.  The existence probe is one
     # limit-1 job over the tombstone relation — deleted-names-sized, not
