@@ -821,6 +821,7 @@ def minhash_index_append(
     hash_mode: str | None = None,
     persisted_out: "list | None" = None,
     meta: "dict | None" = None,
+    precomputed: "dict | None" = None,
 ) -> None:
     """Fold a processed batch INTO the index: parquet append of the
     batch's rows, then ONE atomic manifest publish covering all three
@@ -838,12 +839,26 @@ def minhash_index_append(
     that cluster (one tokens/ row, no new bands); genuinely new sets
     cluster among themselves and append their representative's bands +
     sets rows.  Caller contract: the batch's ids are not already in the
-    index (dedup first, then append the keepers)."""
+    index (dedup first, then append the keepers).
+
+    ``precomputed``: the ``shared_out`` dict a minhash_index_dedup call
+    over the SAME batch just filled (guide §1.2) — reuses the lookup's
+    persisted set-key frame and its representative band frame instead of
+    re-running the token scan and the signature kernel.  Sound because
+    banding is a pure function of the token set and append
+    representatives (min id per fresh distinct set) are a subset of
+    lookup representatives (min id per batch distinct set); guarded on
+    matching hash_mode, ignored otherwise."""
     hash_mode = _resolve_hash_mode(df_new, hash_mode)
     base_hash, _ = _minhash_family(hash_mode)
     spark = df_new.sparkSession
 
-    keyed = _set_keyed(df_new, id_col, tokens_col, base_hash)
+    pre = (
+        precomputed
+        if precomputed and precomputed.get("hash_mode") == hash_mode
+        else None
+    )
+    keyed = pre["keyed"] if pre else _set_keyed(df_new, id_col, tokens_col, base_hash)
     idx_sets = _read_idx(spark, path, "sets", _IDX_SETS_SCHEMA)
     # The matched/fresh split re-reads this subtree four ways (members
     # union, new sets, rep filter, tokens write) — persist the joined
@@ -864,10 +879,20 @@ def minhash_index_append(
     new_members = fresh_keyed.join(new_sets, "__set").select("__id", "__rep")
     members = matched.unionByName(new_members)
     rep_ids = new_members.filter(F.col("__id") == F.col("__rep")).select("__rep")
-    bands, _ = minhash_bands_tokens(
-        _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
-        hash_mode=hash_mode,
-    )
+    if pre is not None:
+        # Fresh-set representatives are a subset of the lookup's batch
+        # representatives with identical ids (both min-id per distinct
+        # set), and band keys depend only on the token set — so the
+        # lookup's persisted band frame, semi-joined to the fresh reps,
+        # IS this append's band frame, with no second kernel pass.
+        bands = pre["rep_bands"].join(
+            rep_ids, F.col("__id") == F.col("__rep"), "semi"
+        )
+    else:
+        bands, _ = minhash_bands_tokens(
+            _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
+            hash_mode=hash_mode,
+        )
     with gio.manifest_append(path, list(_IDX_RELATIONS), meta=meta):
         # Same pb-clustering as the build write: an append lands one file
         # per pb partition it touches instead of (tasks × partitions)
@@ -934,6 +959,7 @@ def minhash_index_dedup(
     threshold: float = JACCARD_T,
     hash_mode: str | None = None,
     persisted_out: "list | None" = None,
+    shared_out: "dict | None" = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against the persisted index plus
     within the batch itself — the incremental serving path.  Returns
@@ -951,12 +977,24 @@ def minhash_index_dedup(
     pairs materialize only in the final output-bound expansion joins on
     8-byte ids.  The probed pb set is collected driver-side (bounded by
     MINHASH_IDX_BUCKETS, a few ints) and lands in the bands scan as a
-    static partition filter.  Nothing rescans the corpus text."""
+    static partition filter.  Nothing rescans the corpus text.
+
+    ``shared_out`` (r12, guide §1.2 "don't compute things twice"): when a
+    caller is about to APPEND the same batch right after this lookup (the
+    streaming ingest handler), pass a dict and hand it to
+    ``minhash_index_append(precomputed=...)`` — the batch's set-key pass
+    and the signature-kernel banding of its representatives are computed
+    once here and reused there (banding is a pure function of the token
+    set, and append representatives are a subset of lookup
+    representatives — both are min-id per distinct set)."""
     hash_mode = _resolve_hash_mode(df_new, hash_mode)
     base_hash, _ = _minhash_family(hash_mode)
-    b_members = _clusters(
-        _set_keyed(df_new, id_col, tokens_col, base_hash), persisted_out
-    )
+    keyed = _set_keyed(df_new, id_col, tokens_col, base_hash)
+    if shared_out is not None:
+        # Persisted so the append's reuse doesn't re-run the token
+        # scan + set-key pass (batch-sized; handed back for unpersist).
+        keyed = _persist_md(keyed, persisted_out)
+    b_members = _clusters(keyed, persisted_out)
     rep_ids = b_members.filter(F.col("__id") == F.col("__rep")).select("__rep")
     new_bands, new_tokh = minhash_bands_tokens(
         _rep_subset(df_new, id_col, rep_ids), id_col, tokens_col,
@@ -969,6 +1007,8 @@ def minhash_index_dedup(
     # BATCH, not the corpus — the exact asymmetry of the serving path.
     new_bands = _persist_md(new_bands, persisted_out)
     new_tokh = _persist_md(new_tokh, persisted_out)
+    if shared_out is not None:
+        shared_out.update(hash_mode=hash_mode, keyed=keyed, rep_bands=new_bands)
     probed = [
         int(r["pb"])
         for r in new_bands.select(

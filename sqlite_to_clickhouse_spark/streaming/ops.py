@@ -672,9 +672,11 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
         # disk-backed cached blocks are never auto-evicted (ADVICE r8).
         batch_persists: list = []
         toks = _doc_tokens(bdf)
+        shared: dict = {}
         try:
             pairs = minhash_index_dedup(
-                spark, toks, "doc_id", "tk", idx, persisted_out=batch_persists
+                spark, toks, "doc_id", "tk", idx,
+                persisted_out=batch_persists, shared_out=shared,
             ).select(
                 F.col("id_a").alias("doc_a"),
                 F.col("id_b").alias("doc_b"),
@@ -699,6 +701,7 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
                         toks, "doc_id", "tk", idx,
                         persisted_out=batch_persists,
                         meta={"epoch": int(epoch_id)},
+                        precomputed=shared,
                     )
                 )
             gio.run_jobs(*jobs)

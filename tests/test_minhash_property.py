@@ -224,6 +224,69 @@ def test_incremental_index_append_twice_equals_once(spark, sf_dir, tmp_path):
     assert one_shot, "fixture produced no near-dup pairs touching a batch"
 
 
+def test_append_with_precomputed_equals_plain_append(spark, sf_dir, tmp_path):
+    """r12 optimization pin: an append that REUSES the preceding lookup's
+    shared set-key/band frames (minhash_index_dedup(shared_out=...) →
+    minhash_index_append(precomputed=...), the streaming handler's path)
+    must write a store bit-identical in content to a plain append — same
+    rows in every relation, same follow-up lookup pairs."""
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _IDX_BANDS_SCHEMA,
+        _IDX_SETS_SCHEMA,
+        _IDX_TOKENS_SCHEMA,
+        _doc_tokens,
+        _read_idx,
+        minhash_index_append,
+        minhash_index_build,
+        minhash_index_dedup,
+    )
+
+    toks = _doc_tokens(table(spark, sf_dir, "documents"))
+    corpus = toks.filter(F.col("doc_id") % 5 >= 2)
+    b1 = toks.filter(F.col("doc_id") % 5 == 0)
+    b2 = toks.filter(F.col("doc_id") % 5 == 1)
+
+    p_pre = str(tmp_path / "idx_pre")
+    p_plain = str(tmp_path / "idx_plain")
+    minhash_index_build(corpus, "doc_id", "tk", p_pre)
+    minhash_index_build(corpus, "doc_id", "tk", p_plain)
+
+    shared: dict = {}
+    pre_pairs = _pairs(
+        minhash_index_dedup(spark, b1, "doc_id", "tk", p_pre, shared_out=shared)
+    )
+    assert {"hash_mode", "keyed", "rep_bands"} <= set(shared)
+    minhash_index_append(b1, "doc_id", "tk", p_pre, precomputed=shared)
+
+    plain_pairs = _pairs(minhash_index_dedup(spark, b1, "doc_id", "tk", p_plain))
+    minhash_index_append(b1, "doc_id", "tk", p_plain)
+    assert pre_pairs == plain_pairs
+
+    for rel, schema, key in (
+        ("bands", _IDX_BANDS_SCHEMA, ("bk", "doc_id", "pb")),
+        ("tokens", _IDX_TOKENS_SCHEMA, None),
+        ("sets", _IDX_SETS_SCHEMA, None),
+    ):
+        a = _read_idx(spark, p_pre, rel, schema, partitioned=rel == "bands")
+        b = _read_idx(spark, p_plain, rel, schema, partitioned=rel == "bands")
+        cols = list(key) if key else a.columns
+        ra = sorted(map(tuple, a.select(*cols).collect()))
+        rb = sorted(map(tuple, b.select(*cols).collect()))
+        assert ra == rb, f"relation {rel} diverged under precomputed append"
+
+    # A mismatched hash_mode marker must be IGNORED (fall back to plain
+    # recompute), never silently reuse frames from the other family.
+    stale = dict(shared, hash_mode="xxhash64" if shared["hash_mode"] == "md5" else "md5")
+    minhash_index_append(b2, "doc_id", "tk", p_pre, precomputed=stale)
+    minhash_index_append(b2, "doc_id", "tk", p_plain)
+    fa = _read_idx(spark, p_pre, "sets", _IDX_SETS_SCHEMA)
+    fb = _read_idx(spark, p_plain, "sets", _IDX_SETS_SCHEMA)
+    assert sorted(map(tuple, fa.collect())) == sorted(map(tuple, fb.collect()))
+
+
 def test_incremental_lookup_prunes_band_partitions(spark, sf_dir, tmp_path):
     """A small batch's index lookup must reach the bands scan as a
     PartitionFilters entry on pb — the directory pruning that lets a
