@@ -1356,14 +1356,20 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_mode=hash_mode,
         )
     minhash_index_compact(spark, grown, compacted)
-    counts = [
-        spark.read.schema(schema).parquet(os.path.join(compacted, rel)).count()
-        for rel, schema in (
-            ("bands", _IDX_BANDS_SCHEMA),
-            ("tokens", _IDX_TOKENS_SCHEMA),
-            ("sets", _IDX_SETS_SCHEMA),
-        )
-    ]
+    # Three independent count jobs over the compacted relations — overlap
+    # them from driver threads (guide §2.6) instead of paying three
+    # sequential job scheduling/teardown tails.
+    counts = gio.run_jobs(
+        *[
+            (lambda r, s: lambda: spark.read.schema(s)
+             .parquet(os.path.join(compacted, r)).count())(rel, schema)
+            for rel, schema in (
+                ("bands", _IDX_BANDS_SCHEMA),
+                ("tokens", _IDX_TOKENS_SCHEMA),
+                ("sets", _IDX_SETS_SCHEMA),
+            )
+        ]
+    )
     return spark.createDataFrame(
         [tuple(counts)], "band_rows bigint, token_rows bigint, set_rows bigint"
     )
@@ -1468,14 +1474,19 @@ def dedup_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash_index_delete(_deleted_ids(docs), idx)
     compacted = os.path.join(tempfile.mkdtemp(prefix="graft_idx_delc_"), "idx")
     minhash_index_compact(spark, idx, compacted)
-    counts = [
-        spark.read.schema(schema).parquet(os.path.join(compacted, rel)).count()
-        for rel, schema in (
-            ("bands", _IDX_BANDS_SCHEMA),
-            ("tokens", _IDX_TOKENS_SCHEMA),
-            ("sets", _IDX_SETS_SCHEMA),
-        )
-    ]
+    # Independent count jobs, overlapped (guide §2.6) — same as
+    # dedup_index_compact's closing counts.
+    counts = gio.run_jobs(
+        *[
+            (lambda r, s: lambda: spark.read.schema(s)
+             .parquet(os.path.join(compacted, r)).count())(rel, schema)
+            for rel, schema in (
+                ("bands", _IDX_BANDS_SCHEMA),
+                ("tokens", _IDX_TOKENS_SCHEMA),
+                ("sets", _IDX_SETS_SCHEMA),
+            )
+        ]
+    )
     return spark.createDataFrame(
         [tuple(counts)], "band_rows bigint, token_rows bigint, set_rows bigint"
     )

@@ -1634,18 +1634,29 @@ def er_index_delete_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dst = os.path.join(tempfile.mkdtemp(prefix="er_compact_"), "idx")
     er_index_compact(spark, idx, dst)
-    before = er_index_entities(spark, idx)
-    after = er_index_entities(spark, dst)
-    views_equal = (
-        after.exceptAll(before).limit(1).count() == 0
-        and before.exceptAll(after).limit(1).count() == 0
-    )
-    n_names = after.count()
-    # countDistinct, not distinct().count(): a NULL-name survivor maps to
-    # a NULL entity, which DuckDB's count(DISTINCT ...) excludes while
-    # Spark's distinct().count() would count as a row (caught by the
-    # dedicated NULL-name mutant) — countDistinct matches the oracle.
-    n_entities = after.agg(F.countDistinct("entity_id")).collect()[0][0]
+    # Both entity views fan into multiple verification jobs (two
+    # exceptAll directions + two aggregates) and each evaluation repeats
+    # the LWW collapse window — persist them once, and run the four
+    # INDEPENDENT verification jobs overlapped (guide §2.6) instead of
+    # paying four sequential job tails.
+    before = er_index_entities(spark, idx).persist()
+    after = er_index_entities(spark, dst).persist()
+    try:
+        # countDistinct, not distinct().count(): a NULL-name survivor
+        # maps to a NULL entity, which DuckDB's count(DISTINCT ...)
+        # excludes while Spark's distinct().count() would count as a row
+        # (caught by the dedicated NULL-name mutant) — countDistinct
+        # matches the oracle.
+        d_ab, d_ba, n_names, n_entities = gio.run_jobs(
+            lambda: after.exceptAll(before).limit(1).count(),
+            lambda: before.exceptAll(after).limit(1).count(),
+            lambda: after.count(),
+            lambda: after.agg(F.countDistinct("entity_id")).collect()[0][0],
+        )
+    finally:
+        before.unpersist()
+        after.unpersist()
+    views_equal = d_ab == 0 and d_ba == 0
     return spark.createDataFrame(
         [
             (
