@@ -333,10 +333,48 @@ def host_speed_probe(mib: int = 128, passes: int = 3) -> float:
     return round(best, 4)
 
 
+def host_speed_probe_mt(mib: int = 64, passes: int = 3, threads: int = 8) -> float:
+    """MULTICORE twin of host_speed_probe: ``threads`` driver threads each
+    SHA-256 their own ``mib`` MiB concurrently (hashlib.update releases
+    the GIL for buffers over 2 KiB, so the threads genuinely run in
+    parallel); best-of-``passes`` wall seconds for the whole fan-out.
+
+    Why a second probe (r12): two same-tree benches minutes apart read
+    188 s and 210 s while the SINGLE-thread probe IMPROVED 0.144 → 0.116
+    — hypervisor co-tenant steal can throttle aggregate multicore
+    throughput while a lone thread still gets a full core, and Spark
+    queries are multicore work.  The ratio of two artifacts' mt probes
+    measures that capacity shift; tools/bench_compare.py prefers it over
+    the single-thread ratio when both artifacts carry it.  The thread
+    count is FIXED (not cpu_count) so the number stays comparable across
+    runs whatever SPARK_GRAFT_CPUS says."""
+    import hashlib
+    from concurrent.futures import ThreadPoolExecutor
+
+    buf = bytes(range(256)) * (mib * 4096)
+    step = 1 << 24
+
+    def _one(_: int) -> None:
+        h = hashlib.sha256()
+        for i in range(0, len(buf), step):
+            h.update(buf[i : i + step])
+        h.hexdigest()
+
+    best = None
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        for _ in range(passes):
+            t0 = time.perf_counter()
+            list(pool.map(_one, range(threads)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").split("sf")[-1]
     host_probe = host_speed_probe()
+    host_probe_mt = host_speed_probe_mt()
     # The StateStore maintenance thread fires on a 60s default interval; a
     # bench run long enough to cross a tick can have that thread race
     # session teardown and dump an IllegalStateException stack trace AFTER
@@ -405,6 +443,7 @@ def main() -> None:
         "full_total_sec": round(total, 4),
         "full_n": len(names),
         "host_probe_sec": host_probe,
+        "host_probe_mt_sec": host_probe_mt,
     }
     if timings.get("migrate_sqlite_roundtrip"):
         derived["migrate_rows_per_s"] = round(

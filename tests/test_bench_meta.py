@@ -202,6 +202,45 @@ def test_bench_compare_measures_host_speed_delta(tmp_path):
     assert "host-load signature" in r2.stdout
 
 
+def test_host_probe_mt_positive():
+    """The multicore canary must behave like its 1-thread twin: positive,
+    finite, pure-CPU."""
+    t = bench.host_speed_probe_mt(mib=4, passes=1, threads=4)
+    assert 0 < t < 10
+
+
+def test_bench_compare_prefers_multicore_probe(tmp_path):
+    """r12: two same-tree benches read 188 s vs 210 s while the 1-thread
+    probe IMPROVED — co-tenant steal throttles aggregate multicore
+    throughput without touching a lone thread, and queries are multicore
+    work.  When both artifacts carry host_probe_mt_sec, bench_compare
+    must normalize by the MULTICORE ratio: a uniform 1.4x query lift with
+    a flat 1-thread probe but a 1.4x mt probe classifies host-explained."""
+    import subprocess
+    import sys as _sys
+
+    qs = {f"q{i}": 0.5 + i * 0.01 for i in range(20)}
+    old = {
+        "queries": qs,
+        "derived": {"host_probe_sec": 0.20, "host_probe_mt_sec": 0.50},
+    }
+    new = {
+        "queries": {k: round(v * 1.4, 4) for k, v in qs.items()},
+        "derived": {"host_probe_sec": 0.20, "host_probe_mt_sec": 0.70},
+    }
+    po, pn = tmp_path / "old.json", tmp_path / "new.json"
+    po.write_text(json.dumps(old))
+    pn.write_text(json.dumps(new))
+    r = subprocess.run(
+        [_sys.executable, os.path.join(_REPO, "tools", "bench_compare.py"),
+         str(po), str(pn)],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "host probe(mt)" in r.stdout
+    assert "fully explained" in r.stdout
+
+
 def test_bench_compare_unmasks_regression_on_faster_host(tmp_path):
     """Review r12: gating the verdict on the RAW median would let a host
     that got FASTER between runs hide a uniform code regression as

@@ -53,6 +53,26 @@ def _probe():
         best = dt if best is None else min(best, dt)
     return round(best, 4)
 
+def _probe_mt():
+    # Multicore twin (inline for the same reason): 8 threads x 64 MiB —
+    # co-tenant steal can cut aggregate throughput while one thread
+    # still gets a full core, and Spark queries are multicore work.
+    from concurrent.futures import ThreadPoolExecutor
+    buf = bytes(range(256)) * (64 * 4096)
+    def one(_):
+        h = hashlib.sha256()
+        for i in range(0, len(buf), 1 << 24):
+            h.update(buf[i:i + (1 << 24)])
+        h.hexdigest()
+    best = None
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(pool.map(one, range(8)))
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
 sf_dir, names = sys.argv[2], sys.argv[3:]
 spark = get_spark("ab-time")
 reg = all_queries()
@@ -72,6 +92,7 @@ for n in names:
         best = dt if best is None else min(best, dt)
     out[n] = round(best, 4)
 out["__probe"] = _probe()
+out["__probe_mt"] = _probe_mt()
 print("ABTIME:" + json.dumps(out))
 """ % PASSES
 
@@ -113,10 +134,20 @@ def main() -> None:
     # timings are normalized by the probe ratio before classification,
     # so host drift between the sides can't read as a code delta.
     po, pn = old.pop("__probe", None), new.pop("__probe", None)
-    scale = (po / pn) if (po and pn) else 1.0
+    pom, pnm = old.pop("__probe_mt", None), new.pop("__probe_mt", None)
+    # Normalize by the MULTICORE probe when both sides report it (the
+    # queries are multicore work; a lone thread can read full-speed while
+    # aggregate throughput is throttled — r12), else the 1-thread probe.
+    if pom and pnm:
+        scale = pom / pnm
+    elif po and pn:
+        scale = po / pn
+    else:
+        scale = 1.0
     if po and pn:
+        mt = f"  mt {pom:.3f}->{pnm:.3f}s" if (pom and pnm) else ""
         print(
-            f"host probe: old {po:.3f}s  HEAD {pn:.3f}s ({pn/po:.2f}x). "
+            f"host probe: old {po:.3f}s  HEAD {pn:.3f}s ({pn/po:.2f}x).{mt} "
             f"Columns show RAW seconds; verdicts classify HEAD x {scale:.3f} "
             "(host-normalized)."
         )

@@ -39,8 +39,9 @@ SLACK = 1.35
 ABS_FLOOR_S = 0.15
 
 
-def load(path: str) -> "tuple[dict[str, float], float | None]":
-    """(queries map, host_probe_sec or None) of one artifact."""
+def load(path: str) -> "tuple[dict[str, float], float | None, float | None]":
+    """(queries map, host_probe_sec, host_probe_mt_sec) of one artifact
+    (probes None when the artifact predates them)."""
     with open(path) as fh:
         d = json.load(fh)
     if "tail" in d:  # driver BENCH_r{N}.json: JSON line inside the tail
@@ -52,8 +53,11 @@ def load(path: str) -> "tuple[dict[str, float], float | None]":
     if not isinstance(q, dict) or not q:
         raise SystemExit(f"{path}: no queries map")
     probe = d.get("derived", {}).get("host_probe_sec")
-    return {k: float(v) for k, v in q.items()}, (
-        float(probe) if probe else None
+    probe_mt = d.get("derived", {}).get("host_probe_mt_sec")
+    return (
+        {k: float(v) for k, v in q.items()},
+        float(probe) if probe else None,
+        float(probe_mt) if probe_mt else None,
     )
 
 
@@ -65,7 +69,7 @@ def main() -> None:
             top = int(a.split("=", 1)[1]) if "=" in a else top
     if len(args) != 2:
         raise SystemExit(__doc__)
-    (old, old_probe), (new, new_probe) = load(args[0]), load(args[1])
+    (old, old_probe, old_mt), (new, new_probe, new_mt) = load(args[0]), load(args[1])
     common = [
         k for k in old if k in new and old[k] >= MIN_SEC and new[k] >= MIN_SEC
     ]
@@ -78,14 +82,23 @@ def main() -> None:
     # Host-speed canary (r12): both artifacts carry a pure-CPU probe, so
     # the host's speed difference between the two runs is a MEASUREMENT
     # — co-tenant steal on a microVM never shows in guest load average.
+    # Prefer the MULTICORE probe ratio as the normalizer when both
+    # artifacts carry it: queries are multicore work, and co-tenant steal
+    # can throttle aggregate throughput while a single thread still gets
+    # a full core (r12: 188 s → 210 s same-tree with the 1-thread probe
+    # IMPROVING).  The 1-thread ratio stays printed for older artifacts
+    # and as a second opinion.
     probe_ratio = None
     if old_probe and new_probe:
-        probe_ratio = new_probe / old_probe
-        print(
-            f"host probe {old_probe:.3f}s -> {new_probe:.3f}s "
-            f"({probe_ratio:.2f}x)  host-adjusted median "
-            f"{med / probe_ratio:.2f}x"
-        )
+        st_ratio = new_probe / old_probe
+        probe_ratio = st_ratio
+        print(f"host probe(1t) {old_probe:.3f}s -> {new_probe:.3f}s ({st_ratio:.2f}x)")
+    if old_mt and new_mt:
+        mt_ratio = new_mt / old_mt
+        probe_ratio = mt_ratio
+        print(f"host probe(mt) {old_mt:.3f}s -> {new_mt:.3f}s ({mt_ratio:.2f}x)")
+    if probe_ratio:
+        print(f"host-adjusted median {med / probe_ratio:.2f}x")
     # The VERDICT gates on the host-adjusted median when probes exist:
     # gating on the raw median would let a host that got FASTER between
     # runs mask a uniform code regression as "within noise" (the exact
