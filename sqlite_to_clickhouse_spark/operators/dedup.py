@@ -1731,6 +1731,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     jump_from: int = 3,
+    driver_edge_cap: "int | None" = None,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation (library
     API): undirected edge list in, (node, component_id) out, where
@@ -1782,6 +1783,64 @@ def connected_components(
     # count that must run anyway) while keeping the repartition's hash
     # layout on the materialized blocks.
     und = und.repartition("s").localCheckpoint(eager=False)
+    # Driver fast path (r12, guide §1.2 — first-principles): the
+    # distributed loop costs a fixed 3-8 driver-sequential rounds of
+    # (join + checkpoint + count) jobs REGARDLESS of graph size — ~0.3 s
+    # per tiny job on an idle local[32], several seconds total — while a
+    # 16-edge contracted append graph is microseconds of actual work
+    # (profiled: er_index_append's relabel spent 3.8-5.0 s labeling 23
+    # nodes).  Small graphs therefore collect and union-find on the
+    # driver: label = min member per component under the column type's
+    # ordering — for longs trivially Spark-identical, for strings Python
+    # codepoint order == Spark's UTF8 binary order (UTF-8 preserves
+    # codepoint order), so the rows are bit-identical to the loop's
+    # fixpoint (pinned in tests/test_graph.py).  The materializing count
+    # is the same action the loop's first convergence count would run.
+    # Cap is edge-rows collected (both directions), env-overridable:
+    # batch-scale graphs (appends, embedding pair sets) stay under any
+    # sane cap at any corpus size; store-scale graphs (the full-corpus
+    # dup graph) exceed it and take the distributed loop.  0 disables.
+    driver_cap = (
+        driver_edge_cap
+        if driver_edge_cap is not None
+        else int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000"))
+    )
+    n_edges = und.count()
+    if n_edges <= driver_cap:
+        rows = und.collect()  # bounded by driver_cap rows
+        if all(r[0] is not None and r[1] is not None for r in rows):
+            parent: dict = {}
+
+            def _find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for r in rows:
+                s_v, d_v = r[0], r[1]
+                parent.setdefault(s_v, s_v)
+                parent.setdefault(d_v, d_v)
+                rs, rd = _find(s_v), _find(d_v)
+                if rs != rd:
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs  # root stays the component minimum
+
+            from pyspark.sql import types as T
+
+            node_t = und.schema["s"].dataType
+            out_schema = T.StructType(
+                [
+                    T.StructField("node", node_t),
+                    T.StructField("component_id", node_t),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(
+                [(n, _find(n)) for n in parent], out_schema
+            )
     labels = (
         und.select(F.col("s").alias("node")).distinct().withColumn("label", F.col("node"))
     ).localCheckpoint(eager=False)
