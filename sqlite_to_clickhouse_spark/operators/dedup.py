@@ -407,7 +407,20 @@ def minhash_bands_tokens(
             out.append(m.min(axis=1))
         return pd.Series(out)
 
-    sigs = toks.withColumn("sig", _sig_kernel(F.col("__tkh")))
+    # Drop token-less docs (blank/whitespace/NULL text) BEFORE the kernel,
+    # on the token array itself: the old spelling filtered on
+    # element_at(sig, 1).isNotNull() AFTER the kernel, and the optimizer
+    # pushed that filter below the caller's representative join — dragging
+    # a SECOND full-corpus ArrowEvalPython evaluation of the kernel with it
+    # (guide §4.4 duplicated-UDF; plans/r13 fuzzy_minhash before/after:
+    # the kernel over the raw documents scan is gone).  Equivalent by
+    # construction: sig[1] is NULL iff the token array is NULL or empty
+    # (the kernel emits [None]*n for both), and non-empty arrays always
+    # produce non-NULL mins.  size() covers NULL under both ANSI (NULL)
+    # and legacy (-1) semantics — neither passes > 0.
+    sigs = toks.filter(F.size("__tk") > 0).withColumn(
+        "sig", _sig_kernel(F.col("__tkh"))
+    )
     band_keys = F.array(
         *[
             _band_key(
@@ -427,9 +440,7 @@ def minhash_bands_tokens(
     # persist at 73 s vs 32 s without (materialization + InMemoryRelation
     # scan costs dominate recompute; at 1× the difference is noise). Let
     # both join branches pipeline from the scan.
-    bands = sigs.filter(F.element_at("sig", 1).isNotNull()).select(
-        "__id", F.explode(band_keys).alias("bk")
-    )
+    bands = sigs.select("__id", F.explode(band_keys).alias("bk"))
     tokh = toks.select(
         "__id",
         F.array_distinct(
@@ -439,6 +450,42 @@ def minhash_bands_tokens(
         ).alias("__tk32"),
     )
     return bands, tokh
+
+
+def _bucket_pairs(bands: DataFrame) -> DataFrame:
+    """Within-bucket candidate pairs (id_a < id_b) from a (__id, bk) band
+    relation — the LSH self-join restructured as ONE pass (r13, VERDICT
+    r12 item 3): groupBy the band key, collect the bucket's distinct ids,
+    expand i<j pairs with JVM higher-order functions.  The classic
+    ``bands.alias("a").join(bands.alias("b"), a.bk == b.bk & a.id < b.id)``
+    evaluates the bands SUBTREE — scan + representative join + the
+    ArrowEvalPython signature kernel — once per join side; this shape
+    consumes it once, and shuffles the thin (bk, id) rows once instead of
+    twice.  Exactly the join's candidate set: collect_set dedupes the
+    (id, bk) duplicates a two-band collision produces (the join's
+    duplicates die in the downstream pair-distinct anyway), sort + slice
+    enumerates each unordered pair once with id_a < id_b, and NULL band
+    keys are dropped as SQL join equality would (bk is never NULL
+    post-banding, but the filter keeps the equivalence unconditional)."""
+    ids = F.sort_array(F.collect_set("__id"))
+    buckets = (
+        bands.filter(F.col("bk").isNotNull())
+        .groupBy("bk")
+        .agg(ids.alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pair_arr).alias("p")).select(
+        F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b")
+    )
 
 
 def _packed_distinct(pairs: DataFrame) -> DataFrame:
@@ -621,13 +668,7 @@ def minhash_lsh_pairs(
         rep_df, id_col, tokens_col,
         n_hashes=n_hashes, n_bands=n_bands, hash_mode=hash_mode,
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = _packed_distinct(
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
-        ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-    )
+    cand = _packed_distinct(_bucket_pairs(bands))
     rep_pairs = _verify_jaccard(cand, tokh, threshold)
 
     # Expand representative pairs to member cross pairs (output-bound
@@ -960,6 +1001,7 @@ def minhash_index_dedup(
     hash_mode: str | None = None,
     persisted_out: "list | None" = None,
     shared_out: "dict | None" = None,
+    exclude_ids: "DataFrame | None" = None,
 ) -> DataFrame:
     """Near-dup pairs of a NEW batch against the persisted index plus
     within the batch itself — the incremental serving path.  Returns
@@ -986,11 +1028,27 @@ def minhash_index_dedup(
     and the signature-kernel banding of its representatives are computed
     once here and reused there (banding is a pure function of the token
     set, and append representatives are a subset of lookup
-    representatives — both are min-id per distinct set)."""
+    representatives — both are min-id per distinct set).
+
+    ``exclude_ids`` (r13, VERDICT r12 item 7 — the streaming retry
+    window): a one-column frame of doc ids to treat as ABSENT from the
+    index side.  A foreachBatch retry whose append already COMMITTED
+    must reproduce the pairs the first attempt would have written, so
+    the retry passes its own batch ids here — the member store is
+    anti-joined (which also empties those clusters' verify rows and
+    expansions), restoring exactly the pre-append lookup state (appends
+    only ever add the batch's own rows).  None (the default) leaves the
+    common-path plan untouched."""
     hash_mode = _resolve_hash_mode(df_new, hash_mode)
     base_hash, _ = _minhash_family(hash_mode)
     keyed = _set_keyed(df_new, id_col, tokens_col, base_hash)
     if shared_out is not None:
+        # shared_out hands PERSISTED frames to a follow-up append, so the
+        # caller must also take the unpersist handles — a looping caller
+        # using shared_out alone would leak disk-backed cached blocks per
+        # batch (ADVICE r12).
+        if persisted_out is None:
+            raise ValueError("shared_out requires persisted_out (unpersist handles)")
         # Persisted so the append's reuse doesn't re-run the token
         # scan + set-key pass (batch-sized; handed back for unpersist).
         keyed = _persist_md(keyed, persisted_out)
@@ -1018,6 +1076,18 @@ def minhash_index_dedup(
         .collect()  # bounded: <= MINHASH_IDX_BUCKETS values
     ]
     idx_tok = _read_idx(spark, path, "tokens", _IDX_TOKENS_SCHEMA)
+    if exclude_ids is not None:
+        # Retry-after-committed-append (see docstring): drop the batch's
+        # own rows from the member store.  Bands rows of excluded reps
+        # may still generate candidates, but they cannot verify (their
+        # rep has no surviving tokens row) nor expand (the member side
+        # is this anti-joined store), so the output is exactly the
+        # pre-append lookup's.
+        idx_tok = idx_tok.join(
+            exclude_ids.select(F.col(exclude_ids.columns[0]).alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        )
     # Tombstone-aware lookup (GDPR-shape deletes, VERDICT r8 item 4): a
     # deleted doc must vanish from every output pair WITHOUT an index
     # rewrite.  ``tombstones/`` (written by minhash_index_delete) is
@@ -1082,14 +1152,8 @@ def minhash_index_dedup(
             idx_rep_tok = idx_rep_tok.unionByName(reelected)
         vs_pairs = _verify_jaccard(cand_vs, new_tokh, threshold, idx_rep_tok)
 
-    # batch-rep × batch-rep candidates (the small self-join).
-    a, b = new_bands.alias("a"), new_bands.alias("b")
-    cand_bb = _packed_distinct(
-        a.join(
-            b,
-            (F.col("a.bk") == F.col("b.bk")) & (F.col("a.__id") < F.col("b.__id")),
-        ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-    )
+    # batch-rep × batch-rep candidates (one bucket pass, see _bucket_pairs).
+    cand_bb = _packed_distinct(_bucket_pairs(new_bands))
     bb_pairs = _verify_jaccard(cand_bb, new_tokh, threshold)
 
     # Expansions: representative pairs -> member pairs (output-bound).
@@ -1794,20 +1858,42 @@ def connected_components(
     # ordering — for longs trivially Spark-identical, for strings Python
     # codepoint order == Spark's UTF8 binary order (UTF-8 preserves
     # codepoint order), so the rows are bit-identical to the loop's
-    # fixpoint (pinned in tests/test_graph.py).  The materializing count
-    # is the same action the loop's first convergence count would run.
-    # Cap is edge-rows collected (both directions), env-overridable:
-    # batch-scale graphs (appends, embedding pair sets) stay under any
-    # sane cap at any corpus size; store-scale graphs (the full-corpus
-    # dup graph) exceed it and take the distributed loop.  0 disables.
+    # fixpoint (pinned in tests/test_cc_property.py).  The sizing agg is
+    # the same materializing action the loop's first convergence count
+    # would run, and it is GATED on the cap being enabled so disabled
+    # (cap=0) and store-scale callers pay no extra job (ADVICE r12).
+    # Cap is edge-rows collected (both directions) AND estimated collect
+    # bytes (VERDICT r12: 200k edges of long string names is unbounded
+    # driver memory in row units), both env-overridable; 0 disables.
+    # Fast path is restricted to integral/string node types: Python and
+    # Spark agree on `<` for those, while float NaN diverges (Spark
+    # orders NaN greatest; Python NaN comparisons are all False).
     driver_cap = (
         driver_edge_cap
         if driver_edge_cap is not None
         else int(os.environ.get("SPARK_GRAFT_CC_DRIVER_EDGES", "200000"))
     )
-    n_edges = und.count()
-    if n_edges <= driver_cap:
-        rows = und.collect()  # bounded by driver_cap rows
+    byte_cap = int(os.environ.get("SPARK_GRAFT_CC_DRIVER_BYTES", str(64 << 20)))
+    from pyspark.sql import types as T
+
+    node_t = und.schema["s"].dataType
+    _DRIVER_TYPES = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType,
+    )
+    if driver_cap > 0 and byte_cap > 0 and isinstance(node_t, _DRIVER_TYPES):
+        if isinstance(node_t, T.StringType):
+            row_bytes = F.octet_length("s") + F.octet_length("d") + F.lit(64)
+        else:
+            row_bytes = F.lit(80)  # two boxed numerics + Row overhead
+        stats = und.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum(row_bytes), F.lit(0)).alias("b"),
+        ).collect()[0]
+        n_edges, est_bytes = int(stats["n"]), int(stats["b"])
+    else:
+        n_edges, est_bytes = None, None
+    if n_edges is not None and n_edges <= driver_cap and est_bytes <= byte_cap:
+        rows = und.collect()  # bounded by driver_cap rows / byte_cap bytes
         if all(r[0] is not None and r[1] is not None for r in rows):
             parent: dict = {}
 

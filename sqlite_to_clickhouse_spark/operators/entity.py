@@ -99,7 +99,7 @@ _ER_IDX_CAT_WHERE = f"(p_name IS NULL OR {_ER_IDX_BUCKET_SQL} <> {_ER_IDX_BUCKET
 _ER_IDX_BAT_WHERE = f"{_ER_IDX_BUCKET_SQL} = {_ER_IDX_BUCKET_REM}"
 
 
-def _lev(a, b):
+def _lev(a, b, bound: "int | None" = None):
     """BYTE-edit levenshtein — the measure the whole ER family verifies
     with.  Spark's builtin counts CODEPOINT edits while DuckDB's (and
     ClickHouse editDistance's, the reference-adjacent spelling) count
@@ -107,9 +107,20 @@ def _lev(a, b):
     dedicated unicode-name mutant in tests/test_unicode_input.py).
     Reinterpreting the UTF-8 bytes as ISO-8859-1 gives a string whose
     codepoints ARE the bytes, making Spark's codepoint distance exactly
-    the byte distance — a no-op on ASCII, engine-exact everywhere."""
+    the byte distance — a no-op on ASCII, engine-exact everywhere.
+
+    ``bound`` (r13, guide §1.2 per-task work): every verify site filters
+    d <= _ER_MAXDIST anyway, so pass the threshold down to Spark's
+    3-arg ``levenshtein(a, b, k)`` — the banded DP computes a k-wide
+    diagonal strip, O(k·max(len)) per pair instead of O(len_a·len_b),
+    which is the per-pair bound a 100 TB catalog's long names need.
+    Contract: returns the exact distance when d <= bound, -1 otherwise —
+    callers filter with ``>= 0`` / ``between(0, bound)``, never a bare
+    ``<= bound`` (-1 would pass)."""
     as_bytes = lambda c: F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")  # noqa: E731
-    return F.levenshtein(as_bytes(a), as_bytes(b))
+    if bound is None:
+        return F.levenshtein(as_bytes(a), as_bytes(b))
+    return F.levenshtein(as_bytes(a), as_bytes(b), bound)
 
 
 def _distinct_names(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -155,8 +166,8 @@ def blocked_name_pairs(names: DataFrame) -> DataFrame:
     return cand.select(
         "name_a",
         "name_b",
-        _lev("name_a", "name_b").alias("edit_dist"),
-    ).filter(F.col("edit_dist") <= _ER_MAXDIST)
+        _lev("name_a", "name_b", _ER_MAXDIST).alias("edit_dist"),
+    ).filter(F.col("edit_dist").between(0, _ER_MAXDIST))
 
 
 _PAIRS_CTE = f"""
@@ -499,8 +510,8 @@ def _serving_state(spark: SparkSession, sf_dir: str):
         .distinct()
     )
     scored = cand.select(
-        "bname", "cname", _lev("bname", "cname").alias("d")
-    ).filter(F.col("d") <= _ER_MAXDIST)
+        "bname", "cname", _lev("bname", "cname", _ER_MAXDIST).alias("d")
+    ).filter(F.col("d").between(0, _ER_MAXDIST))
     rk = Window.partitionBy("bname").orderBy(F.col("d").asc(), F.col("cname").asc())
     best = (
         scored.withColumn("rk", F.row_number().over(rk))
@@ -843,8 +854,8 @@ def er_index_match(
         .distinct()
     )
     scored = cand.select(
-        "bname", "cname", _lev("bname", "cname").alias("d")
-    ).filter(F.col("d") <= _ER_MAXDIST)
+        "bname", "cname", _lev("bname", "cname", _ER_MAXDIST).alias("d")
+    ).filter(F.col("d").between(0, _ER_MAXDIST))
     rk = Window.partitionBy("bname").orderBy(F.col("d").asc(), F.col("cname").asc())
     best = (
         scored.withColumn("rk", F.row_number().over(rk))
@@ -974,7 +985,7 @@ def er_index_append(
             F.greatest("bname", "cname").alias("name_b"),
         )
         .distinct()
-        .filter(_lev("name_a", "name_b") <= _ER_MAXDIST)
+        .filter(_lev("name_a", "name_b", _ER_MAXDIST) >= 0)
     ).persist()
 
     # Re-label on the CONTRACTED graph (r12, guide §1.2): only components

@@ -673,10 +673,21 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
         batch_persists: list = []
         toks = _doc_tokens(bdf)
         shared: dict = {}
+        # The applied-epoch check runs BEFORE the lookup plan is built
+        # (VERDICT r12 item 7): when this epoch's append already COMMITTED
+        # (pair-write failed after the commit, foreachBatch retried), the
+        # lookup would otherwise resolve the post-append manifest and see
+        # the batch's own rows — rewriting ep-N with different pairs than
+        # the first attempt.  The retry instead excludes its own doc ids
+        # from the index side, reproducing the pre-append lookup exactly
+        # (pinned by test_retry_after_committed_append_is_byte_identical).
+        applied = int(epoch_id) in manifest_applied_meta(idx, "epoch")
         try:
             pairs = minhash_index_dedup(
                 spark, toks, "doc_id", "tk", idx,
-                persisted_out=batch_persists, shared_out=shared,
+                persisted_out=batch_persists,
+                shared_out=None if applied else shared,
+                exclude_ids=toks.select("doc_id") if applied else None,
             ).select(
                 F.col("id_a").alias("doc_a"),
                 F.col("id_b").alias("doc_b"),
@@ -686,16 +697,16 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
             # the lookup plan resolved the index manifest when it was
             # built, so its scans read the pre-append file list whatever
             # the append does concurrently — overlap the two (io.run_jobs,
-            # guide §2.6).  Retry semantics are unchanged: the pair write
-            # is overwrite-idempotent per epoch, the append is gated on
-            # the applied-epoch chain (checked up front), and a failure
-            # in either fails the micro-batch before the epoch commits.
+            # guide §2.6).  Retry semantics: the pair write is
+            # overwrite-idempotent per epoch, the append is gated on the
+            # applied-epoch chain (checked above), and a failure in
+            # either fails the micro-batch before the epoch commits.
             jobs = [
                 lambda: pairs.write.mode("overwrite").parquet(
                     os.path.join(out, f"ep-{epoch_id}")
                 )
             ]
-            if int(epoch_id) not in manifest_applied_meta(idx, "epoch"):
+            if not applied:
                 jobs.append(
                     lambda: minhash_index_append(
                         toks, "doc_id", "tk", idx,

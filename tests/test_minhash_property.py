@@ -255,8 +255,12 @@ def test_append_with_precomputed_equals_plain_append(spark, sf_dir, tmp_path):
     minhash_index_build(corpus, "doc_id", "tk", p_plain)
 
     shared: dict = {}
+    handles: list = []  # shared_out requires the unpersist hand-back (r13)
     pre_pairs = _pairs(
-        minhash_index_dedup(spark, b1, "doc_id", "tk", p_pre, shared_out=shared)
+        minhash_index_dedup(
+            spark, b1, "doc_id", "tk", p_pre,
+            shared_out=shared, persisted_out=handles,
+        )
     )
     assert {"hash_mode", "keyed", "rep_bands"} <= set(shared)
     minhash_index_append(b1, "doc_id", "tk", p_pre, precomputed=shared)
@@ -769,3 +773,57 @@ def test_delete_everything_and_spurious_ids(spark, sf_dir, tmp_path):
         _pairs(minhash_index_dedup(spark, batch, "doc_id", "tk", compacted))
         == got
     )
+
+
+def test_retry_after_committed_append_is_byte_identical(spark, sf_dir, tmp_path):
+    """VERDICT r12 item 7 — the streaming retry window: if a micro-batch's
+    index append COMMITS but its epoch-pair write fails, foreachBatch
+    retries the batch under the same epoch_id.  The retry must write
+    ep-N bit-identical to what the first attempt would have written,
+    even though the index now already contains the batch (the handler
+    excludes its own doc ids from the lookup on the applied-epoch path).
+    Simulated by committing the append out-of-band and then running the
+    handler as the 'retry'."""
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.io import manifest_applied_meta, table
+    from sqlite_to_clickhouse_spark.operators.dedup import (
+        _doc_tokens,
+        minhash_index_append,
+        minhash_index_build,
+    )
+    from sqlite_to_clickhouse_spark.streaming.ops import (
+        _PAIR_SCHEMA,
+        _incr_dedup_handler,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch_docs = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = _doc_tokens(docs.filter(F.col("doc_id") % 5 >= 2))
+    b1 = _doc_tokens(batch_docs)
+
+    def _ep0(out_dir):
+        df = spark.read.schema(_PAIR_SCHEMA).parquet(str(out_dir / "ep-0"))
+        return sorted(map(tuple, df.collect()))
+
+    # First attempt, no crash: lookup against the pre-append index.
+    p_a, out_a = str(tmp_path / "idx_a"), tmp_path / "out_a"
+    out_a.mkdir()
+    minhash_index_build(corpus, "doc_id", "tk", p_a)
+    _incr_dedup_handler(spark, p_a, str(out_a))(batch_docs, 0)
+    first = _ep0(out_a)
+    assert first, "fixture produced no pairs for the retry pin"
+
+    # Retry: the same epoch's append already committed (crash landed
+    # between the append commit and the pair write).
+    p_b, out_b = str(tmp_path / "idx_b"), tmp_path / "out_b"
+    out_b.mkdir()
+    minhash_index_build(corpus, "doc_id", "tk", p_b)
+    minhash_index_append(b1, "doc_id", "tk", p_b, meta={"epoch": 0})
+    assert 0 in manifest_applied_meta(p_b, "epoch")
+    _incr_dedup_handler(spark, p_b, str(out_b))(batch_docs, 0)
+
+    assert _ep0(out_b) == first
+    # And the retry must not have double-appended.
+    assert manifest_applied_meta(p_b, "epoch") == [0] or \
+        list(manifest_applied_meta(p_b, "epoch")) == [0]
