@@ -592,10 +592,14 @@ def _clusters(keyed: DataFrame, persisted_out: "list | None" = None) -> DataFram
     """(__id, __rep) membership: representative = min id per distinct
     set.  groupBy gets map-side partial aggregation (a boilerplate
     cluster collapses before the wire); the join back is doc-linear.
+    (r13 note: a window-min spelling — one exchange instead of
+    groupBy+join — was interleaved-A/B'd on the streaming handler cycle
+    and came out a wash locally while adding a full array-key SORT for
+    corpus-scale callers, so the hash-aggregation shape stays.)
 
     PERSISTED (memory-and-disk): every caller fans the membership into
     3-5 downstream joins (rep filter, two expansion sides, within-pairs
-    self-join), and each re-evaluation would repeat the array-keyed
+    expansion), and each re-evaluation would repeat the array-keyed
     groupBy+join over the full token-hash arrays — measured 2x whole-op
     wall at sf0.1 when left to recompute.  The frame is two longs per
     doc (tiny relative to the arrays it derives from), identical plans
@@ -685,19 +689,13 @@ def minhash_lsh_pairs(
             "jaccard",
         )
     )
-    x, y = members.alias("x"), members.alias("y")
-    within = (
-        x.join(
-            y,
-            (F.col("x.__rep") == F.col("y.__rep"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-        .filter(F.lit(1.0) >= F.lit(threshold))
+    # Within-cluster pairs via the same one-pass bucket expansion as the
+    # band join (r13): members bucketed by their rep instead of a
+    # two-legged self-join of the cached membership.
+    within = _bucket_pairs(
+        members.select("__id", F.col("__rep").alias("bk"))
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).filter(
+        F.lit(1.0) >= F.lit(threshold)
     )
     return cross.unionByName(within)
 
@@ -1179,19 +1177,10 @@ def minhash_index_dedup(
                 "jaccard",
             )
         )
-    x, y = b_members.alias("x"), b_members.alias("y")
-    within = (
-        x.join(
-            y,
-            (F.col("x.__rep") == F.col("y.__rep"))
-            & (F.col("x.__id") < F.col("y.__id")),
-        )
-        .select(
-            F.col("x.__id").alias("id_a"),
-            F.col("y.__id").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-        .filter(F.lit(1.0) >= F.lit(threshold))
+    within = _bucket_pairs(
+        b_members.select("__id", F.col("__rep").alias("bk"))
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard")).filter(
+        F.lit(1.0) >= F.lit(threshold)
     )
     return out.unionByName(within)
 

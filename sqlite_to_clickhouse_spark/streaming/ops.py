@@ -577,17 +577,23 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs micro-batches sequentially, which is exactly the ordering the
     append-before-next-lookup contract needs.
 
-    The registered run stages the new-doc batch (doc_id % 10 == 7) as
-    two files and streams them with maxFilesPerTrigger=1 under an
-    AvailableNow trigger — two real micro-batches through a fresh
-    corpus-only index.  By the append-twice-equals-once theorem (pinned
-    in tests/test_minhash_property.py) the unioned per-batch results are
-    BIT-IDENTICAL to the one-shot dedup_incremental, so this streaming
-    op carries the same full-recompute DuckDB oracle — the stream is
-    hash-gated, not rows-only.  Each invocation builds its own index
-    copy in a temp dir: appends mutate the index, so the shared cached
-    generation (which dedup_incremental reuses) must never be the
-    append target."""
+    The registered run stages the new-doc batch (doc_id % 10 == 7) and
+    drains it in ONE AvailableNow micro-batch (r13, VERDICT r12 item 1:
+    single-batch drain where the source allows).  By the
+    append-twice-equals-once theorem (pinned in
+    tests/test_minhash_property.py::test_incremental_index_append_twice_equals_once)
+    the result is BIT-IDENTICAL to the previous two-micro-batch drain —
+    the union of per-epoch pair sets equals the one-shot lookup against
+    the same starting index — so this streaming op carries the same
+    full-recompute DuckDB oracle, and the driver's hash gate pins the
+    equivalence every round.  The multi-batch seam this op used to also
+    exercise (append → next lookup within one drain) stays covered by
+    stream_incremental_dedup_deletes, whose two micro-batches run around
+    a delete and a checkpoint restart and cannot be fused.  Each
+    invocation builds its own index copy in a temp dir: appends mutate
+    the index, so the shared cached generation (which dedup_incremental
+    reuses) must never be the append target."""
+    from sqlite_to_clickhouse_spark import io as gio
     from sqlite_to_clickhouse_spark.io import table as _table
     from sqlite_to_clickhouse_spark.operators.dedup import _incr_batch_pred
 
@@ -595,17 +601,19 @@ def stream_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _clone_corpus_index(spark, sf_dir)
     batch = docs.filter(_incr_batch_pred())
     stage = os.path.join(tempfile.mkdtemp(prefix="stream_incr_stage_"), "in")
-    # Two single-file writes into one monitored dir -> two micro-batches.
-    batch.filter(F.col("doc_id") % 20 == 7).coalesce(1).write.mode(
-        "append"
-    ).parquet(stage)
-    batch.filter(F.col("doc_id") % 20 == 17).coalesce(1).write.mode(
-        "append"
-    ).parquet(stage)
+    out, ckpt = [None], [None]
 
-    out, ckpt = _incr_stream_dirs(spark)
-    _run_incr_stream(spark, batch.schema, stage, idx, out, ckpt)
-    return _read_epoch_pairs(spark, out)
+    def _mk_dirs():
+        out[0], ckpt[0] = _incr_stream_dirs(spark)
+
+    # The batch staging write and the output-seed write are independent
+    # jobs — overlap them (guide §2.6).  One staged file, one micro-batch.
+    gio.run_jobs(
+        lambda: batch.coalesce(1).write.mode("append").parquet(stage),
+        _mk_dirs,
+    )
+    _run_incr_stream(spark, batch.schema, stage, idx, out[0], ckpt[0])
+    return _read_epoch_pairs(spark, out[0])
 
 
 _PAIR_SCHEMA = "doc_a bigint, doc_b bigint, jaccard double"
@@ -666,6 +674,18 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
         minhash_index_dedup,
     )
 
+    # Shuffle width for the handler's per-batch jobs (r13, guide §2.2
+    # "fewer, larger reduce partitions"): every relation the handler
+    # shuffles is MICRO-BATCH-bounded (the batch's set keys, bands,
+    # candidate pairs — the corpus-side stores ride partition-pruned
+    # scans and AQE-broadcast joins), so the session's corpus-tuned
+    # width only multiplies tiny tasks and AQE stage jobs — measured
+    # 6.05 s → 4.65 s per lookup+append cycle at sf0.1 (interleaved
+    # same-process A/B, 32 → 8).  Env-tunable for deployments whose
+    # micro-batches are large (size to batch bytes / target partition
+    # size, NOT to core count); restored after every batch.
+    batch_shuffle = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE_PARTITIONS", "8")
+
     def handle(bdf: DataFrame, epoch_id: int) -> None:
         # Batch-scoped persisted frames are handed back and unpersisted per
         # micro-batch: a production stream runs this loop indefinitely, and
@@ -682,6 +702,8 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
         # from the index side, reproducing the pre-append lookup exactly
         # (pinned by test_retry_after_committed_append_is_byte_identical).
         applied = int(epoch_id) in manifest_applied_meta(idx, "epoch")
+        prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", batch_shuffle)
         try:
             pairs = minhash_index_dedup(
                 spark, toks, "doc_id", "tk", idx,
@@ -717,6 +739,7 @@ def _incr_dedup_handler(spark: SparkSession, idx: str, out: str):
                 )
             gio.run_jobs(*jobs)
         finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
             for frame in batch_persists:
                 frame.unpersist()
 
@@ -795,29 +818,46 @@ def stream_incremental_dedup_deletes(spark: SparkSession, sf_dir: str) -> DataFr
         minhash_index_delete,
     )
 
+    from sqlite_to_clickhouse_spark import io as gio
+
     docs = _table(spark, sf_dir, "documents")
     idx = _clone_corpus_index(spark, sf_dir)
     batch = docs.filter(_incr_batch_pred())
     stage = os.path.join(tempfile.mkdtemp(prefix="stream_incrdel_stage_"), "in")
-    out, ckpt = _incr_stream_dirs(spark)
+    out, ckpt = [None], [None]
 
-    # Run 1: batch A arrives and is ingested.
-    batch.filter(F.col("doc_id") % 20 == 7).coalesce(1).write.mode(
-        "append"
-    ).parquet(stage)
+    def _mk_dirs():
+        out[0], ckpt[0] = _incr_stream_dirs(spark)
+
+    # Run 1: batch A arrives and is ingested (staging write overlapped
+    # with the independent output-seed write, guide §2.6).
+    gio.run_jobs(
+        lambda: batch.filter(F.col("doc_id") % 20 == 7)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(stage),
+        _mk_dirs,
+    )
+    out, ckpt = out[0], ckpt[0]
     _run_incr_stream(spark, batch.schema, stage, idx, out, ckpt)
-    # The delete request lands between ingests (tombstones only).
-    minhash_index_delete(
-        docs.filter(
-            ~_incr_batch_pred() & (F.col("doc_id") % DEL_MOD == DEL_REM)
-        ).select("doc_id"),
-        idx,
+    # The delete request lands between ingests (tombstones only).  The
+    # tombstone publish and the batch-B staging write are independent
+    # jobs — overlap them (guide §2.6); both complete before run 2
+    # starts, so run 2's lookup sees the committed delete either way.
+    gio.run_jobs(
+        lambda: minhash_index_delete(
+            docs.filter(
+                ~_incr_batch_pred() & (F.col("doc_id") % DEL_MOD == DEL_REM)
+            ).select("doc_id"),
+            idx,
+        ),
+        lambda: batch.filter(F.col("doc_id") % 20 == 17)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(stage),
     )
     # Run 2: the stream resumes from the SAME checkpoint — batch A is not
     # reprocessed (exactly-once across restarts) — and ingests batch B.
-    batch.filter(F.col("doc_id") % 20 == 17).coalesce(1).write.mode(
-        "append"
-    ).parquet(stage)
     _run_incr_stream(spark, batch.schema, stage, idx, out, ckpt)
     return _read_epoch_pairs(spark, out)
 
