@@ -1380,13 +1380,18 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compact an append-grown MinHash index and prove the rewrite is
     content-preserving — the invariant a compaction job must never
     silently break.  The op simulates the ingest lifecycle end-to-end:
-    build the corpus index, APPEND the new-doc batch in two micro-batch
-    halves (each append lands one more small file per touched pb
-    partition), compact into a fresh directory, and report the COMPACTED
-    copy's relation counts.  The DuckDB oracle recomputes all three
-    counts from the raw documents table over ALL docs (corpus + both
-    appends) — including the DISTINCT-set counts, which also gate the
-    append path's cluster maintenance (a batch doc identical to an
+    build the corpus index, APPEND the new-doc batch (the append lands
+    one more small file per touched pb partition — the growth compaction
+    exists to absorb), compact into a fresh directory, and report the
+    COMPACTED copy's relation counts.  (r13: the batch lands as ONE
+    append instead of two halves — appends maintain cluster identity via
+    the sets/ join, so the grown relations and every oracle count are
+    identical either way, for one fewer full append pass; the
+    append-twice-equals-once equivalence itself stays pinned in
+    tests/test_minhash_property.py.)  The DuckDB oracle recomputes all
+    three counts from the raw documents table over ALL docs (corpus +
+    appended batch) — including the DISTINCT-set counts, which also gate
+    the append path's cluster maintenance (a batch doc identical to an
     indexed set must join that cluster, never spawn a duplicate
     representative); file-count collapse and lookup-equality are pinned
     in tests/test_minhash_property.py."""
@@ -1403,11 +1408,10 @@ def dedup_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Clone the shared corpus generation (appends below mutate it); a
     # file clone is the production snapshot, not a re-band of the corpus.
     shutil.copytree(_incr_index_path(spark, sf_dir, hash_mode), grown)
-    for half in (7, 17):
-        minhash_index_append(
-            toks.filter(F.col("doc_id") % 20 == half), "doc_id", "tk", grown,
-            hash_mode=hash_mode,
-        )
+    minhash_index_append(
+        toks.filter(_incr_batch_pred()), "doc_id", "tk", grown,
+        hash_mode=hash_mode,
+    )
     minhash_index_compact(spark, grown, compacted)
     # Three independent count jobs over the compacted relations — overlap
     # them from driver threads (guide §2.6) instead of paying three

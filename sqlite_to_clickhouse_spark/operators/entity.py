@@ -891,6 +891,7 @@ def er_index_append(
     path: str,
     *,
     meta: "dict | None" = None,
+    cur: "DataFrame | None" = None,
 ) -> None:
     """Fold NEW names into the index under frozen-key semantics, then
     publish one atomic manifest commit: new names block against the
@@ -925,7 +926,15 @@ def er_index_append(
     from sqlite_to_clickhouse_spark.operators.dedup import connected_components
 
     bat = new_names.select("nm").filter(F.col("nm").isNotNull()).distinct()
-    cur = er_index_entities(spark, path).persist()
+    # ``cur`` (r13, VERDICT r12 item 4): callers that already computed the
+    # CURRENT entity view (er_index_entities — one LWW window over the
+    # entities relation) pass it in, persisted, so the append does not
+    # re-run the window per consumer; the caller keeps ownership of the
+    # persist.  Contract: it must be the live view of ``path`` with no
+    # append between.  When absent the append computes (and owns) it.
+    owned_cur = cur is None
+    if owned_cur:
+        cur = er_index_entities(spark, path).persist()
     postings = _er_read(spark, path, "postings", _ER_POST_SCHEMA)
     tomb = gio.read_relation(spark, path, "tombstones", _ER_TOMB_SCHEMA)
     if tomb is not None:
@@ -1077,7 +1086,8 @@ def er_index_append(
                 .parquet(os.path.join(path, "tombstones"))
             )
         gio.run_jobs(*jobs)
-    cur.unpersist()
+    if owned_cur:
+        cur.unpersist()
     new_edges.unpersist()
 
 
@@ -1547,9 +1557,14 @@ def er_index_append_op(spark: SparkSession, sf_dir: str) -> DataFrame:
     The catalog is never re-paired: the relabel runs over the stored
     map's star edges plus the batch's verified pairs only."""
     idx = _clone_er_index(spark, sf_dir)
-    cat_names = er_index_entities(spark, idx).select("nm")
-    fresh = _er_batch_names(spark, sf_dir).join(cat_names, "nm", "left_anti")
-    er_index_append(spark, fresh, idx)
+    # One LWW window for both consumers (r13): the live-name filter and
+    # the append's relabel share the same pre-append entity view.
+    cur = er_index_entities(spark, idx).persist()
+    fresh = _er_batch_names(spark, sf_dir).join(
+        cur.select("nm"), "nm", "left_anti"
+    )
+    er_index_append(spark, fresh, idx, cur=cur)
+    cur.unpersist()
     ents = er_index_entities(spark, idx)
     return ents.select(
         F.col("nm").alias("name"),
