@@ -472,26 +472,40 @@ def _serving_state(spark: SparkSession, sf_dir: str):
         .select(F.col("p_name").alias("nm"))
         .distinct()
     )
-    # Catalog entity map: verified pairs within the catalog → components.
-    cpairs = blocked_name_pairs(cat).select(
-        F.col("name_a").alias("src"), F.col("name_b").alias("dst")
-    )
-    comp = connected_components(cpairs).select(
-        F.col("node").alias("cname"), F.col("component_id").alias("eid")
-    )
-    # Batch match: block batch words against the catalog's capped keys.
-    # (nm, w) deduped on both relations so the df cap counts distinct
-    # names, not word occurrences (ADVICE r9).
+    # Catalog word/key relations — computed ONCE and shared between the
+    # catalog pair graph and the batch candidate path (r13, guide §1.2:
+    # the previous spelling derived them twice — once inside
+    # blocked_name_pairs, once here — and the blocked self-join
+    # re-evaluated the explode+distinct per join side).  (nm, w) deduped
+    # so the df cap counts distinct names, not word occurrences
+    # (ADVICE r9).  Persisted: fanned into the keys agg, two self-join
+    # sides, and the batch cand join; name-vocabulary-sized.
     cwords = (
         cat.select("nm", F.explode(F.split(F.col("nm"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .distinct()
+        .persist()
     )
     ckeys = (
         cwords.groupBy("w")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") <= _ER_BLOCK_DF_CAP)
         .select("w")
+    )
+    # Catalog entity map: verified pairs within the catalog → components
+    # (same construction as blocked_name_pairs, on the shared relations).
+    cblocked = cwords.join(F.broadcast(ckeys), "w")
+    ca = cblocked.select(F.col("nm").alias("name_a"), "w")
+    cb = cblocked.select(F.col("nm").alias("name_b"), "w")
+    cpairs = (
+        ca.join(cb, (ca["w"] == cb["w"]) & (F.col("name_a") < F.col("name_b")))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(_lev("name_a", "name_b", _ER_MAXDIST) >= 0)
+        .select(F.col("name_a").alias("src"), F.col("name_b").alias("dst"))
+    )
+    comp = connected_components(cpairs).select(
+        F.col("node").alias("cname"), F.col("component_id").alias("eid")
     )
     bwords = (
         bat.select(
