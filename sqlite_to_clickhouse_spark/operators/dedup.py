@@ -1718,15 +1718,22 @@ def dedup_simhash_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    docs = fps.select(
-        "doc_id",
-        "fp",
-        F.count(F.lit(1)).over(wfull).alias("csz"),
-        F.min("doc_id").over(wfull).alias("cmin"),
-        F.nth_value("doc_id", 2).over(wfull).alias("csecond"),
-        F.row_number()
-        .over(Window.partitionBy("fp").orderBy("doc_id"))
-        .alias("crn"),
+    # PERSISTED (r13): four consumers re-evaluated this frame — and with
+    # it the ArrowEvalPython fingerprint kernel over the full corpus —
+    # once each (both band-join sides via reps, the intra branch, the
+    # singles branch).  Six scalars per doc; one kernel pass + one window
+    # shuffle total with the persist.
+    docs = _persist_md(
+        fps.select(
+            "doc_id",
+            "fp",
+            F.count(F.lit(1)).over(wfull).alias("csz"),
+            F.min("doc_id").over(wfull).alias("cmin"),
+            F.nth_value("doc_id", 2).over(wfull).alias("csecond"),
+            F.row_number()
+            .over(Window.partitionBy("fp").orderBy("doc_id"))
+            .alias("crn"),
+        )
     )
 
     # Band join over one representative per DISTINCT fingerprint.

@@ -670,6 +670,10 @@ def er_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # "Stored" partials + the batch's partials, merged associatively.
+    # PERSISTED (r13): both downstream aggregations (brand votes, the
+    # entity rollup) re-evaluated the whole merge tree — serving state,
+    # two partial passes, the union — once each; the frame is
+    # (entity, name, brand)-grain scalars.
     merged = (
         _partials(cat_rows, cat_map)
         .unionAll(_partials(bat_rows, bat_map))
@@ -680,6 +684,7 @@ def er_golden_record_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("mx"),
             F.max("ms").alias("ms"),
         )
+        .persist()
     )
     votes = merged.groupBy("entity_id", "p_brand").agg(F.sum("cnt").alias("votes"))
     rk = Window.partitionBy("entity_id").orderBy(
