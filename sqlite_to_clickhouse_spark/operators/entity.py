@@ -146,6 +146,11 @@ def blocked_name_pairs(names: DataFrame) -> DataFrame:
         # widget") must count its tokens' df ONCE, so the stop-key cap is
         # a true distinct-name document frequency (ADVICE r9).
         .distinct()
+        # PERSISTED (r13, guide §1.2): three consumers — the df cap agg
+        # and BOTH sides of the blocked self-join — re-ran the
+        # names-scan + explode + distinct once each; the frame is
+        # (name, word) pairs, vocabulary-bounded.
+        .persist()
     )
     # Stop-key filter: df over DISTINCT names (names is already distinct,
     # and words is distinct on (nm, w)).
