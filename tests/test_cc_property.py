@@ -86,3 +86,66 @@ def test_cc_driver_and_loop_agree_on_string_nodes(spark):
     comp = dict(driver)
     assert comp["Ω-node"] == "zebra"
     assert comp["ànchor brass"] == "anchor brass"
+
+
+def test_cc_byte_cap_forces_the_loop(spark, monkeypatch):
+    """r13 (VERDICT r12 item 9): the driver collect is bounded in
+    estimated BYTES as well as rows — long string names must not ride
+    the fast path just because the edge count is small.  A tiny byte cap
+    forces the distributed loop (bit-identical labels); a roomy one
+    takes the driver path; cap=0 disables the driver path outright
+    (ADVICE r12: an empty/tiny graph must not satisfy a disabled cap)."""
+    from sqlite_to_clickhouse_spark.operators.dedup import connected_components
+
+    edges = [("aa" * 50, "bb" * 50), ("bb" * 50, "cc" * 50), ("x", "y")]
+    df = spark.createDataFrame(edges, "src: string, dst: string")
+    want = {r.node: r.component_id for r in connected_components(df).collect()}
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_BYTES", "64")  # < one edge row
+    got_loop = {r.node: r.component_id for r in connected_components(df).collect()}
+    assert got_loop == want
+
+    monkeypatch.setenv("SPARK_GRAFT_CC_DRIVER_BYTES", "0")  # 0 disables too
+    got_disabled = {
+        r.node: r.component_id for r in connected_components(df).collect()
+    }
+    assert got_disabled == want
+
+
+def test_bucket_pairs_equals_band_self_join(spark):
+    """r13: the LSH candidate generation was restructured from a
+    two-legged band self-join into one bucket groupBy + in-bucket pair
+    expansion (_bucket_pairs).  Pin the equivalence on an adversarial
+    band relation: duplicate (id, bk) rows (a doc colliding in two bands
+    on the same key), multi-doc buckets, singleton buckets, and a NULL
+    band key (which SQL join equality drops)."""
+    import pyspark.sql.functions as F
+
+    from sqlite_to_clickhouse_spark.operators.dedup import _bucket_pairs
+
+    rows = [
+        (1, 10), (2, 10), (3, 10),          # 3-doc bucket
+        (4, 20), (5, 20),                   # 2-doc bucket
+        (6, 30),                            # singleton
+        (7, 40), (7, 40), (8, 40),          # duplicate (id, bk) rows
+        (9, None), (10, None),              # NULL keys never pair
+        (1, 50), (5, 50),                   # cross-bucket second collision
+    ]
+    bands = spark.createDataFrame(rows, "__id: long, bk: long")
+    a, b = bands.alias("a"), bands.alias("b")
+    want = sorted(
+        set(
+            (r.id_a, r.id_b)
+            for r in a.join(
+                b,
+                (F.col("a.bk") == F.col("b.bk"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .collect()
+        )
+    )
+    got = sorted(
+        set((r.id_a, r.id_b) for r in _bucket_pairs(bands).collect())
+    )
+    assert got == want and (1, 5) in got and (7, 8) in got
